@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.search.{Objective, Search, SearchOptions, SerialClient}
+import graft.spark.Provenance
+import graft.stencil.RightHandedSimplexStencil
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-verifiable analogs of the reference's operator inventory (SURVEY §2)
+  * over the driver's parquet testdata. Each query is the Spark-idiomatic
+  * form of one operator class; Catalyst handles pushdown/pruning/broadcast.
+  *
+  * Determinism rules: every output column is explicitly aliased; ties are
+  * broken by explicit keys; float outputs are rounded identically on both
+  * sides; casts avoid engine-specific coercion (e.g. DuckDB CAST(double AS
+  * INT) rounds while Spark truncates — we always floor() first).
+  */
+object ReferenceOps {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Greedy argmin A1/A2 (search.py:314-324): per-group single lowest cost
+    * with deterministic tie-break, as a lexicographic min over a struct —
+    * a map-side-combinable aggregation (no window shuffle-and-sort needed).
+    */
+  val argmin: QueryDef = QueryDef(
+    """SELECT l_returnflag, min_cost, o_key, line_no FROM (
+      |  SELECT l_returnflag,
+      |         round(l_extendedprice * (1 - l_discount), 4) AS min_cost,
+      |         l_orderkey AS o_key, l_linenumber AS line_no,
+      |         row_number() OVER (
+      |           PARTITION BY l_returnflag
+      |           ORDER BY round(l_extendedprice * (1 - l_discount), 4), l_orderkey, l_linenumber
+      |         ) AS rn
+      |  FROM lineitem) t WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("cost"),
+        col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("cost"), col("l_orderkey"), col("l_linenumber"))).as("m"))
+      .select(col("l_returnflag"), col("m.cost").as("min_cost"),
+        col("m.l_orderkey").as("o_key"), col("m.l_linenumber").as("line_no"))
+  }
+
+  /** Global best / top-k A3 (search.py:326-345): ordered limit with explicit
+    * tie-break key. At scale this is a TakeOrderedAndProject — no full sort.
+    */
+  val topk: QueryDef = QueryDef(
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "orders"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** Lattice projection P3 (search.py:159-160): to_grid(x) = round-half-even
+    * (x/g)*g — NumPy's rounding — then a grouped count over grid cells.
+    */
+  val gridSnap: QueryDef = QueryDef(
+    """SELECT cell, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM (SELECT round_even(c_acctbal / 25.0, 0) * 25.0 AS cell, c_acctbal FROM customer) t
+      |GROUP BY cell""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "customer"))
+      .select((bround(col("c_acctbal") / 25.0, 0) * 25.0).as("cell"), col("c_acctbal"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+  }
+
+  /** Range/halvings filter P4 + step table T5 (search.py:279-280, 225):
+    * prune too-fine steps and tabulate 2^-h step sizes per halving level.
+    * floor() on both sides (DuckDB CAST rounds, Spark truncates).
+    */
+  val halvingsFilter: QueryDef = QueryDef(
+    """SELECT halvings, count(*) AS n, round(pow(2.0, -halvings), 6) AS step
+      |FROM (SELECT CAST(floor(l_quantity) AS INTEGER) % 8 AS halvings
+      |      FROM lineitem WHERE l_quantity BETWEEN 5 AND 40) t
+      |GROUP BY halvings""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_quantity").between(5, 40))
+      .select((floor(col("l_quantity")).cast("int") % 8).as("halvings"))
+      .groupBy(col("halvings"))
+      .agg(count(lit(1)).as("n"), round(pow(lit(2.0), -col("halvings")), 6).as("step"))
+  }
+
+  /** Memoization dedup P5 (search.py:285-291) as a left-anti join:
+    * "candidates never evaluated" — customers with no orders. The build side
+    * shuffles on the join key; at 100 TB this is a shuffled hash anti-join
+    * and AQE handles skew.
+    */
+  val dedupAnti: QueryDef = QueryDef(
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin) { (spark, dir) =>
+    val customer = spark.read.parquet(t(dir, "customer"))
+    val orders = spark.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderstatus") === "F") // pushed to the parquet scan
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Lineage / parent chain (SURVEY §1.1): each event joined to its
+    * predecessor per user — the provenance self-join analog, expressed as a
+    * window lag (one shuffle on user_id, no self-join materialization).
+    */
+  val lineageJoin: QueryDef = QueryDef(
+    """SELECT user_id, event_id, prev_event_id FROM (
+      |  SELECT user_id, event_id,
+      |         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+      |  FROM events) t WHERE prev_event_id IS NOT NULL""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long when
+    // this legacy conf is on; ordering by the raw nanos matches DuckDB's
+    // timestamp_ns ordering exactly (ts is not an output column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(t(dir, "events"))
+      .select(col("user_id"), col("event_id"), lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      .filter(col("prev_event_id").isNotNull)
+  }
+
+  // --- Stencil surface -----------------------------------------------------
+
+  /** Exact first-N stencil steps for d=2 (unrandomized), materialized as a
+    * table. The generator is golden-tested against the reference
+    * (StencilSpec); the oracle embeds the same deterministic sequence as
+    * literals, cross-checking the Spark materialization path end-to-end.
+    */
+  private val stencilN = 500
+  private lazy val stencilRows: Vector[(Int, Double, Double, Int)] =
+    new RightHandedSimplexStencil(2, 7).stencilPoints.take(stencilN).zipWithIndex.map {
+      case (s, i) => (i + 1, s.offset(0), s.offset(1), s.halvings)
+    }.toVector
+
+  val stencilPrefix: QueryDef = QueryDef(
+    stencilRows.map { case (i, x, y, h) => s"($i, CAST($x AS DOUBLE), CAST($y AS DOUBLE), $h)" }
+      .mkString(
+        "SELECT idx, x, y, halvings FROM (VALUES ",
+        ", ",
+        ") t(idx, x, y, halvings)")) { (spark, _) =>
+    import spark.implicits._
+    stencilRows.toDS().toDF("idx", "x", "y", "halvings")
+  }
+
+  /** Contraction/halving distribution T5/T6 over the same prefix: how many
+    * steps exist per halving level and the implied step scale 2^-h.
+    */
+  val contractCount: QueryDef = {
+    val grouped = stencilRows.groupBy(_._4).toVector
+      .map { case (h, rows) => (h, rows.size.toLong, math.pow(2.0, -h)) }
+    QueryDef(
+      grouped.map { case (h, n, s) => s"($h, CAST($n AS BIGINT), CAST($s AS DOUBLE))" }
+        .mkString("SELECT halvings, n, step FROM (VALUES ", ", ", ") t(halvings, n, step)")) {
+      (spark, _) =>
+        import spark.implicits._
+        stencilRows.toDS().toDF("idx", "x", "y", "halvings")
+          .groupBy(col("halvings"))
+          .agg(count(lit(1)).as("n"), pow(lit(2.0), -col("halvings")).as("step"))
+    }
+  }
+
+  // --- Objective evaluation surface S1/T2 ---------------------------------
+
+  /** Batched UDF-style evaluation over the embeddings table: sphere cost per
+    * vector via higher-order functions (codegen'd, no Scala UDF), plus the
+    * incremental-argmin step A1 for the table's best vector.
+    */
+  val batchEval: QueryDef = QueryDef(
+    """SELECT vec_id, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS cost
+      |FROM embeddings""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("cost"))
+  }
+
+  // --- Flagship end-to-end searches ---------------------------------------
+
+  /** End-to-end minimize on the serial client (deterministic seed), returning
+    * the full evaluations/provenance table. No SQL oracle: the semantics are
+    * covered by SearchSpec's convergence suite; the driver records rows>0.
+    */
+  val searchEvals: QueryDef = QueryDef.rowsOnly { (spark, _) =>
+    val res = Search.minimize(
+      Objective(x => x.map(v => v * v).sum),
+      Array(10.0, 15.0), Array(1.0, 1.0), new SerialClient,
+      SearchOptions(stopratio = 1e-2, seed = Some(42)))
+    Provenance.toDF(spark, res)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_argmin" -> argmin,
+    "q_topk" -> topk,
+    "q_grid_snap" -> gridSnap,
+    "q_halvings_filter" -> halvingsFilter,
+    "q_dedup_anti" -> dedupAnti,
+    "q_lineage_join" -> lineageJoin,
+    "q_stencil_prefix" -> stencilPrefix,
+    "q_contract_count" -> contractCount,
+    "q_batch_eval" -> batchEval,
+    "q_search_evals" -> searchEvals)
+}

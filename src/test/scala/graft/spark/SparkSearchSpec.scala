@@ -1,0 +1,82 @@
+package graft.spark
+
+import graft.SparkEntry
+import graft.search._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's distributed convergence tests
+  * (test_search.py:28-60) against the SparkClient on local[4], plus the
+  * flagship entry smoke.
+  */
+class SparkSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sphere = Objective(x => x.map(v => v * v).sum)
+  private val x0 = Array(10.0, 15.0)
+  private val ones = Array(1.0, 1.0)
+  private val stopratio = 1e-2
+
+  private def assertConverged(res: SearchResult): Unit = {
+    res.best.point.foreach(v => assert(math.abs(v) < 2 * stopratio, s"best=${res.best}"))
+    assert(res.best.cost == res.evaluations.map(_.cost).min)
+  }
+
+  test("spark client: sphere converges with batched waves (test_search.py:72-76)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, x0, ones, client,
+        SearchOptions(stopratio = stopratio, batchsize = Some(6), seed = Some(3)))
+      assertConverged(res)
+      assert(res.evaluations.size % 6 == 0)
+    } finally client.shutdown()
+  }
+
+  test("spark client: unbatched waves, maxQueueSize=1 is fully ordered (test_search.py:47-50)") {
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, x0, ones, client,
+        SearchOptions(stopratio = stopratio, maxQueueSize = Some(1), seed = Some(5)))
+      assertConverged(res)
+    } finally client.shutdown()
+  }
+
+  test("spark client: maxTasks caps evaluation count (test_search.py:57-59)") {
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, x0, ones, client,
+        SearchOptions(stopratio = stopratio, batchsize = Some(5), maxTasks = Some(2), seed = Some(7)))
+      assert(res.evaluations.size == 10, s"got ${res.evaluations.size}")
+      assert(res.best.cost == res.evaluations.map(_.cost).min)
+    } finally client.shutdown()
+  }
+
+  test("provenance DF carries lineage and the global best") {
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, x0, ones, client,
+        SearchOptions(stopratio = stopratio, batchsize = Some(6), seed = Some(11)))
+      val df = Provenance.toDF(spark, res)
+      assert(df.count() == res.evaluations.size)
+      assert(df.filter("isBest").count() == 1)
+      assert(df.filter("isAccepted").count() > 3)
+      // every parentKey exists as a key (root is self-parenting)
+      val keys = df.select("key").collect().map(_.getString(0)).toSet
+      val parents = df.select("parentKey").collect().map(_.getString(0)).toSet
+      assert(parents.subsetOf(keys))
+    } finally client.shutdown()
+  }
+
+  test("entry: flagship returns non-empty evaluations table") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("cost"))
+  }
+}
