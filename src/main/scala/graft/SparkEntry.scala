@@ -38,7 +38,9 @@ object SparkEntry {
   }
 
   private def registry: Map[String, graft.queries.QueryDef] =
-    ReferenceOps.defs
+    ReferenceOps.defs ++ graft.queries.Dedup.defs ++ graft.queries.TextOps.defs ++
+      graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
+      graft.queries.Multimodal.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over the `documents` table: exact
+  * (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash (bit-vote signature + banded candidate join), n-gram Jaccard
+  * (inverted-index candidates), and embedding-cosine near-dup.
+  *
+  * Every pipeline is expressed twice with identical integer/double
+  * semantics: Spark DataFrame (codegen'd higher-order functions, no UDFs)
+  * and DuckDB SQL (the driver's oracle). The shared token hash is the first
+  * 8 hex digits of md5 as an unsigned 32-bit value — both engines compute
+  * it exactly.
+  *
+  * Scale design (100 TB): every candidate-generation step is a shuffle on a
+  * short key (content hash, band value, signature byte), never an all-pairs
+  * join; verification joins touch only bucket-cohabiting pairs. Shingle
+  * sets stay inside one row (arrays) so the heavy lifting is map-side.
+  */
+object Dedup {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Unsigned-32-bit token hash both engines agree on. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private val tokHashSql = (s: String) => s"CAST('0x'||substr(md5($s),1,8) AS BIGINT)"
+
+  private val P = 2147483647L // 2^31-1, keeps a*h+b inside 63 bits
+
+  /** MinHash coefficients, inlined identically into both engines. */
+  private val minhashAB: IndexedSeq[(Long, Long)] =
+    (1 to 8).map(i => ((1103515245L * i) % P, (12345L * i + 678) % P))
+
+  /** Exact dedup: one row per distinct content hash with group size and the
+    * canonical (minimum) doc id — the degenerate-but-fundamental case of the
+    * reference's memoization-by-identity (search.py:24-28, 285-291) applied
+    * to documents. Map-side combinable single shuffle on the hash.
+    */
+  val exact: QueryDef = QueryDef(
+    """SELECT md5(text) AS content_hash, count(*) AS group_size,
+      |       min(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_doc_id"))
+  }
+
+  /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
+  private def shingleDF(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    docs.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(col("words")) - 2),
+        i => concat_ws(" ",
+          element_at(col("words"), i),
+          element_at(col("words"), i + 1),
+          element_at(col("words"), i + 2)))).as("shingles"))
+  }
+
+  private val shingleSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([words[i]||' '||words[i+1]||' '||words[i+2]
+      |                        for i in range(1, len(words)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d
+      |  WHERE len(words) >= 3)""".stripMargin
+
+  /** MinHash + LSH near-dup pairs: 8 minhashes over shingle hashes, 4 bands
+    * of 2, candidates from band-bucket cohabitation, then exact Jaccard
+    * verification at >= 0.8. The only shuffles are the band-bucket join and
+    * the pair-verify join — never O(n^2).
+    */
+  val minhashLsh: QueryDef = {
+    val minsSql = minhashAB.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    QueryDef(
+      s"""WITH $shingleSql,
+         |hashes AS (
+         |  SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> ${tokHashSql("s")}) AS hs
+         |  FROM sh),
+         |mh AS (SELECT doc_id, $minsSql AS mins FROM hashes),
+         |bands AS (
+         |  SELECT doc_id, j,
+         |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
+         |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |               / len(list_distinct(x.shingles || y.shingles)), 4) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+         |            JOIN sh y ON y.doc_id = cand.doc_b) v
+         |WHERE jaccard >= 0.8""".stripMargin) { (spark, dir) =>
+      val sh = shingleDF(spark, dir)
+      val hashes = sh.select(col("doc_id"), col("shingles"),
+        transform(col("shingles"), s => tokHash(s)).as("hs"))
+      val mins = minhashAB.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
+      }
+      val mh = hashes.select(col("doc_id"), array(mins: _*).as("mins"))
+      val bands = mh
+        .select(col("doc_id"), explode(array((0 to 3).map(lit(_)): _*)).as("j"), col("mins"))
+        .select(col("doc_id"), col("j"),
+          concat_ws("_",
+            element_at(col("mins"), col("j") * 2 + 1).cast("string"),
+            element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      val cand = a.join(b,
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      cand.join(x, "doc_a").join(y, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
+  }
+
+  /** SimHash near-dup pairs: 32-bit signature from per-token bit votes
+    * (token multiplicity counts), byte-banded LSH candidates, Hamming
+    * distance <= 2. Signature build is one aggregation over exploded tokens
+    * (map-side combinable); candidates join on (band index, byte).
+    */
+  val simhash: QueryDef = {
+    val bitSumsSql = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sigSql = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    QueryDef(
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokHashSql("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
+         |sums AS (SELECT doc_id, $bitSumsSql FROM toks GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS sig FROM sums),
+         |bands AS (
+         |  SELECT doc_id, sig, j, (sig >> (8*j)) & 255 AS byte
+         |  FROM sigs, (VALUES (0), (1), (2), (3)) bj(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.byte = b.byte AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming FROM cand) v
+         |WHERE hamming <= 2""".stripMargin) { (spark, dir) =>
+      val toks = spark.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), tokHash(col("w")).as("h"))
+      val bitSums = (0 until 32).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"s$j")
+      }
+      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sig = (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sigs = sums.select(col("doc_id"), sig.cast("long").as("sig"))
+      val bandStructs = (0 to 3).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte")))
+      val bands = sigs
+        .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bv"))
+        .select(col("doc_id"), col("sig"), col("bv.j").as("j"), col("bv.byte").as("byte"))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b,
+          col("a.j") === col("b.j") && col("a.byte") === col("b.byte") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= 2)
+    }
+  }
+
+  /** N-gram Jaccard dedup with single-minimum inverted-index candidates:
+    * docs sharing their minimum shingle hash are candidates (the 1-hash
+    * special case of MinHash LSH); pairs verified at Jaccard >= 0.5.
+    */
+  val ngramJaccard: QueryDef = QueryDef(
+    s"""WITH $shingleSql,
+       |keyed AS (
+       |  SELECT doc_id, shingles,
+       |         list_min(list_transform(shingles, s -> ${tokHashSql("s")})) AS min_h
+       |  FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.shingles AS sa, b.shingles AS sb
+       |  FROM keyed a JOIN keyed b ON a.min_h = b.min_h AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |               / len(list_distinct(sa || sb)), 4) AS jaccard
+       |  FROM cand) v
+       |WHERE jaccard >= 0.5""".stripMargin) { (spark, dir) =>
+    val keyed = shingleDF(spark, dir).select(col("doc_id"), col("shingles"),
+      array_min(transform(col("shingles"), s => tokHash(s))).as("min_h"))
+    val a = keyed.select(col("min_h"), col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = keyed.select(col("min_h"), col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    a.join(b, Seq("min_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Embedding-cosine near-dup: label-bucketed pairwise cosine (the label is
+    * the coarse partitioner standing in for an IVF cell at scale), exact
+    * double arithmetic in array order on both engines.
+    */
+  val embedNeardup: QueryDef = QueryDef(
+    """SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         round(list_dot_product(a.embedding, b.embedding)
+      |               / sqrt(list_dot_product(a.embedding, a.embedding)
+      |                      * list_dot_product(b.embedding, b.embedding)), 4) AS cosine
+      |  FROM embeddings a
+      |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) v
+      |WHERE cosine > 0.4""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(t(dir, "embeddings"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, z) => acc + z)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) /
+          sqrt(dot(col("ea"), col("ea")) * dot(col("eb"), col("eb"))), 4).as("cosine"))
+      .filter(col("cosine") > 0.4)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_dedup_exact" -> exact,
+    "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_dedup_simhash" -> simhash,
+    "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_embed_neardup" -> embedNeardup)
+}

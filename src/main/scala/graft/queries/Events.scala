@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: tumbling-window
+  * aggregation as a batch query, and the identical pipeline executed through
+  * Structured Streaming (file source -> stateful aggregation -> memory
+  * sink), verified against the same DuckDB oracle — the streaming result
+  * must equal the batch result on bounded input.
+  *
+  * events.ts is parquet TIMESTAMP(NANOS); both engines bucket on integer
+  * nanosecond arithmetic (no timestamp-type coercion in the compared
+  * output).
+  */
+object Events {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private val oracle =
+    """SELECT event_type, hour_bucket, n, sum_value FROM (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      |         count(*) AS n, round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY event_type, hour_bucket) w""".stripMargin
+
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(t(dir, "events"))
+  }
+
+  private def windowAgg(df: DataFrame): DataFrame =
+    df.select(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"), col("value"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Tumbling 1-hour windows per event type: count + sum (batch). */
+  val windowSessions: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    windowAgg(readEvents(spark, dir))
+  }
+
+  /** The same aggregation executed as a Structured Streaming query: the
+    * parquet file feeds a file-source stream, the stateful aggregation runs
+    * in complete mode into a memory sink, and the sink table is returned.
+    * On bounded input this must hash-match the batch oracle exactly.
+    */
+  val streamWindows: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(t(dir, "events")).schema
+    // The file source wants a directory; a [t] character class turns the
+    // exact file path into a glob so basePath resolves to the parent dir.
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+    val q = windowAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("graft_stream_windows")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("graft_stream_windows")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_window_sessions" -> windowSessions,
+    "q_stream_windows" -> streamWindows)
+}

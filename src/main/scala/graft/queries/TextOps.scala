@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: n-gram-heuristic
+  * language ID, quality scoring, token counting (whitespace + a BPE-ish
+  * subword proxy), and document fingerprinting via the codegen'd
+  * [[graft.functions.PolyHash]] rolling hash.
+  *
+  * All scoring is integer/rational arithmetic with explicit rounding so the
+  * DuckDB oracle matches bit-for-bit. Every query is a single scan +
+  * map-side work + one small aggregation — the shape that survives 100 TB.
+  */
+object TextOps {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Stopword lists per language for the n-gram/stopword heuristic. The
+    * priority order (en, de, es, fr, zh) breaks score ties deterministically.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "du", "des", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta"))
+
+  private def countIn(words: Column, list: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(list)))
+  private def countInSql(list: Seq[String]): String = {
+    val lits = list.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(words, w -> list_contains($lits, w)))"
+  }
+
+  /** Language ID: per-language stopword hit counts, argmax with fixed
+    * priority order; output is the (actual, predicted) confusion matrix.
+    */
+  val langId: QueryDef = {
+    val scoreSqls = stopwords.map { case (l, ws) => s"${countInSql(ws)} AS s_$l" }.mkString(", ")
+    // predicted = first language in priority order whose score >= all others
+    val langs = stopwords.map(_._1)
+    val caseSql = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    QueryDef(
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang, $caseSql AS predicted FROM (
+         |    SELECT lang, $scoreSqls
+         |    FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) w) s) p
+         |GROUP BY lang, predicted""".stripMargin) { (spark, dir) =>
+      val base = spark.read.parquet(t(dir, "documents"))
+        .select(col("lang"), split(col("text"), " ").as("words"))
+      val scored = base.select(col("lang") +:
+        stopwords.map { case (l, ws) => countIn(col("words"), ws).as(s"s_$l") }: _*)
+      val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+        val cond = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(cond, lit(l)).otherwise(els)
+      }
+      scored.select(col("lang"), predicted.as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }
+  }
+
+  /** Quality scoring per document: token count, mean token length, stopword
+    * ratio, and a bounded composite score — length/stopword features as in
+    * standard pretraining-data quality filters.
+    */
+  val quality: QueryDef = QueryDef(
+    // The composite score runs in integer fixed-point (1e-4 units): a
+    // floating formula rounded at 4dp lands on exact .5 ULP boundaries where
+    // Spark (exact BigDecimal round) and DuckDB (float-multiply round)
+    // disagree. Integer quotients of bounded ints are exact in both.
+    s"""SELECT doc_id, n_tokens,
+       |       round(CAST(char_total AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |       least(n_tokens * 50, 5000)
+       |         + CAST(floor(n_stop * 3000.0 / n_tokens) AS BIGINT)
+       |         + greatest(0, 2000 - CAST(floor(abs(CAST(floor(char_total * 10000.0 / n_tokens) AS BIGINT) - 50000) / 25.0) AS BIGINT))
+       |         AS quality_scaled
+       |FROM (
+       |  SELECT doc_id, len(words) AS n_tokens,
+       |         list_sum(list_transform(words, w -> len(w))) AS char_total,
+       |         ${countInSql(stopwords.head._2)} AS n_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w) f""".stripMargin) {
+    (spark, dir) =>
+      val f = spark.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+          aggregate(transform(col("words"), w => length(w)), lit(0), (acc, x) => acc + x)
+            .cast("long").as("char_total"),
+          countIn(col("words"), stopwords.head._2).cast("long").as("n_stop"))
+      f.select(col("doc_id"), col("n_tokens"),
+        round(col("char_total").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        (least(col("n_tokens") * 50, lit(5000L))
+          + floor(col("n_stop") * 3000.0 / col("n_tokens")).cast("long")
+          + greatest(lit(0L), lit(2000L) -
+            floor(abs(floor(col("char_total") * 10000.0 / col("n_tokens")).cast("long") - 50000) / 25.0).cast("long")))
+          .as("quality_scaled"))
+  }
+
+  /** Token counting per source: whitespace tokens plus a BPE-ish subword
+    * proxy (ceil(len/4) units per word — the standard chars/4 token
+    * estimate, computed exactly).
+    */
+  val tokenCount: QueryDef = QueryDef(
+    """SELECT source, count(*) AS n_docs,
+      |       sum(n_tokens) AS total_tokens,
+      |       sum(n_subwords) AS total_subwords,
+      |       round(avg(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens
+      |FROM (
+      |  SELECT source, len(words) AS n_tokens,
+      |         list_sum(list_transform(words, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS n_subwords
+      |  FROM (SELECT source, string_split(text, ' ') AS words FROM documents) w) f
+      |GROUP BY source""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("source"), split(col("text"), " ").as("words"))
+      .select(col("source"), size(col("words")).as("n_tokens"),
+        aggregate(transform(col("words"), w => ceil(length(w) / 4.0).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_subwords"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_subwords")).as("total_subwords"),
+        round(avg(col("n_tokens").cast("double")), 2).as("avg_tokens"))
+  }
+
+  /** Document fingerprinting: rolling polynomial hash over code points via
+    * the native codegen'd PolyHash expression (whole-stage codegen, no UDF).
+    */
+  val fingerprint: QueryDef = QueryDef(
+    s"""SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                   (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), PolyHash.polyHash(spark, "text").as("fp"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_lang_id" -> langId,
+    "q_quality_score" -> quality,
+    "q_token_count" -> tokenCount,
+    "q_fingerprint" -> fingerprint)
+}

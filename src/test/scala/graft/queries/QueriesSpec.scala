@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.functions.PolyHash
+import graft.multimodal.Media
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-surface guards at sf0.001: every registered query executes and
+  * returns rows; every query key with an oracle also appears in oracleSql;
+  * plus unit coverage of PolyHash (interpreted vs codegen paths) and the
+  * media decode stub.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-queries-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every registered query runs and returns rows at sf0.001") {
+    spark.sparkContext.setLogLevel("WARN")
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with empty results: $empties")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("poly_hash matches the reference fold and survives codegen") {
+    // fold over 'abc': ((0*31+97)*31+98)*31+99 mod P = 96354
+    assert(PolyHash.hash(UTF8String.fromString("abc")) == 96354L)
+    assert(PolyHash.hash(UTF8String.fromString("")) == 0L)
+    import spark.implicits._
+    val df = Seq("abc", "", "key agg row").toDF("s")
+      .select(PolyHash.polyHash(spark, "s").as("fp"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got.head == 96354L)
+    assert(got(1) == 0L)
+    // codegen and interpreted agree
+    val interp = PolyHash.hash(UTF8String.fromString("key agg row"))
+    assert(got(2) == interp)
+  }
+
+  test("media decode stub: histogram sums to byte count, entropy bounded") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val (mean, entropy, hist) = Media.decodeStub(bytes)
+    assert(hist.sum == bytes.length.toDouble)
+    assert(entropy >= 0 && entropy <= 4.0) // 16 bins -> max 4 bits
+    assert(mean > 0)
+    val (_, e0, _) = Media.decodeStub(Array.emptyByteArray)
+    assert(e0 == 0.0)
+  }
+
+  test("media features pipeline preserves one row per document") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val feats = Media.features(spark, sf)
+    assert(feats.count() == docs)
+    assert(feats.columns.toSet ==
+      Set("doc_id", "format", "n_bytes", "mean_byte", "byte_entropy", "histogram"))
+  }
+}
