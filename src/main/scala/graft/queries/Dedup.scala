@@ -99,7 +99,7 @@ object Dedup {
          |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
          |            JOIN sh y ON y.doc_id = cand.doc_b) v
          |WHERE jaccard >= 0.8""".stripMargin) { (spark, dir) =>
-      val sh = shingleDF(spark, dir)
+      val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
       val hashes = sh.select(col("doc_id"), col("shingles"),
         transform(col("shingles"), s => tokHash(s)).as("hs"))
       val mins = minhashAB.map { case (a, b) =>
@@ -188,32 +188,54 @@ object Dedup {
     }
   }
 
-  /** N-gram Jaccard dedup with single-minimum inverted-index candidates:
-    * docs sharing their minimum shingle hash are candidates (the 1-hash
-    * special case of MinHash LSH); pairs verified at Jaccard >= 0.5.
+  /** N-gram Jaccard dedup with a df-capped inverted index over *hashed*
+    * shingles: candidate pairs share at least one rare shingle hash
+    * (document frequency in [2, 5]); verified at exact Jaccard >= 0.5 on the
+    * hashed shingle sets. Two scale properties: the df cap bounds every
+    * posting list, so a common shingle can never create a quadratic bucket
+    * (a single-min-shingle scheme degenerates to O(n^2) on a shared
+    * -vocabulary corpus); and pairs are expanded in-row from each bucket's
+    * (<= 5)-doc list — no posting-list self-join shuffle at all.
     */
   val ngramJaccard: QueryDef = QueryDef(
     s"""WITH $shingleSql,
-       |keyed AS (
-       |  SELECT doc_id, shingles,
-       |         list_min(list_transform(shingles, s -> ${tokHashSql("s")})) AS min_h
+       |hsets AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(shingles, s -> ${tokHashSql("s")})) AS hs
        |  FROM sh),
+       |inv AS (SELECT unnest(hs) AS h, doc_id FROM hsets),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND 5),
+       |posts AS (SELECT i.h, i.doc_id FROM inv i JOIN rare r ON i.h = r.h),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.shingles AS sa, b.shingles AS sb
-       |  FROM keyed a JOIN keyed b ON a.min_h = b.min_h AND a.doc_id < b.doc_id)
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
-       |         round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-       |               / len(list_distinct(sa || sb)), 4) AS jaccard
-       |  FROM cand) v
+       |         round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |               / len(list_distinct(x.hs || y.hs)), 4) AS jaccard
+       |  FROM cand JOIN hsets x ON x.doc_id = cand.doc_a
+       |            JOIN hsets y ON y.doc_id = cand.doc_b) v
        |WHERE jaccard >= 0.5""".stripMargin) { (spark, dir) =>
-    val keyed = shingleDF(spark, dir).select(col("doc_id"), col("shingles"),
-      array_min(transform(col("shingles"), s => tokHash(s))).as("min_h"))
-    val a = keyed.select(col("min_h"), col("doc_id").as("doc_a"), col("shingles").as("sa"))
-    val b = keyed.select(col("min_h"), col("doc_id").as("doc_b"), col("shingles").as("sb"))
-    a.join(b, Seq("min_h"))
-      .filter(col("doc_a") < col("doc_b"))
+    val hsets = shingleDF(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => tokHash(s))).as("hs"))
+      .persist()
+    val inv = hsets.select(explode(col("hs")).as("h"), col("doc_id"))
+    // df-capped buckets carry their full (sorted) doc list; pairs expand
+    // in-row — the bucket size cap (5) bounds the expansion at 10 pairs.
+    val buckets = inv.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 5))
+    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+      transform(sequence(i + 1, size(col("ds")) - 1), j =>
+        struct(element_at(col("ds"), i + 1).as("doc_a"),
+          element_at(col("ds"), j + 1).as("doc_b")))))
+    val cand = buckets.select(explode(pairsExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val x = hsets.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
+    val y = hsets.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
@@ -225,25 +247,32 @@ object Dedup {
     * double arithmetic in array order on both engines.
     */
   val embedNeardup: QueryDef = QueryDef(
-    """SELECT vec_a, vec_b, cosine FROM (
+    // Norms are computed once per vector before the pair join (n dot
+    // products, not 2 per pair) — same doubles, a third of the FLOPs.
+    """WITH e AS (
+      |  SELECT label, vec_id, embedding,
+      |         list_dot_product(embedding, embedding) AS norm2
+      |  FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |         round(list_dot_product(a.embedding, b.embedding)
-      |               / sqrt(list_dot_product(a.embedding, a.embedding)
-      |                      * list_dot_product(b.embedding, b.embedding)), 4) AS cosine
-      |  FROM embeddings a
-      |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) v
+      |               / sqrt(a.norm2 * b.norm2), 4) AS cosine
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) v
       |WHERE cosine > 0.4""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(t(dir, "embeddings"))
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
         lit(0.0), (acc, z) => acc + z)
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, Seq("label"))
+    val e = emb.select(col("label"), col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("norm2"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm2").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm2").as("nb"))
+    a.join(broadcast(b), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) /
-          sqrt(dot(col("ea"), col("ea")) * dot(col("eb"), col("eb"))), 4).as("cosine"))
+        round(dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") > 0.4)
   }
 

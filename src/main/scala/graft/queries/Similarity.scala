@@ -37,32 +37,38 @@ object Similarity {
   private def cosineCol(ea: Column, eb: Column): Column =
     round(dot(ea, eb) / sqrt(dot(ea, ea) * dot(eb, eb)), 4)
 
-  private val cosineSql =
-    """round(list_dot_product(q.embedding, c.embedding)
-      |      / sqrt(list_dot_product(q.embedding, q.embedding)
-      |             * list_dot_product(c.embedding, c.embedding)), 4)""".stripMargin
-
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) broadcast
     * against the full corpus, ranked per query with explicit tie-break.
     */
   val annTopk: QueryDef = QueryDef(
-    s"""SELECT query_id, neighbor_id, rank, cosine FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         $cosineSql AS cosine,
+    // Corpus/query norms computed once per vector; the pair step does one
+    // dot product. Queries broadcast; corpus scanned exactly once.
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         list_dot_product(embedding, embedding) AS norm2
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (
-       |           PARTITION BY q.vec_id
-       |           ORDER BY $cosineSql DESC, c.vec_id) AS rank
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries) r
+       |           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           round(list_dot_product(q.embedding, c.embedding)
+       |                 / sqrt(q.norm2 * c.norm2), 4) AS cosine
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nQueries) s) r
        |WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(t(dir, "embeddings"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
+    val e = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("norm2"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("norm2").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+      col("norm2").as("nc"))
     val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineCol(col("eq"), col("ec")).as("cosine"))
+        round(dot(col("eq"), col("ec")) / sqrt(col("nq") * col("nc")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
