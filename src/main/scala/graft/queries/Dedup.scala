@@ -259,12 +259,11 @@ object Dedup {
       |               / sqrt(a.norm2 * b.norm2), 4) AS cosine
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) v
       |WHERE cosine > 0.4""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(t(dir, "embeddings"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, z) => acc + z)
+    def dot(x: String, y: String): Column = expr(s"dot_product($x, $y)")
     val e = emb.select(col("label"), col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("norm2"))
+      dot("embedding", "embedding").as("norm2"))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("norm2").as("na"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
@@ -272,7 +271,7 @@ object Dedup {
     a.join(broadcast(b), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4).as("cosine"))
+        round(dot("ea", "eb") / sqrt(col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") > 0.4)
   }
 

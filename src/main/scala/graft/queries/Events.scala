@@ -63,7 +63,48 @@ object Events {
     spark.table("graft_stream_windows")
   }
 
+  /** Gap-based sessionization (30-minute gap) in its batch form: a
+    * lag-window new-session flag, a running sum for session ids, then a
+    * grouped rollup — one shuffle on user_id, sessions built in-partition.
+    * The stateful-streaming twin (graft.streaming.Sessionize,
+    * flatMapGroupsWithState) computes identical sessions and is tested
+    * against this result.
+    */
+  val sessionize: QueryDef = QueryDef(
+    // Microsecond basis on both sides: DuckDB truncates parquet NANOS
+    // timestamps to micros on read, so nanos-exact Spark values would never
+    // hash-match. `ts div 1000` == epoch_us(ts) exactly.
+    """SELECT user_id, sid, n, start_us, end_us, sum_value FROM (
+      |  SELECT user_id, sid, count(*) AS n, min(tus) AS start_us, max(tus) AS end_us,
+      |         round(sum(value), 2) AS sum_value
+      |  FROM (
+      |    SELECT user_id, tus, value,
+      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM (
+      |      SELECT user_id, event_id, tus, value,
+      |             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+      |                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |                       > 1800000000
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events) e) m) s
+      |  GROUP BY user_id, sid) g""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(byTime).isNull ||
+          col("tus") - lag(col("tus"), 1).over(byTime) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"), min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_window_sessions" -> windowSessions,
-    "q_stream_windows" -> streamWindows)
+    "q_stream_windows" -> streamWindows,
+    "q_sessionize" -> sessionize)
 }

@@ -20,8 +20,15 @@ object ReferenceOps {
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
   /** Greedy argmin A1/A2 (search.py:314-324): per-group single lowest cost
-    * with deterministic tie-break, as a lexicographic min over a struct —
-    * a map-side-combinable aggregation (no window shuffle-and-sort needed).
+    * with deterministic (o_key, line_no) tie-break.
+    *
+    * Two-pass hash-aggregate shape: `min(struct(...))` would force a
+    * SortAggregate (struct buffers aren't hash-aggregable), i.e. a local
+    * sort of every partition at 100 TB. Instead: (1) hash-agg the per-group
+    * min cost (primitive buffer, map-side combinable), (2) rejoin the tiny
+    * result broadcast against the scan and hash-agg the packed tie-break
+    * key (l_linenumber < 8, so okey*8+line is a single invertible long).
+    * Two columnar scans beat one full sort.
     */
   val argmin: QueryDef = QueryDef(
     """SELECT l_returnflag, min_cost, o_key, line_no FROM (
@@ -33,14 +40,19 @@ object ReferenceOps {
       |           ORDER BY round(l_extendedprice * (1 - l_discount), 4), l_orderkey, l_linenumber
       |         ) AS rn
       |  FROM lineitem) t WHERE rn = 1""".stripMargin) { (spark, dir) =>
-    spark.read.parquet(t(dir, "lineitem"))
+    val li = spark.read.parquet(t(dir, "lineitem"))
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("cost"),
         col("l_orderkey"), col("l_linenumber"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(struct(col("cost"), col("l_orderkey"), col("l_linenumber"))).as("m"))
-      .select(col("l_returnflag"), col("m.cost").as("min_cost"),
-        col("m.l_orderkey").as("o_key"), col("m.l_linenumber").as("line_no"))
+    val mins = li.groupBy(col("l_returnflag"))
+      .agg(min(col("cost")).as("min_cost"))
+      .withColumnRenamed("l_returnflag", "flag")
+    li.join(broadcast(mins),
+        col("l_returnflag") === col("flag") && col("cost") === col("min_cost"))
+      .groupBy(col("flag"), col("min_cost"))
+      .agg(min(col("l_orderkey") * 8 + col("l_linenumber")).as("pk"))
+      .select(col("flag").as("l_returnflag"), col("min_cost"),
+        expr("pk div 8").as("o_key"), (col("pk") % 8).cast("int").as("line_no"))
   }
 
   /** Global best / top-k A3 (search.py:326-345): ordered limit with explicit
@@ -110,10 +122,11 @@ object ReferenceOps {
       |         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
       |  FROM events) t WHERE prev_event_id IS NOT NULL""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long when
-    // this legacy conf is on; ordering by the raw nanos matches DuckDB's
-    // timestamp_ns ordering exactly (ts is not an output column).
+    // events.ts is parquet TIMESTAMP(NANOS): Spark reads exact nanos via
+    // the legacy conf, but DuckDB truncates to micros on read — order on
+    // the microsecond value (ts div 1000) so both engines sort identically
+    // (event_id breaks sub-microsecond ties).
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(t(dir, "events"))
       .select(col("user_id"), col("event_id"), lag(col("event_id"), 1).over(w).as("prev_event_id"))
@@ -169,10 +182,10 @@ object ReferenceOps {
   val batchEval: QueryDef = QueryDef(
     """SELECT vec_id, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS cost
       |FROM embeddings""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorOps.register(spark)
     spark.read.parquet(t(dir, "embeddings"))
       .select(col("vec_id"),
-        round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 6).as("cost"))
+        round(expr("dot_product(embedding, embedding)"), 6).as("cost"))
   }
 
   // --- Flagship end-to-end searches ---------------------------------------

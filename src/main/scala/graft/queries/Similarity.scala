@@ -30,11 +30,12 @@ object Similarity {
   private def weight(p: Int, d: Int): Long =
     ((1103515245L * (p * dims + d) + 12345L) % 2001L) - 1000L
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, z) => acc + z)
+  /** Codegen'd in-order dot product (graft.functions.DotProduct) over the
+    * named columns; same element order as DuckDB's list_dot_product.
+    */
+  private def dot(a: String, b: String): Column = expr(s"dot_product($a, $b)")
 
-  private def cosineCol(ea: Column, eb: Column): Column =
+  private def cosineCol(ea: String, eb: String): Column =
     round(dot(ea, eb) / sqrt(dot(ea, ea) * dot(eb, eb)), 4)
 
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) broadcast
@@ -59,16 +60,17 @@ object Similarity {
        |    WHERE q.vec_id < $nQueries) s) r
        |WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(t(dir, "embeddings"))
     val e = emb.select(col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("norm2"))
+      dot("embedding", "embedding").as("norm2"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("norm2").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
       col("norm2").as("nc"))
     val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("eq"), col("ec")) / sqrt(col("nq") * col("nc")), 4).as("cosine"))
+        round(dot("eq", "ec") / sqrt(col("nq") * col("nc")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
@@ -111,10 +113,11 @@ object Similarity {
          |  FROM cand) r
          |WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorOps.register(spark)
       val emb = spark.read.parquet(t(dir, "embeddings"))
       val sig = (0 until nPlanes).map { p =>
-        val ws = typedLit((0 until dims).map(weight(p, _).toDouble))
-        when(dot(col("embedding"), ws) > 0, lit(1L << p)).otherwise(lit(0L))
+        val ws = (0 until dims).map(w => s"${weight(p, w)}D").mkString("array(", ", ", ")")
+        when(dot("embedding", ws) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = emb.select(col("vec_id"), col("embedding"), sig.cast("long").as("sig"))
       val bandStructs = (0 to 1).map(j =>
@@ -132,7 +135,7 @@ object Similarity {
         .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
         .distinct()
       val scored = cand.select(col("query_id"), col("neighbor_id"),
-        cosineCol(col("qe"), col("ce")).as("cosine"))
+        cosineCol("qe", "ce").as("cosine"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
     }

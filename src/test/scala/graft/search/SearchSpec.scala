@@ -187,6 +187,13 @@ class SearchSpec extends AnyFunSuite {
     assert(res.evaluations.count(_.isAccepted) > 3)
   }
 
+  test("16-D sphere converges (scale-in-dimension, serial)") {
+    val d = 16
+    val res = Search.minimize(sphere, Array.fill(d)(5.0), Array.fill(d)(1.0),
+      new SerialClient, SearchOptions(stopratio = 1e-2, seed = Some(79)))
+    assertConverged(res, Array.fill(d)(0.0), 2e-2)
+  }
+
   test("maxHalvings derivation matches frexp (BASELINE.md)") {
     assert(Search.maxHalvingsFor(0.01) == 7)
     assert(Search.maxHalvingsFor(1e-4) == 14)

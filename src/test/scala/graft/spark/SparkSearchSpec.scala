@@ -74,6 +74,23 @@ class SparkSearchSpec extends AnyFunSuite {
     } finally client.shutdown()
   }
 
+  test("32-D objective runs distributed waves at dimension (bounded by maxTasks)") {
+    // The reference's scalability claim (search.py:59-61) is dimension- and
+    // core-count-independence; this drives 32-D through real Spark jobs with
+    // a task cap and checks the search machinery improves on the start.
+    val d = 32
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, Array.fill(d)(5.0), Array.fill(d)(1.0), client,
+        SearchOptions(stopratio = 1e-2, batchsize = Some(32), maxTasks = Some(40),
+          seed = Some(13)))
+      assert(res.evaluations.size == 32 * 40, s"got ${res.evaluations.size}")
+      val startCost = d * 25.0
+      assert(res.best.cost < startCost, s"no improvement: ${res.best.cost}")
+      assert(res.best.cost == res.evaluations.map(_.cost).min)
+    } finally client.shutdown()
+  }
+
   test("entry: flagship returns non-empty evaluations table") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful streaming sessionization vs its batch twin: every session the
+  * streaming job closed (watermark passed) must appear identically in the
+  * window-function batch result.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("flatMapGroupsWithState sessions match the batch window sessions") {
+    spark.sparkContext.setLogLevel("WARN")
+    val q = Sessionize.sessions(spark, sf).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_sessions_stream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("graft_sessions_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 100) / 100))
+      .toSet
+
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("start_us")),
+        r.getLong(r.fieldIndex("end_us")),
+        r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("sum_value"))))
+      .toSet
+
+    assert(streamed.nonEmpty, "streaming closed no sessions — watermark never advanced")
+    val missing = streamed -- batch
+    assert(missing.isEmpty,
+      s"${missing.size} streamed sessions absent from batch result; e.g. ${missing.take(3)}")
+    // The open tail (at most one session per user) may be unclosed at stream
+    // end; everything the watermark passed must have been emitted.
+    assert(streamed.size >= batch.size / 2,
+      s"suspiciously few closed sessions: ${streamed.size} of ${batch.size}")
+  }
+}
