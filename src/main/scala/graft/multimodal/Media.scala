@@ -54,6 +54,51 @@ object Media {
     (sum / n, entropy, hist)
   }
 
+  /** Per-frame features after frame sampling: fixed frame count per row. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_bytes: Int,
+      mean_byte: Double)
+
+  /** FRAME-SAMPLE STUB — a real implementation seeks key frames in a video
+    * container; this deterministically samples `nFrames` equal-width byte
+    * windows. The shape (payload in, bounded frame list out, exploded to
+    * one row per frame) is the real contract.
+    */
+  def frameSampleStub(bytes: Array[Byte], nFrames: Int): Seq[(Int, Array[Byte])] = {
+    if (bytes.isEmpty) return Seq.empty
+    val width = math.max(1, bytes.length / nFrames)
+    (0 until math.min(nFrames, bytes.length)).map { i =>
+      val from = i * width
+      (i, bytes.slice(from, math.min(from + width, bytes.length)))
+    }
+  }
+
+  /** RESIZE STUB — a real implementation rescales pixel data; this folds the
+    * 16-bin histogram to `bins` (power-of-two <= 16), preserving mass.
+    */
+  def resizeStub(hist: Array[Double], bins: Int): Array[Double] = {
+    require(bins > 0 && 16 % bins == 0, s"bins must divide 16, got $bins")
+    val factor = 16 / bins
+    Array.tabulate(bins)(b => (0 until factor).map(k => hist(b * factor + k)).sum)
+  }
+
+  /** Frame-sampled features: one row per (doc, frame), bounded fan-out. */
+  def frameFeatures(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source").as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    media.flatMap { r =>
+      frameSampleStub(r.media, nFrames).map { case (idx, frame) =>
+        val (mean, _, _) = decodeStub(frame)
+        FrameFeatures(r.doc_id, idx, frame.length, math.rint(mean * 10000) / 10000)
+      }
+    }.toDF()
+  }
+
   /** Build the media table from documents (payload = UTF-8 bytes standing in
     * for an opaque blob), then extract features per partition.
     */

@@ -32,7 +32,27 @@ object Multimodal {
     Media.features(spark, dir)
   }
 
+  /** Frame sampling: bounded per-row fan-out (doc -> nFrames rows). The
+    * frame-byte accounting is SQL-checkable: every frame is a contiguous
+    * slice, so summed frame bytes never exceed the payload.
+    */
+  val mediaFrames: QueryDef = QueryDef(
+    // Oracle mirrors the slicing arithmetic without decoding: width =
+    // nb div 4, so 4 frames of exactly width bytes each (tail remainder
+    // dropped); degenerate nb < 4 gives nb 1-byte frames.
+    """SELECT doc_id, n_frames, frame_bytes_total FROM (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN nb >= 4 THEN 4 ELSE nb END AS BIGINT) AS n_frames,
+      |         CAST(CASE WHEN nb >= 4 THEN 4 * (nb // 4) ELSE nb END AS BIGINT) AS frame_bytes_total
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents) b) f""".stripMargin) {
+    (spark, dir) =>
+      Media.frameFeatures(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("frame_bytes_total"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_media_meta" -> mediaMeta,
-    "q_media_features" -> mediaFeatures)
+    "q_media_features" -> mediaFeatures,
+    "q_media_frames" -> mediaFrames)
 }

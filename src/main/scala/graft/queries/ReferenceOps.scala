@@ -202,7 +202,38 @@ object ReferenceOps {
     Provenance.toDF(spark, res)
   }
 
+  /** Multi-way join + aggregation: revenue per nation through
+    * customer-orders-lineitem with broadcast dimension tables — the join
+    * -planning surface (Catalyst picks broadcast hash joins for nation/
+    * customer; the lineitem-orders join shuffles on the key with AQE).
+    */
+  val joinAgg: QueryDef = QueryDef(
+    """SELECT n_name, n_orders, revenue FROM (
+      |  SELECT n.n_name AS n_name, count(DISTINCT o.o_orderkey) AS n_orders,
+      |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name) t""".stripMargin) { (spark, dir) =>
+    val li = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val orders = spark.read.parquet(t(dir, "orders")).select(col("o_orderkey"), col("o_custkey"))
+    val customer = spark.read.parquet(t(dir, "customer")).select(col("c_custkey"), col("c_nationkey"))
+    val nation = spark.read.parquet(t(dir, "nation")).select(col("n_nationkey"), col("n_name"))
+    // nation is always broadcastable; customer/orders are left to Catalyst
+    // + AQE (auto-broadcast under threshold here, shuffled hash join at
+    // warehouse scale — a hard-coded hint would be wrong at 100 TB).
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("rev")), 2).as("revenue"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_join_agg" -> joinAgg,
     "q_argmin" -> argmin,
     "q_topk" -> topk,
     "q_grid_snap" -> gridSnap,
