@@ -40,7 +40,8 @@ object SparkEntry {
   private def registry: Map[String, graft.queries.QueryDef] =
     ReferenceOps.defs ++ graft.queries.Dedup.defs ++ graft.queries.TextOps.defs ++
       graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
-      graft.queries.Multimodal.defs
+      graft.queries.Multimodal.defs ++ graft.queries.AnnIvf.defs ++
+      graft.queries.Sources.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

