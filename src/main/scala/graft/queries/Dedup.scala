@@ -70,9 +70,11 @@ object Dedup {
       |  WHERE len(words) >= 3)""".stripMargin
 
   /** MinHash + LSH near-dup pairs: 8 minhashes over shingle hashes, 4 bands
-    * of 2, candidates from band-bucket cohabitation, then exact Jaccard
-    * verification at >= 0.8. The only shuffles are the band-bucket join and
-    * the pair-verify join — never O(n^2).
+    * of 2, candidates from band-bucket cohabitation (bucket size capped at
+    * 50 — a degenerate band can never go quadratic), then exact Jaccard
+    * verification at >= 0.8. Pairs expand in-row from each bucket's doc
+    * list, so the only shuffles are the band groupBy, the pair distinct,
+    * and the verify join.
     */
   val minhashLsh: QueryDef = {
     val minsSql = minhashAB.map { case (a, b) =>
@@ -89,9 +91,12 @@ object Dedup {
          |  SELECT doc_id, j,
          |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
          |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
+         |capped AS (SELECT j, band FROM bands GROUP BY j, band
+         |           HAVING count(*) BETWEEN 2 AND 50),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+         |  FROM bands a JOIN capped g ON a.j = g.j AND a.band = g.band
+         |               JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT doc_a, doc_b,
          |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
@@ -112,12 +117,15 @@ object Dedup {
           concat_ws("_",
             element_at(col("mins"), col("j") * 2 + 1).cast("string"),
             element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      val cand = a.join(b,
-          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val buckets = bands.groupBy(col("j"), col("band"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 50))
+      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+        transform(sequence(i + 1, size(col("ds")) - 1), j =>
+          struct(element_at(col("ds"), i + 1).as("doc_a"),
+            element_at(col("ds"), j + 1).as("doc_b")))))
+      val cand = buckets.select(explode(pairsExpr).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
       val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
       val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
