@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the scale properties claimed in SCALE.md are
+  * asserted against the actual plans so a refactor cannot silently
+  * reintroduce a sort-aggregate, lose a pushed filter, or drop a broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String = {
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(SimpleMode)
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_argmin uses hash aggregation only (no SortAggregate)") {
+    val p = plan("q_argmin")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), s"sort agg crept back in:\n$p")
+  }
+
+  test("q_dedup_anti pushes the status filter into the parquet scan and broadcasts") {
+    val p = plan("q_dedup_anti")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q_fingerprint keeps poly_hash inside whole-stage codegen") {
+    val p = plan("q_fingerprint")
+    assert(p.contains("poly_hash"), p)
+    // The Project carrying poly_hash is codegen'd (starred stage)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("poly_hash")), p)
+  }
+
+  test("q_batch_eval reads only the two needed columns") {
+    val p = plan("q_batch_eval")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("q_ann_topk broadcasts the query side and pushes the rank limit down") {
+    val p = plan("q_ann_topk")
+    // non-equi (neighbor != query) join -> nested-loop with the 5-row query
+    // side as the broadcast build; corpus side streams
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]"), p)
+    // rank<=10 evaluated as a partial per-partition top-k before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}

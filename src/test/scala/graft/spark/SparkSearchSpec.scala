@@ -91,6 +91,36 @@ class SparkSearchSpec extends AnyFunSuite {
     } finally client.shutdown()
   }
 
+  test("waves run concurrently: total wall time is far below serial sum") {
+    // 8 waves of a 300 ms objective on 4 threads must overlap; a serialized
+    // client would need >= 8 * 300 ms for the first 8 evaluations alone.
+    val slow = Objective { x => Thread.sleep(300); x.map(v => v * v).sum }
+    val client = new SparkClient(spark)
+    try {
+      val t0 = System.nanoTime()
+      val res = Search.minimize(slow, x0, ones, client,
+        SearchOptions(stopratio = stopratio, maxQueueSize = Some(8),
+          maxTasks = Some(16), seed = Some(99)))
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      assert(res.evaluations.size == 16)
+      val serialSec = res.evaluations.size * 0.3
+      assert(wallSec < serialSec * 0.75,
+        f"no overlap: wall $wallSec%.1f s vs serial $serialSec%.1f s")
+    } finally client.shutdown()
+  }
+
+  test("100-D objective: the reference's scalability claim (search.py:59-61)") {
+    val d = 100
+    val client = new SparkClient(spark)
+    try {
+      val res = Search.minimize(sphere, Array.fill(d)(2.0), Array.fill(d)(1.0), client,
+        SearchOptions(stopratio = 1e-2, batchsize = Some(50), maxTasks = Some(8),
+          seed = Some(101)))
+      assert(res.evaluations.size == 400)
+      assert(res.best.cost < d * 4.0, s"no improvement at 100-D: ${res.best.cost}")
+    } finally client.shutdown()
+  }
+
   test("entry: flagship returns non-empty evaluations table") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
