@@ -29,7 +29,41 @@ object Sources {
         sum(length(col("text"))).as("total_len"))
   }
 
+  val orcRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    FileSources.documentsViaOrc(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_len"))
+  }
+
+  /** Partition-pruned scan: only the lang=en directory is read (the plan's
+    * PartitionFilters prove it — see PlanSpec); oracle filters the flat
+    * parquet the ordinary way.
+    */
+  val partitionedScan: QueryDef = QueryDef(
+    """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (spark, dir) =>
+    FileSources.partitionedDocuments(spark, dir)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Co-located bucketed join (zero Exchange); oracle joins the flat
+    * parquet tables.
+    */
+  val bucketedJoin: QueryDef = QueryDef(
+    """SELECT o_orderstatus, count(*) AS n_lines,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    graft.sources.Bucketed.bucketedJoinAgg(spark, dir)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_source_csv" -> csvRoundtrip,
-    "q_source_json" -> jsonRoundtrip)
+    "q_source_json" -> jsonRoundtrip,
+    "q_source_orc" -> orcRoundtrip,
+    "q_partitioned_scan" -> partitionedScan,
+    "q_bucketed_join" -> bucketedJoin)
 }

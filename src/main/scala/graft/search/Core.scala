@@ -109,7 +109,9 @@ final case class SearchOptions(
     maxTime: Option[Double] = None,
     integerDimensions: Seq[Int] = Nil,
     batchsize: Option[Int] = None,
-    seed: Option[Long] = None) {
+    seed: Option[Long] = None,
+    /** Observability hook: receives one line per recenter/termination event. */
+    trace: Option[String => Unit] = None) {
   require(stopratio > 0 && stopratio < 1, s"stopratio must be in (0,1), got $stopratio")
 }
 

@@ -150,6 +150,12 @@ object Search {
 
       // (Re)center on acceptance or contraction (search.py:209-238)
       if (newPoint != null || isContraction) {
+        opts.trace.foreach(_(
+          s"recenter kind=${if (isContraction) "contract" else "accept"} " +
+            s"cost=$curCost newCost=$newCost halvings=${curPoint.halvings} " +
+            s"stencilIndex=$stencilIndex curAdded=$curAdded " +
+            s"running=${running.size} contractConds=${contractConditions.size} " +
+            s"results=${results.size}"))
         if (isContraction) {
           isContraction = false
           if (curPoint.stopTime.isNaN) curPoint.stopTime = now()

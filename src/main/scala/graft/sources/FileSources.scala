@@ -40,4 +40,26 @@ object FileSources {
       .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
       .json(out)
   }
+
+  /** documents -> ORC -> read back (columnar sibling format). */
+  def documentsViaOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("orc", dir)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.orc(out)
+  }
+
+  /** documents re-laid-out as a lang-partitioned parquet dataset: the
+    * directory layout (lang=en/...) is what lets Catalyst prune entire
+    * partitions from a scan (`PartitionFilters` in the plan) — the primary
+    * IO lever at 100 TB. Written once per (format, sf) and reused.
+    */
+  def partitionedDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("part", dir)
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
 }

@@ -53,6 +53,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("q_partitioned_scan prunes to the lang=en partition") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(p.contains("(lang"), p)
+  }
+
+  test("q_bucketed_join joins shuffle-free once broadcast is off the table") {
+    // At test scale Catalyst correctly auto-broadcasts the small side; turn
+    // that off to expose the plan a warehouse-scale join would get — the
+    // bucketed layout must make it a zero-Exchange SortMergeJoin.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q_ann_topk broadcasts the query side and pushes the rank limit down") {
     val p = plan("q_ann_topk")
     // non-equi (neighbor != query) join -> nested-loop with the 5-row query
