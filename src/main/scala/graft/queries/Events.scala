@@ -103,8 +103,56 @@ object Events {
         max(col("tus")).as("end_us"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** As-of join: each click matched to the user's most recent earlier
+    * purchase. Spark lacks ASOF JOIN; per the custom-operator preference
+    * order this composes built-ins — tag both sides, one window pass per
+    * user carrying the last purchase forward — one shuffle on user_id, no
+    * range join explosion. DuckDB verifies with its native ASOF JOIN.
+    * (Microsecond basis; (user_id, ts) pairs are unique at micros, so the
+    * match is deterministic.)
+    */
+  val asofJoin: QueryDef = QueryDef(
+    """SELECT event_id, prev_id, prev_value FROM (
+      |  SELECT a.event_id AS event_id, b.event_id AS prev_id,
+      |         round(b.value, 2) AS prev_value
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |    ON a.user_id = b.user_id AND b.ts < a.ts) t""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
+    ev.withColumn("prev_id",
+        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prev_value",
+        round(last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w), 2))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("prev_id"), col("prev_value"))
+  }
+
+  /** Skew-salted aggregation: partial aggregation on (key, salt) spreads a
+    * hot key over 8 reducers before the tiny final combine on the key — the
+    * manual form of what AQE's skew handling does for joins. Results equal
+    * the plain aggregate (oracle is the unsalted GROUP BY).
+    */
+  val saltedAgg: QueryDef = QueryDef(
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .select(col("event_type"), (col("event_id") % 8).as("salt"), col("value"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
-    "q_sessionize" -> sessionize)
+    "q_sessionize" -> sessionize,
+    "q_asof_join" -> asofJoin,
+    "q_salted_agg" -> saltedAgg)
 }
