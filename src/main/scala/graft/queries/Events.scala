@@ -149,10 +149,30 @@ object Events {
       .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
   }
 
+  /** Exact quantiles per event type: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n-1)*p linear-interpolation definition. At
+    * scale this is the one deliberately sort-based aggregate in the surface
+    * (exactness requires per-group ordering); approx_percentile is the
+    * sketch alternative when error tolerance allows.
+    */
+  val quantiles: QueryDef = QueryDef(
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,
     "q_asof_join" -> asofJoin,
-    "q_salted_agg" -> saltedAgg)
+    "q_salted_agg" -> saltedAgg,
+    "q_quantiles" -> quantiles)
 }
