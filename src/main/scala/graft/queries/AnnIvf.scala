@@ -26,6 +26,13 @@ object AnnIvf {
   private val nProbe = 2
   private val nQueries = 5
   private val topK = 10
+  // Centroid training is bounded: at warehouse scale (10^9+ vectors) the
+  // standard IVF recipe trains k-means on a uniform sample of ~100k vectors
+  // (centroid quality saturates far below that for k=16..65536), then
+  // assigns the full corpus in one distributed pass. Coalescing the tiny
+  // sample to one partition turns each Lloyd iteration into a single task
+  // instead of a cluster-wide wave of near-empty ones.
+  private val trainCap = 100000L
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(spark)
@@ -35,9 +42,17 @@ object AnnIvf {
         expr("dot_product(embedding, embedding)").as("norm2"))
       .persist()
 
+    val corpusSize = emb.count()
+    val trainFraction = math.min(1.0, trainCap.toDouble / math.max(1L, corpusSize))
+    val trainPartitions = math.max(1, (trainCap / 50000L).toInt)
+    val train = emb.select(col("features"))
+      .sample(withReplacement = false, trainFraction, seed = 42L)
+      .coalesce(trainPartitions)
+      .persist()
     val model = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
-      .fit(emb)
+      .fit(train)
+    train.unpersist()
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("norm2"), col("prediction").as("cell"))
 
