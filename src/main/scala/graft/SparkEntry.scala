@@ -41,7 +41,7 @@ object SparkEntry {
     ReferenceOps.defs ++ graft.queries.Dedup.defs ++ graft.queries.TextOps.defs ++
       graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
       graft.queries.Multimodal.defs ++ graft.queries.AnnIvf.defs ++
-      graft.queries.Sources.defs
+      graft.queries.Sources.defs ++ graft.queries.Relational.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation, window frames, range joins, set
+  * operations, and pivot — the relational surface a training-data warehouse
+  * layers on top of the search engine's provenance tables (SURVEY §2.5 lists
+  * these as capabilities beyond the reference).
+  *
+  * Money sums use exact integer cents (`CAST(floor(x*100+0.5) AS BIGINT)`)
+  * so every aggregate is order-independent: a parallel double `sum()` is
+  * legal IEEE reassociation, so its last bits vary with partitioning; at
+  * 100 TB the oracle would flap. Integer sums cannot.
+  */
+object Relational {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+  private def centsSql(c: String): String =
+    s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+
+  /** ROLLUP over (status, priority) with grouping_id: hierarchical
+    * subtotals in one pass — Spark expands grouping sets before the hash
+    * aggregate, so it's still a single shuffle at scale.
+    */
+  val rollup: QueryDef = QueryDef(
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       |       count(*) AS n,
+       |       round(sum(${centsSql("o_totalprice")}) / 100.0, 2) AS revenue
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "orders"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("price_cents")) / 100.0, 2).as("revenue"))
+  }
+
+  /** CUBE over (event_type, cohort): all 2^d marginal aggregates of the
+    * event stream. `value` is fixed-pointed at 1e-4 before summing for the
+    * same order-independence reason as cents.
+    */
+  val cube_ : QueryDef = QueryDef(
+    """SELECT event_type, cohort, GROUPING(event_type, cohort) AS gid,
+      |       count(*) AS n,
+      |       round(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value
+      |FROM (SELECT event_type, user_id % 4 AS cohort, value FROM events) e
+      |GROUP BY CUBE(event_type, cohort)""".stripMargin) { (spark, dir) =>
+    // events.ts is parquet TIMESTAMP(NANOS); Spark refuses the schema
+    // without the legacy conf even though ts isn't referenced here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(t(dir, "events"))
+      .select(col("event_type"), (col("user_id") % 4).as("cohort"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+      .cube(col("event_type"), col("cohort"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("v")) / 10000.0, 4).as("sum_value"))
+  }
+
+  /** Window frames: running total (UNBOUNDED PRECEDING) and a 3-row moving
+    * sum per customer, ordered by order date. One shuffle on the partition
+    * key; frames are streamed within each partition — no materialized
+    * self-join at scale.
+    */
+  val windowFrame: QueryDef = QueryDef(
+    s"""SELECT o_custkey, o_orderkey,
+       |       sum(price_cents) OVER w AS running_cents,
+       |       sum(price_cents) OVER (PARTITION BY o_custkey
+       |                              ORDER BY o_orderdate, o_orderkey
+       |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_cents,
+       |       row_number() OVER w AS seq
+       |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+       |             ${centsSql("o_totalprice")} AS price_cents FROM orders) o
+       |WINDOW w AS (PARTITION BY o_custkey
+       |             ORDER BY o_orderdate, o_orderkey
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov3 = base.rowsBetween(-2, Window.currentRow)
+    spark.read.parquet(t(dir, "orders"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("price_cents")).over(cum).as("running_cents"),
+        sum(col("price_cents")).over(mov3).as("moving3_cents"),
+        row_number().over(base).as("seq"))
+  }
+
+  /** Range (band) join, bucketized: overlapping [lo, hi) quantity bands
+    * joined to lineitem. The naive plan is a nested-loop over every
+    * (row, band) pair; instead each band is exploded to the fixed-width
+    * buckets it overlaps and the join becomes an equi-join on bucket + a
+    * residual range filter. With a big probe side AND a big band side this
+    * stays a shuffled hash join at 100 TB (here the band side is tiny, so
+    * Catalyst broadcasts it — same plan family either way).
+    */
+  private val bands = Seq((1, 5.0, 20.0), (2, 15.0, 35.0), (3, 30.0, 50.0))
+  private val bucketW = 5.0
+
+  val rangeJoin: QueryDef = QueryDef(
+    s"""SELECT band_id, count(*) AS n,
+       |       round(sum(${centsSql("l_extendedprice")}) / 100.0, 2) AS revenue
+       |FROM lineitem
+       |JOIN (VALUES ${bands.map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")})
+       |     b(band_id, lo, hi)
+       |  ON l_quantity >= lo AND l_quantity < hi
+       |GROUP BY band_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bandBuckets = bands.toDF("band_id", "lo", "hi")
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / bucketW).cast("int"),
+          floor(col("hi") / bucketW).cast("int"))))
+    val li = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_quantity"), cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("bucket", floor(col("l_quantity") / bucketW).cast("int"))
+    li.join(broadcast(bandBuckets), Seq("bucket"))
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price_cents")) / 100.0, 2).as("revenue"))
+  }
+
+  /** Set operations: customers active in both F and O order states, minus
+    * anyone with a pending order — INTERSECT and EXCEPT are hash
+    * aggregations on the key, one shuffle each.
+    */
+  val setOps: QueryDef = QueryDef(
+    """(SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+      |EXCEPT
+      |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin) {
+    (spark, dir) =>
+      val orders = spark.read.parquet(t(dir, "orders"))
+      def keys(status: String) =
+        orders.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("custkey")).distinct()
+      keys("F").intersect(keys("O")).except(keys("P"))
+  }
+
+  /** Pivot: per-cohort event-type counts as columns. The value list is
+    * declared up front, so Spark skips the extra distinct-values job — at
+    * scale an unbounded pivot is a full extra scan plus an unpredictable
+    * schema; a declared one is a single hash aggregate.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val pivot: QueryDef = QueryDef(
+    s"""SELECT user_id % 10 AS cohort,
+       |${eventTypes.map(e => s"       count(*) FILTER (event_type = '$e') AS $e,").mkString("\n")}
+       |       count(*) AS total
+       |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val pivoted = spark.read.parquet(t(dir, "events"))
+      .select((col("user_id") % 10).as("cohort"), col("event_type"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    val filled = eventTypes.map(e => coalesce(col(e), lit(0L)).as(e))
+    pivoted.select(col("cohort") +: filled: _*)
+      .withColumn("total", eventTypes.map(col).reduce(_ + _))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_rollup" -> rollup,
+    "q_cube" -> cube_,
+    "q_window_frame" -> windowFrame,
+    "q_range_join" -> rangeJoin,
+    "q_set_ops" -> setOps,
+    "q_pivot" -> pivot)
+}

@@ -144,9 +144,83 @@ object TextOps {
       .select(col("doc_id"), PolyHash.polyHash(spark, "text").as("fp"))
   }
 
+  /** TF-IDF top-3 terms per document. IDF is log2-quantized in pure integer
+    * arithmetic — `idf_q = floor(log2(N div df)) = length(bin(N div df))-1`
+    * — because `ln()` is a transcendental whose last ULP differs across
+    * libm implementations, and a rank cutoff must not flap between engines
+    * (or between cluster runs). Two shuffles: (doc, term) then (term);
+    * doc-count is a scalar aggregate; top-3 is a per-doc window.
+    */
+  val tfidf: QueryDef = QueryDef(
+    """SELECT doc_id, term, tf, idf_q, score FROM (
+      |  SELECT tf.doc_id AS doc_id, tf.w AS term, tf.tf AS tf,
+      |         length(printf('%b', (SELECT count(*) FROM documents) // df.df)) - 1 AS idf_q,
+      |         tf.tf * (length(printf('%b', (SELECT count(*) FROM documents) // df.df)) - 1) AS score,
+      |         row_number() OVER (
+      |           PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf * (length(printf('%b', (SELECT count(*) FROM documents) // df.df)) - 1) DESC, tf.w
+      |         ) AS rn
+      |  FROM (SELECT doc_id, w, count(*) AS tf FROM (
+      |          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x
+      |        WHERE w <> '' GROUP BY doc_id, w) tf
+      |  JOIN (SELECT w, count(*) AS df FROM (
+      |          SELECT DISTINCT doc_id, w FROM (
+      |            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) y
+      |          WHERE w <> '') d GROUP BY w) df
+      |    ON tf.w = df.w) t
+      |WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(col("words")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // tf already holds one row per (doc, term): df is a plain count.
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idfQ = (length(bin(expr(s"$nDocs div df"))) - 1).cast("long")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "w")
+      .select(col("doc_id"), col("w").as("term"), col("tf"),
+        idfQ.as("idf_q"), (col("tf") * idfQ).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+  }
+
+  /** Word-bigram frequency, top 20: adjacent-token pairs via zip_with over
+    * shifted slices (codegen'd, no explode-and-self-join), then a global
+    * ordered limit — TakeOrderedAndProject, a per-partition top-k plus a
+    * driver merge, never a full sort at scale.
+    */
+  val bigram: QueryDef = QueryDef(
+    """SELECT bigram, n FROM (
+      |  SELECT bigram, count(*) AS n FROM (
+      |    SELECT unnest(list_transform(list_zip(words[1:-2], words[2:-1]),
+      |                                 x -> x[1] || ' ' || x[2])) AS bigram
+      |    FROM (SELECT string_split(text, ' ') AS words FROM documents) w) b
+      |  GROUP BY bigram) t
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    spark.read.parquet(t(dir, "documents"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_lang_id" -> langId,
     "q_quality_score" -> quality,
     "q_token_count" -> tokenCount,
-    "q_fingerprint" -> fingerprint)
+    "q_fingerprint" -> fingerprint,
+    "q_tfidf" -> tfidf,
+    "q_bigram" -> bigram)
 }
