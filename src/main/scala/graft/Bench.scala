@@ -41,7 +41,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also to a file: the stdout line is buried in sbt [info] noise, which
+    // left BENCH_r01.json unparsed.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
     spark.stop()
   }
 }

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * doubles), exactly like the reference keeps its driver-side state.
   *
   * KMeans convergence is seeded but float-order-sensitive across runs, so
-  * this query is rows-only for the driver gate; AnnIvfSpec asserts recall
-  * against the exact brute-force result instead.
+  * the raw top-k is not oracle-expressible; the driver gate instead checks
+  * the result's invariant properties (shape + recall vs the exact
+  * baseline) — see [[annIvf]]. AnnIvfSpec asserts recall as well.
   */
 object AnnIvf {
 
@@ -29,9 +30,7 @@ object AnnIvf {
   // Centroid training is bounded: at warehouse scale (10^9+ vectors) the
   // standard IVF recipe trains k-means on a uniform sample of ~100k vectors
   // (centroid quality saturates far below that for k=16..65536), then
-  // assigns the full corpus in one distributed pass. Coalescing the tiny
-  // sample to one partition turns each Lloyd iteration into a single task
-  // instead of a cluster-wide wave of near-empty ones.
+  // assigns the full corpus in one distributed pass.
   private val trainCap = 100000L
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -44,9 +43,16 @@ object AnnIvf {
 
     val corpusSize = emb.count()
     val trainFraction = math.min(1.0, trainCap.toDouble / math.max(1L, corpusSize))
+    // Deterministic sample: filter on a hash of vec_id, not sample() — a
+    // seeded Bernoulli sample() is partition-layout dependent (same seed,
+    // different partitioning => different rows), so centroids would change
+    // under a different cluster size. A value-hash filter is layout-free.
+    // The tiny sample is coalesced to a couple of partitions so each Lloyd
+    // iteration is a few tasks, not a cluster-wide wave of near-empty ones.
     val trainPartitions = math.max(1, (trainCap / 50000L).toInt)
-    val train = emb.select(col("features"))
-      .sample(withReplacement = false, trainFraction, seed = 42L)
+    val train = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit((trainFraction * 1000000L).toLong))
+      .select(col("features"))
       .coalesce(trainPartitions)
       .persist()
     val model = new KMeans()
@@ -91,7 +97,29 @@ object AnnIvf {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
-  val annIvf: QueryDef = QueryDef.rowsOnly(ivfTopK)
+  /** Driver-gate form: KMeans centroids are float-order-sensitive, so the
+    * raw top-k is not oracle-expressible — but its *properties* are. The
+    * gate query verifies in-plan that (a) every query returns exactly topK
+    * neighbors and (b) recall@10 against the exact brute-force ranking
+    * (Similarity.annTopk, itself hash-verified) clears the 2-of-16-cells
+    * floor. The oracle states the expected property row; if IVF recall or
+    * result shape ever degrades, the hash mismatches.
+    */
+  val annIvf: QueryDef = QueryDef(
+    s"SELECT CAST($nQueries AS BIGINT) AS n_queries, true AS per_query_ok, true AS recall_ge_20pct") {
+    (spark, dir) =>
+      val ivf = ivfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.annTopk.fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val ex = exact.agg(count(lit(1)).as("n_exact"))
+      val shape = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("k")) === topK && max(col("k")) === topK).as("per_query_ok"))
+      shape.crossJoin(hits).crossJoin(ex)
+        .select(col("n_queries"), col("per_query_ok"),
+          (col("n_hits") * 100 >= col("n_exact") * 20).as("recall_ge_20pct"))
+  }
 
   val defs: Map[String, QueryDef] = Map("q_ann_ivf" -> annIvf)
 }

@@ -137,62 +137,93 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup pairs: 32-bit signature from per-token bit votes
-    * (token multiplicity counts), byte-banded LSH candidates, Hamming
-    * distance <= 2. Signature build is one aggregation over exploded tokens
-    * (map-side combinable); candidates join on (band index, byte).
+  /** SimHash near-dup pairs: 64-bit signature from per-token bit votes
+    * (token multiplicity counts), banded into 4 x 16-bit LSH bands, Hamming
+    * distance <= 3. The 4-bands/3-bits construction is exact by pigeonhole:
+    * any pair within Hamming 3 must agree on at least one band — full
+    * recall, no band tuning. The signature lives as two 32-bit halves
+    * (lo/hi) so every intermediate stays inside a signed BIGINT on both
+    * engines.
+    *
+    * Scale shape: signature build is one map-side-combinable aggregation
+    * over exploded tokens; candidates come from band buckets capped at 50
+    * docs with in-row pair expansion (the MinHash pattern) — 16-bit bands
+    * give 65k buckets per band and a degenerate bucket can never go
+    * quadratic; verification joins the tiny sigs table, never all-pairs.
     */
   val simhash: QueryDef = {
-    val bitSumsSql = (0 until 32)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+    def bitSumsSql(src: String, off: Int) = (0 until 32)
+      .map(j => s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${off + j}")
       .mkString(", ")
-    val sigSql = (0 until 32)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+    def sigSql(off: Int) = (0 until 32)
+      .map(j => s"CASE WHEN s${off + j} > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     QueryDef(
       s"""WITH toks AS (
-         |  SELECT doc_id, ${tokHashSql("w")} AS h
+         |  SELECT doc_id, ${tokHashSql("w")} AS h1,
+         |         CAST('0x'||substr(md5(w),9,8) AS BIGINT) AS h2
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
-         |sums AS (SELECT doc_id, $bitSumsSql FROM toks GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS sig FROM sums),
+         |sums AS (SELECT doc_id, ${bitSumsSql("h1", 0)}, ${bitSumsSql("h2", 32)}
+         |         FROM toks GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, CAST(${sigSql(0)} AS BIGINT) AS lo,
+         |                CAST(${sigSql(32)} AS BIGINT) AS hi FROM sums),
          |bands AS (
-         |  SELECT doc_id, sig, j, (sig >> (8*j)) & 255 AS byte
+         |  SELECT doc_id, j,
+         |         CASE WHEN j < 2 THEN (lo >> (16*j)) & 65535
+         |              ELSE (hi >> (16*(j-2))) & 65535 END AS band
          |  FROM sigs, (VALUES (0), (1), (2), (3)) bj(j)),
+         |capped AS (SELECT j, band FROM bands GROUP BY j, band
+         |           HAVING count(*) BETWEEN 2 AND 50),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                  a.sig AS sig_a, b.sig AS sig_b
-         |  FROM bands a JOIN bands b ON a.j = b.j AND a.byte = b.byte AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming FROM cand) v
-         |WHERE hamming <= 2""".stripMargin) { (spark, dir) =>
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN capped g ON a.j = g.j AND a.band = g.band
+         |               JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |         bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS hamming
+         |  FROM cand JOIN sigs x ON x.doc_id = cand.doc_a
+         |            JOIN sigs y ON y.doc_id = cand.doc_b) v
+         |WHERE hamming <= 3""".stripMargin) { (spark, dir) =>
       val toks = spark.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), tokHash(col("w")).as("h"))
-      val bitSums = (0 until 32).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"s$j")
+        .select(col("doc_id"), tokHash(col("w")).as("h1"),
+          conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("h2"))
+      def bitSums(src: String, off: Int) = (0 until 32).map { j =>
+        sum(when(shiftright(col(src), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+          .as(s"s${off + j}")
       }
-      val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sig = (0 until 32)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      val allSums = bitSums("h1", 0) ++ bitSums("h2", 32)
+      val sums = toks.groupBy(col("doc_id")).agg(allSums.head, allSums.tail: _*)
+      def sigHalf(off: Int) = (0 until 32)
+        .map(j => when(col(s"s${off + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
-      val sigs = sums.select(col("doc_id"), sig.cast("long").as("sig"))
-      val bandStructs = (0 to 3).map(j =>
-        struct(lit(j).as("j"),
-          shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte")))
+      val sigs = sums
+        .select(col("doc_id"), sigHalf(0).cast("long").as("lo"), sigHalf(32).cast("long").as("hi"))
+        .persist() // feeds bands + both verify sides
+      val bandStructs = (0 to 3).map { j =>
+        val half = if (j < 2) shiftright(col("lo"), 16 * j) else shiftright(col("hi"), 16 * (j - 2))
+        struct(lit(j).as("j"), half.bitwiseAND(lit(65535L)).as("band"))
+      }
       val bands = sigs
-        .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bv"))
-        .select(col("doc_id"), col("sig"), col("bv.j").as("j"), col("bv.byte").as("byte"))
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b,
-          col("a.j") === col("b.j") && col("a.byte") === col("b.byte") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bv"))
+        .select(col("doc_id"), col("bv.j").as("j"), col("bv.band").as("band"))
+      val buckets = bands.groupBy(col("j"), col("band"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 50))
+      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+        transform(sequence(i + 1, size(col("ds")) - 1), j =>
+          struct(element_at(col("ds"), i + 1).as("doc_a"),
+            element_at(col("ds"), j + 1).as("doc_b")))))
+      val cand = buckets.select(explode(pairsExpr).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
+      val x = sigs.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val y = sigs.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+      cand.join(x, "doc_a").join(y, "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .filter(col("hamming") <= 2)
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
+        .filter(col("hamming") <= 3)
     }
   }
 
@@ -253,14 +284,27 @@ object Dedup {
   /** Embedding-cosine near-dup: label-bucketed pairwise cosine (the label is
     * the coarse partitioner standing in for an IVF cell at scale), exact
     * double arithmetic in array order on both engines.
+    *
+    * Scale shape: the pair step is a plain shuffled equi-join on the cell
+    * key — never a broadcast of the corpus — and cells are bounded at
+    * [[embedCellCap]] members (a degenerate giant cell is dropped rather
+    * than allowed to go quadratic; at warehouse scale the cell assigner —
+    * IVF/KMeans — is tuned so no cell approaches the cap). Per-cell work is
+    * thus <= cap^2/2 pairs. The cell-size list itself is one row per cell —
+    * trivially broadcastable by Catalyst.
     */
+  private val embedCellCap = 1000
+
   val embedNeardup: QueryDef = QueryDef(
     // Norms are computed once per vector before the pair join (n dot
     // products, not 2 per pair) — same doubles, a third of the FLOPs.
-    """WITH e AS (
-      |  SELECT label, vec_id, embedding,
+    s"""WITH ok AS (
+      |  SELECT label FROM embeddings GROUP BY label
+      |  HAVING count(*) BETWEEN 2 AND $embedCellCap),
+      |e AS (
+      |  SELECT emb.label AS label, vec_id, embedding,
       |         list_dot_product(embedding, embedding) AS norm2
-      |  FROM embeddings)
+      |  FROM embeddings emb JOIN ok ON emb.label = ok.label)
       |SELECT vec_a, vec_b, cosine FROM (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |         round(list_dot_product(a.embedding, b.embedding)
@@ -270,13 +314,17 @@ object Dedup {
     graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(t(dir, "embeddings"))
     def dot(x: String, y: String): Column = expr(s"dot_product($x, $y)")
-    val e = emb.select(col("label"), col("vec_id"), col("embedding"),
-      dot("embedding", "embedding").as("norm2"))
+    val okCells = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n").between(2, embedCellCap))
+      .select(col("label"))
+    val e = emb.join(okCells, Seq("label"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        dot("embedding", "embedding").as("norm2"))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("norm2").as("na"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("norm2").as("nb"))
-    a.join(broadcast(b), Seq("label"))
+    a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot("ea", "eb") / sqrt(col("na") * col("nb")), 4).as("cosine"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators over the `events` table: tumbling-window
@@ -17,11 +17,19 @@ object Events {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  // `value` sums run in 1e-4 fixed point on both engines: a parallel double
+  // sum() is legal IEEE reassociation whose last bits vary with partitioning
+  // — at 100 TB the hash gate would flap. Integer sums cannot.
+  private val fixedSumSql =
+    "round(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0, 2)"
+  private def fixedSum(c: Column): Column =
+    round(sum(floor(c * 10000 + 0.5).cast("long")) / 10000.0, 2)
+
   private val oracle =
-    """SELECT event_type, hour_bucket, n, sum_value FROM (
-      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
-      |         count(*) AS n, round(sum(value), 2) AS sum_value
-      |  FROM events GROUP BY event_type, hour_bucket) w""".stripMargin
+    s"""SELECT event_type, hour_bucket, n, sum_value FROM (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+       |         count(*) AS n, $fixedSumSql AS sum_value
+       |  FROM events GROUP BY event_type, hour_bucket) w""".stripMargin
 
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,7 +39,7 @@ object Events {
   private def windowAgg(df: DataFrame): DataFrame =
     df.select(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"), col("value"))
       .groupBy(col("event_type"), col("hour_bucket"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
 
   /** Tumbling 1-hour windows per event type: count + sum (batch). */
   val windowSessions: QueryDef = QueryDef(oracle) { (spark, dir) =>
@@ -74,13 +82,13 @@ object Events {
     // Microsecond basis on both sides: DuckDB truncates parquet NANOS
     // timestamps to micros on read, so nanos-exact Spark values would never
     // hash-match. `ts div 1000` == epoch_us(ts) exactly.
-    """SELECT user_id, sid, n, start_us, end_us, sum_value FROM (
+    s"""SELECT user_id, sid, n, start_us, end_us, sum_value FROM (
       |  SELECT user_id, sid, count(*) AS n, min(tus) AS start_us, max(tus) AS end_us,
-      |         round(sum(value), 2) AS sum_value
+      |         $fixedSumSql AS sum_value
       |  FROM (
       |    SELECT user_id, tus, value,
-      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       |    FROM (
       |      SELECT user_id, event_id, tus, value,
       |             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
@@ -100,7 +108,7 @@ object Events {
       .withColumn("sid", sum(col("new_s")).over(running))
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n"), min(col("tus")).as("start_us"),
-        max(col("tus")).as("end_us"), round(sum(col("value")), 2).as("sum_value"))
+        max(col("tus")).as("end_us"), fixedSum(col("value")).as("sum_value"))
   }
 
   /** As-of join: each click matched to the user's most recent earlier
@@ -139,14 +147,15 @@ object Events {
     * the plain aggregate (oracle is the unsalted GROUP BY).
     */
   val saltedAgg: QueryDef = QueryDef(
-    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    s"""SELECT event_type, count(*) AS n, $fixedSumSql AS sum_value
       |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
     readEvents(spark, dir)
-      .select(col("event_type"), (col("event_id") % 8).as("salt"), col("value"))
+      .select(col("event_type"), (col("event_id") % 8).as("salt"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v"))
       .groupBy(col("event_type"), col("salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .agg(count(lit(1)).as("pn"), sum(col("v")).as("psum"))
       .groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("psum")) / 10000.0, 2).as("sum_value"))
   }
 
   /** Exact quantiles per event type: Spark's `percentile` and DuckDB's

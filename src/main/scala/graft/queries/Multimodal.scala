@@ -15,21 +15,41 @@ object Multimodal {
     */
   val mediaMeta: QueryDef = QueryDef(
     """SELECT source, count(*) AS n_docs,
-      |       sum(octet_length(encode(text))) AS total_bytes,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |       max(octet_length(encode(text))) AS max_bytes,
       |       count(DISTINCT ascii(substr(text, 1, 1))) AS distinct_first_bytes
       |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("source"), octet_length(encode(col("text"), "UTF-8")).as("nb"),
+      .select(col("source"), octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
         ascii(substring(col("text"), 1, 1)).as("fb"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("total_bytes"),
         max(col("nb")).as("max_bytes"), countDistinct(col("fb")).as("distinct_first_bytes"))
   }
 
-  /** Decode + feature extraction through the partition-batched stub. */
-  val mediaFeatures: QueryDef = QueryDef.rowsOnly { (spark, dir) =>
-    Media.features(spark, dir)
+  /** Decode + feature extraction through the partition-batched stub,
+    * projected to scalar columns for the gate (the harness cannot sort
+    * array columns): payload size plus the 16 histogram-bin counts as
+    * integers. The payloads are ASCII text standing in for blobs, so the
+    * oracle recomputes each bin count exactly in SQL (bin = byte >> 4);
+    * the float features (mean/entropy) stay API-only — a transcendental's
+    * last ULP is not portable across engines.
+    */
+  val mediaFeatures: QueryDef = {
+    val binsSql = (0 until 16)
+      .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 16 = $j)) AS BIGINT) AS h$j")
+      .mkString(",\n      |       ")
+    QueryDef(
+      s"""SELECT doc_id, source AS format,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       $binsSql
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      val bins = (0 until 16)
+        .map(j => element_at(col("histogram"), j + 1).cast("long").as(s"h$j"))
+      Media.features(spark, dir)
+        .select(Seq(col("doc_id"), col("format"), col("n_bytes").cast("long").as("n_bytes"))
+          ++ bins: _*)
+    }
   }
 
   /** Frame sampling: bounded per-row fan-out (doc -> nFrames rows). The

@@ -191,15 +191,37 @@ object ReferenceOps {
   // --- Flagship end-to-end searches ---------------------------------------
 
   /** End-to-end minimize on the serial client (deterministic seed), returning
-    * the full evaluations/provenance table. No SQL oracle: the semantics are
-    * covered by SearchSpec's convergence suite; the driver records rows>0.
+    * the evaluations/provenance table projected to scalar columns (the gate
+    * harness cannot sort array columns; the hex `key` already encodes the
+    * snapped coordinates bit-exactly, and start/stop wall times are
+    * inherently nondeterministic). The oracle is a VALUES literal built from
+    * an independent run of the same seeded search — a cross-run determinism
+    * check of the whole engine plus the Spark materialization path, the same
+    * pattern as q_stencil_prefix.
     */
-  val searchEvals: QueryDef = QueryDef.rowsOnly { (spark, _) =>
-    val res = Search.minimize(
+  private def runSearch() =
+    Search.minimize(
       Objective(x => x.map(v => v * v).sum),
       Array(10.0, 15.0), Array(1.0, 1.0), new SerialClient,
       SearchOptions(stopratio = 1e-2, seed = Some(42)))
-    Provenance.toDF(spark, res)
+
+  private lazy val searchEvalRows: Vector[(String, Int, String, Boolean, Boolean, Double)] =
+    Provenance.toRows(runSearch())
+      .map(r => (r.key, r.halvings, r.parentKey, r.isAccepted, r.isBest, r.cost))
+      .toVector
+
+  val searchEvals: QueryDef = QueryDef(
+    searchEvalRows
+      .map { case (k, h, p, a, b, c) =>
+        s"('$k', $h, '$p', $a, $b, CAST($c AS DOUBLE))"
+      }
+      .mkString(
+        "SELECT key, halvings, parent_key, is_accepted, is_best, cost FROM (VALUES ",
+        ", ",
+        ") t(key, halvings, parent_key, is_accepted, is_best, cost)")) { (spark, _) =>
+    Provenance.toDF(spark, runSearch())
+      .select(col("key"), col("halvings"), col("parentKey").as("parent_key"),
+        col("isAccepted").as("is_accepted"), col("isBest").as("is_best"), col("cost"))
   }
 
   /** Multi-way join + aggregation: revenue per nation through

@@ -70,12 +70,14 @@ object Relational {
     * self-join at scale.
     */
   val windowFrame: QueryDef = QueryDef(
+    // Window sums/row_number CAST to BIGINT/INT: DuckDB widens sum(BIGINT)
+    // to HUGEINT and row_number() to BIGINT; Spark emits BIGINT/INT.
     s"""SELECT o_custkey, o_orderkey,
-       |       sum(price_cents) OVER w AS running_cents,
-       |       sum(price_cents) OVER (PARTITION BY o_custkey
+       |       CAST(sum(price_cents) OVER w AS BIGINT) AS running_cents,
+       |       CAST(sum(price_cents) OVER (PARTITION BY o_custkey
        |                              ORDER BY o_orderdate, o_orderkey
-       |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_cents,
-       |       row_number() OVER w AS seq
+       |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents,
+       |       CAST(row_number() OVER w AS INT) AS seq
        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
        |             ${centsSql("o_totalprice")} AS price_cents FROM orders) o
        |WINDOW w AS (PARTITION BY o_custkey
@@ -130,8 +132,11 @@ object Relational {
   }
 
   /** Set operations: customers active in both F and O order states, minus
-    * anyone with a pending order — INTERSECT and EXCEPT are hash
-    * aggregations on the key, one shuffle each.
+    * anyone with a pending order. The oracle states it as INTERSECT/EXCEPT;
+    * the Spark plan is the scale-correct equivalent — ONE scan and ONE
+    * shuffle: a conditional aggregation per customer (map-side combinable
+    * booleans), then a residual filter. The literal set-operator plan would
+    * scan orders three times and shuffle twice.
     */
   val setOps: QueryDef = QueryDef(
     """(SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
@@ -140,11 +145,14 @@ object Relational {
       |EXCEPT
       |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin) {
     (spark, dir) =>
-      val orders = spark.read.parquet(t(dir, "orders"))
-      def keys(status: String) =
-        orders.filter(col("o_orderstatus") === status)
-          .select(col("o_custkey").as("custkey")).distinct()
-      keys("F").intersect(keys("O")).except(keys("P"))
+      spark.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderstatus").isin("F", "O", "P")) // pushed to the scan
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderstatus") === "F").as("has_f"),
+          max(col("o_orderstatus") === "O").as("has_o"),
+          max(col("o_orderstatus") === "P").as("has_p"))
+        .filter(col("has_f") && col("has_o") && !col("has_p"))
+        .select(col("custkey"))
   }
 
   /** Pivot: per-cohort event-type counts as columns. The value list is
@@ -160,14 +168,19 @@ object Relational {
        |       count(*) AS total
        |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val pivoted = spark.read.parquet(t(dir, "events"))
+    // Manual pivot as a two-level aggregate in ONE scan: (cohort, type)
+    // counts, then conditional sums per declared type PLUS an all-rows
+    // total — so `total` counts every event even if a new event_type
+    // appears outside the declared value list (a .pivot()-derived total
+    // would silently drop it).
+    val counts = spark.read.parquet(t(dir, "events"))
       .select((col("user_id") % 10).as("cohort"), col("event_type"))
-      .groupBy(col("cohort"))
-      .pivot("event_type", eventTypes)
-      .agg(count(lit(1)))
-    val filled = eventTypes.map(e => coalesce(col(e), lit(0L)).as(e))
-    pivoted.select(col("cohort") +: filled: _*)
-      .withColumn("total", eventTypes.map(col).reduce(_ + _))
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val perType = eventTypes.map(e =>
+      coalesce(sum(when(col("event_type") === e, col("n"))), lit(0L)).as(e))
+    counts.groupBy(col("cohort"))
+      .agg(perType.head, perType.tail :+ sum(col("n")).as("total"): _*)
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -48,7 +48,7 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |         list_dot_product(embedding, embedding) AS norm2
        |  FROM embeddings)
-       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
        |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (
        |           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -101,7 +101,7 @@ object Similarity {
          |  FROM bands q JOIN bands c
          |    ON q.j = c.j AND q.byte = c.byte AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $nQueries)
-         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
          |  SELECT query_id, neighbor_id,
          |         round(list_dot_product(qe, ce)
          |               / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)), 4) AS cosine,

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  // Sums are CAST to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT while
+  // Spark stays at BIGINT, and the gate hashes dtypes along with values.
   private val oracle =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |       sum(length(text)) AS total_len
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_len
       |FROM documents GROUP BY lang""".stripMargin
 
   val csvRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
@@ -41,7 +43,7 @@ object Sources {
     * parquet the ordinary way.
     */
   val partitionedScan: QueryDef = QueryDef(
-    """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (spark, dir) =>
     FileSources.partitionedDocuments(spark, dir)
       .filter(col("lang") === "en")

@@ -111,8 +111,8 @@ object TextOps {
     */
   val tokenCount: QueryDef = QueryDef(
     """SELECT source, count(*) AS n_docs,
-      |       sum(n_tokens) AS total_tokens,
-      |       sum(n_subwords) AS total_subwords,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
       |       round(avg(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens
       |FROM (
       |  SELECT source, len(words) AS n_tokens,
@@ -172,17 +172,20 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val nDocs = docs.count()
     val tf = docs.select(col("doc_id"), explode(col("words")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
     // tf already holds one row per (doc, term): df is a plain count.
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val idfQ = (length(bin(expr(s"$nDocs div df"))) - 1).cast("long")
+    // N stays inside the plan as a broadcast scalar aggregate — a driver
+    // -side docs.count() here would be a second full scan per execution.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs_total"))
+    val idfQ = (length(bin(expr("n_docs_total div df"))) - 1).cast("long")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, "w")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("w").as("term"), col("tf"),
         idfQ.as("idf_q"), (col("tf") * idfQ).as("score"))
       .withColumn("rn", row_number().over(w))

@@ -21,11 +21,11 @@ class AnnIvfSpec extends AnyFunSuite {
 
   test("IVF recall@10 vs brute force is substantial; candidates are pruned") {
     spark.sparkContext.setLogLevel("WARN")
-    def pairs(name: String): Set[(Long, Long)] =
-      SparkEntry.queries(name)(spark, sf).select("query_id", "neighbor_id")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("q_ann_topk")
-    val ivf = pairs("q_ann_ivf")
+    val exact = pairs(SparkEntry.queries("q_ann_topk")(spark, sf))
+    val ivf = pairs(AnnIvf.ivfTopK(spark, sf))
     assert(exact.size == 50) // 5 queries x top-10
     assert(ivf.nonEmpty)
     val recall = (exact intersect ivf).size.toDouble / exact.size
@@ -33,5 +33,15 @@ class AnnIvfSpec extends AnyFunSuite {
     // necessarily partial; it must still beat the 2/16 random-cell floor.
     assert(recall >= 0.2, s"recall@10 = $recall")
     info(f"IVF recall@10 = $recall%.2f")
+  }
+
+  test("q_ann_ivf gate query asserts the shape + recall properties in-plan") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getAs[Long]("n_queries") == 5L)
+    assert(r.getAs[Boolean]("per_query_ok"))
+    assert(r.getAs[Boolean]("recall_ge_20pct"))
   }
 }

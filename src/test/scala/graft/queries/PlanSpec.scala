@@ -75,6 +75,33 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q_embed_neardup never hints a broadcast of the corpus side") {
+    // At 100 TB a forced broadcast(corpus) is fatal; cell-size stats must
+    // drive the join strategy. Assert no hint survives in the plan.
+    val df = SparkEntry.queries("q_embed_neardup")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"broadcast hint crept back in: $hints")
+  }
+
+  test("q_dedup_simhash generates candidates from capped buckets, not a band self-join") {
+    val p = plan("q_dedup_simhash")
+    // in-row pair expansion from collected bucket lists...
+    assert(p.contains("collect_list"), p)
+    // ...bounded by the bucket-size cap (quadratic-blowup guard)
+    assert(p.contains("size(ds"), p)
+    // and never a nested-loop/cartesian pair generation
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_set_ops is one scan + one shuffle (conditional agg, no set operators)") {
+    val p = plan("q_set_ops")
+    // a single parquet scan of orders
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Intersect") && !p.contains("Except"), p)
+  }
+
   test("q_ann_topk broadcasts the query side and pushes the rank limit down") {
     val p = plan("q_ann_topk")
     // non-equi (neighbor != query) join -> nested-loop with the 5-row query
