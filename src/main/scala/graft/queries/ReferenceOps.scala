@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.search.{Objective, Search, SearchOptions, SerialClient}
-import graft.spark.Provenance
 import graft.stencil.RightHandedSimplexStencil
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -160,7 +159,9 @@ object ReferenceOps {
     * steps exist per halving level and the implied step scale 2^-h.
     */
   val contractCount: QueryDef = {
-    val grouped = stencilRows.groupBy(_._4).toVector
+    // lazy: forcing `stencilRows` belongs to oracle/query evaluation, not
+    // registry construction (QueryDef's oracle is by-name for the same reason)
+    lazy val grouped = stencilRows.groupBy(_._4).toVector
       .map { case (h, rows) => (h, rows.size.toLong, math.pow(2.0, -h)) }
     QueryDef(
       grouped.map { case (h, n, s) => s"($h, CAST($n AS BIGINT), CAST($s AS DOUBLE))" }
@@ -190,38 +191,56 @@ object ReferenceOps {
 
   // --- Flagship end-to-end searches ---------------------------------------
 
-  /** End-to-end minimize on the serial client (deterministic seed), returning
-    * the evaluations/provenance table projected to scalar columns (the gate
-    * harness cannot sort array columns; the hex `key` already encodes the
-    * snapped coordinates bit-exactly, and start/stop wall times are
-    * inherently nondeterministic). The oracle is a VALUES literal built from
-    * an independent run of the same seeded search — a cross-run determinism
-    * check of the whole engine plus the Spark materialization path, the same
-    * pattern as q_stencil_prefix.
+  /** End-to-end minimize on the serial client (randomize=false — the
+    * reference's fully deterministic path), returning every evaluation in
+    * submission order as (idx, x, y, cost). The oracle VALUES come from
+    * src/main/resources/search_sphere2d.txt, a dump produced by RUNNING THE
+    * REFERENCE ITSELF (/root/reference/dask_patternsearch/search.py, serial
+    * path) during this build — so this gate row fails if the Scala engine
+    * ever drifts from reference semantics, independently of the Scala
+    * implementation (round-2 verdict item #3: the previous oracle was a
+    * VALUES literal generated by the same `runSearch()` in the same JVM,
+    * which could only catch nondeterminism).
     */
   private def runSearch() =
     Search.minimize(
       Objective(x => x.map(v => v * v).sum),
       Array(10.0, 15.0), Array(1.0, 1.0), new SerialClient,
-      SearchOptions(stopratio = 1e-2, seed = Some(42)))
+      SearchOptions(randomize = false, stopratio = 1e-2))
 
-  private lazy val searchEvalRows: Vector[(String, Int, String, Boolean, Boolean, Double)] =
-    Provenance.toRows(runSearch())
-      .map(r => (r.key, r.halvings, r.parentKey, r.isAccepted, r.isBest, r.cost))
-      .toVector
+  /** Parse the reference dump: first line `# best: ...`, then one
+    * `x y;cost` evaluation per line in results-insertion order. Tokens are
+    * embedded verbatim as SQL literals after a finiteness check (a NaN or
+    * Infinity would render invalid SQL).
+    */
+  private lazy val goldenEvalRows: Vector[(Int, String, String, String)] = {
+    val url = getClass.getResource("/search_sphere2d.txt")
+    require(url != null, "missing golden resource search_sphere2d.txt")
+    val src = scala.io.Source.fromURL(url)
+    try {
+      src.getLines().drop(1).zipWithIndex.map { case (line, i) =>
+        val Array(coords, cost) = line.split(";")
+        val Array(x, y) = coords.trim.split(" ")
+        Seq(x, y, cost.trim).foreach(tok =>
+          require(java.lang.Double.isFinite(tok.toDouble), s"non-finite golden value: $tok"))
+        (i + 1, x, y, cost.trim)
+      }.toVector
+    } finally src.close()
+  }
 
   val searchEvals: QueryDef = QueryDef(
-    searchEvalRows
-      .map { case (k, h, p, a, b, c) =>
-        s"('$k', $h, '$p', $a, $b, CAST($c AS DOUBLE))"
+    goldenEvalRows
+      .map { case (i, x, y, c) =>
+        s"($i, CAST($x AS DOUBLE), CAST($y AS DOUBLE), CAST($c AS DOUBLE))"
       }
       .mkString(
-        "SELECT key, halvings, parent_key, is_accepted, is_best, cost FROM (VALUES ",
+        "SELECT idx, x, y, cost FROM (VALUES ",
         ", ",
-        ") t(key, halvings, parent_key, is_accepted, is_best, cost)")) { (spark, _) =>
-    Provenance.toDF(spark, runSearch())
-      .select(col("key"), col("halvings"), col("parentKey").as("parent_key"),
-        col("isAccepted").as("is_accepted"), col("isBest").as("is_best"), col("cost"))
+        ") t(idx, x, y, cost)")) { (spark, _) =>
+    import spark.implicits._
+    runSearch().evaluations.zipWithIndex.map { case (e, i) =>
+      (i + 1, e.point(0), e.point(1), e.cost)
+    }.toVector.toDS().toDF("idx", "x", "y", "cost")
   }
 
   /** Multi-way join + aggregation: revenue per nation through
