@@ -145,11 +145,20 @@ object Dedup {
     * (lo/hi) so every intermediate stays inside a signed BIGINT on both
     * engines.
     *
-    * Scale shape: signature build is one map-side-combinable aggregation
-    * over exploded tokens; candidates come from band buckets capped at 50
-    * docs with in-row pair expansion (the MinHash pattern) — 16-bit bands
-    * give 65k buckets per band and a degenerate bucket can never go
-    * quadratic; verification joins the tiny sigs table, never all-pairs.
+    * Scale shape: the signature is computed by the native codegen'd
+    * `simhash64` expression (graft.functions.SimHash64) in ONE pass over
+    * the in-row token array — no explode, no token shuffle, no 64-wide
+    * aggregate; at 100 TB the signature build is pure map-side projection
+    * work. Candidates come from band buckets capped at 50 docs with in-row
+    * pair expansion (the MinHash pattern) — 16-bit bands give 65k buckets
+    * per band and a degenerate bucket can never go quadratic; verification
+    * joins the tiny sigs table, never all-pairs.
+    *
+    * Recall note: the [2, 50] bucket cap DROPS pairs whose only agreeing
+    * band lands in an over-popular bucket — recall is bounded by the cap,
+    * not "full", on degenerate corpora (the pigeonhole argument makes the
+    * *uncapped* banding exact for Hamming <= 3). The oracle mirrors the
+    * cap; dropped-bucket counts are surfaced by `simhashDroppedBuckets`.
     */
   val simhash: QueryDef = {
     def bitSumsSql(src: String, off: Int) = (0 until 32)
@@ -184,22 +193,12 @@ object Dedup {
          |  FROM cand JOIN sigs x ON x.doc_id = cand.doc_a
          |            JOIN sigs y ON y.doc_id = cand.doc_b) v
          |WHERE hamming <= 3""".stripMargin) { (spark, dir) =>
-      val toks = spark.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), tokHash(col("w")).as("h1"),
-          conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("h2"))
-      def bitSums(src: String, off: Int) = (0 until 32).map { j =>
-        sum(when(shiftright(col(src), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-          .as(s"s${off + j}")
-      }
-      val allSums = bitSums("h1", 0) ++ bitSums("h2", 32)
-      val sums = toks.groupBy(col("doc_id")).agg(allSums.head, allSums.tail: _*)
-      def sigHalf(off: Int) = (0 until 32)
-        .map(j => when(col(s"s${off + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sigs = sums
-        .select(col("doc_id"), sigHalf(0).cast("long").as("lo"), sigHalf(32).cast("long").as("hi"))
-        .persist() // feeds bands + both verify sides
+      graft.functions.SimHash64.register(spark)
+      val sigs = spark.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
+        .select(col("doc_id"), element_at(col("sig"), 1).as("lo"),
+          element_at(col("sig"), 2).as("hi"))
+        .persist() // tiny (doc_id, lo, hi); feeds bands + both verify sides
       val bandStructs = (0 to 3).map { j =>
         val half = if (j < 2) shiftright(col("lo"), 16 * j) else shiftright(col("hi"), 16 * (j - 2))
         struct(lit(j).as("j"), half.bitwiseAND(lit(65535L)).as("band"))

@@ -87,6 +87,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dedup_simhash generates candidates from capped buckets, not a band self-join") {
     val p = plan("q_dedup_simhash")
+    // signature built by the native one-pass expression (map-side, no
+    // token explode + 64-wide aggregate — the round-2 cost outlier)
+    assert(p.contains("simhash64"), p)
     // in-row pair expansion from collected bucket lists...
     assert(p.contains("collect_list"), p)
     // ...bounded by the bucket-size cap (quadratic-blowup guard)
