@@ -78,25 +78,29 @@ object Events {
     * flatMapGroupsWithState) computes identical sessions and is tested
     * against this result.
     */
-  val sessionize: QueryDef = QueryDef(
-    // Microsecond basis on both sides: DuckDB truncates parquet NANOS
-    // timestamps to micros on read, so nanos-exact Spark values would never
-    // hash-match. `ts div 1000` == epoch_us(ts) exactly.
-    s"""SELECT user_id, sid, n, start_us, end_us, sum_value FROM (
-      |  SELECT user_id, sid, count(*) AS n, min(tus) AS start_us, max(tus) AS end_us,
-      |         $fixedSumSql AS sum_value
+  // Shared session CTE body (user_id, sid, n, start_us, end_us, sum_value):
+  // microsecond basis on both sides — DuckDB truncates parquet NANOS
+  // timestamps to micros on read, so nanos-exact Spark values would never
+  // hash-match; `ts div 1000` == epoch_us(ts) exactly.
+  private val sessionCoreSql =
+    s"""SELECT user_id, sid, count(*) AS n, min(tus) AS start_us, max(tus) AS end_us,
+      |       $fixedSumSql AS sum_value
+      |FROM (
+      |  SELECT user_id, tus, value,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       |  FROM (
-      |    SELECT user_id, tus, value,
-      |           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-      |    FROM (
-      |      SELECT user_id, event_id, tus, value,
-      |             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
-      |                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-      |                       > 1800000000
-      |                  THEN 1 ELSE 0 END AS new_s
-      |      FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events) e) m) s
-      |  GROUP BY user_id, sid) g""".stripMargin) { (spark, dir) =>
+      |    SELECT user_id, event_id, tus, value,
+      |           CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+      |                  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |                     > 1800000000
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events) e) m) s
+      |GROUP BY user_id, sid""".stripMargin
+
+  val sessionize: QueryDef = QueryDef(
+    s"SELECT user_id, sid, n, start_us, end_us, sum_value FROM ($sessionCoreSql) g") {
+    (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -109,6 +113,34 @@ object Events {
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n"), min(col("tus")).as("start_us"),
         max(col("tus")).as("end_us"), fixedSum(col("value")).as("sum_value"))
+  }
+
+  /** The stateful-streaming twin of [[sessionize]] as a driver-gate row:
+    * graft.streaming.Sessionize (flatMapGroupsWithState, event-time
+    * timeout) run to completion on the bounded events file. The stream
+    * emits exactly the sessions whose close the final watermark passed —
+    * deterministically: with a 0s delay the final watermark is
+    * floor(max(tus)/1000) ms, and a session times out iff its
+    * end_ms + gap_ms is strictly below it (Spark fires EventTimeTimeout
+    * when the timeout timestamp < watermark). The oracle is the batch
+    * session SQL filtered by that same predicate, so this row hash-pins
+    * streaming-vs-batch equality INCLUDING the watermark-eviction edge.
+    */
+  val sessionizeStream: QueryDef = QueryDef(
+    s"""SELECT user_id, n, start_us, end_us, sum_value
+      |FROM ($sessionCoreSql) g,
+      |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
+      |WHERE g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) { (spark, dir) =>
+    val q = graft.streaming.Sessionize.sessions(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_sessionize_stream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("graft_sessionize_stream")
+      .select(col("user_id"), col("n"), col("start_us"), col("end_us"),
+        round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
   }
 
   /** As-of join: each click matched to the user's most recent earlier
@@ -181,6 +213,7 @@ object Events {
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,
+    "q_sessionize_stream" -> sessionizeStream,
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,
     "q_quantiles" -> quantiles)

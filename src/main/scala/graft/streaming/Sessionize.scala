@@ -24,9 +24,17 @@ object Sessionize {
     */
   final case class Event(
       user_id: Long, tus: Long, value: Double, event_time: java.sql.Timestamp)
-  final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumValue: Double)
+
+  /** Session sums accumulate in 1e-4 fixed point (`floor(v*10000+0.5)` per
+    * event), the same basis as the batch twin — a running double sum's last
+    * bits would depend on micro-batch boundaries and the hash gate would
+    * flap; integer sums cannot.
+    */
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumFixed: Long)
   final case class Session(
-      user_id: Long, start_us: Long, end_us: Long, n: Long, sum_value: Double)
+      user_id: Long, start_us: Long, end_us: Long, n: Long, sum_fixed: Long)
+
+  private def fixed(v: Double): Long = math.floor(v * 10000 + 0.5).toLong
 
   /** State transition: absorb new events (sorted by time), splitting into
     * closed sessions whenever a gap exceeds gapMicros; keep the open tail in
@@ -42,19 +50,19 @@ object Sessionize {
       if (state.hasTimedOut && state.exists) {
         val s = state.get
         state.remove()
-        return Iterator(Session(userId, s.startUs, s.endUs, s.n, s.sumValue))
+        return Iterator(Session(userId, s.startUs, s.endUs, s.n, s.sumFixed))
       }
       return Iterator.empty
     }
     val closed = Vector.newBuilder[Session]
     var cur = state.getOption.orNull
     for (e <- sorted) {
-      if (cur == null) cur = OpenSession(e.tus, e.tus, 1, e.value)
+      if (cur == null) cur = OpenSession(e.tus, e.tus, 1, fixed(e.value))
       else if (e.tus - cur.endUs > gapMicros) {
-        closed += Session(userId, cur.startUs, cur.endUs, cur.n, cur.sumValue)
-        cur = OpenSession(e.tus, e.tus, 1, e.value)
+        closed += Session(userId, cur.startUs, cur.endUs, cur.n, cur.sumFixed)
+        cur = OpenSession(e.tus, e.tus, 1, fixed(e.value))
       } else cur = OpenSession(cur.startUs, math.max(cur.endUs, e.tus),
-        cur.n + 1, cur.sumValue + e.value)
+        cur.n + 1, cur.sumFixed + fixed(e.value))
     }
     state.update(cur)
     // Close when the watermark passes the session end + gap.

@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_ann_lsh_wide keeps the banded-bucket shape: broadcast query side, no cartesian") {
+    val p = plan("q_ann_lsh_wide")
+    // query bands broadcast into the bucket equi-join; corpus side streams
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_set_ops is one scan + one shuffle (conditional agg, no set operators)") {
     val p = plan("q_set_ops")
     // a single parquet scan of orders

@@ -28,10 +28,15 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // Same Spark round() on the streamed fixed-point sum as the batch
+    // query applies, so the doubles compare exactly.
+    import org.apache.spark.sql.functions.{col, round}
     val streamed = spark.table("graft_sessions_stream")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"),
+        round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        math.rint(r.getDouble(4) * 100) / 100))
+        r.getDouble(4)))
       .toSet
 
     val batch = SparkEntry.queries("q_sessionize")(spark, sf)
