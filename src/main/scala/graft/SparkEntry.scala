@@ -19,7 +19,11 @@ object SparkEntry {
     * evaluations/provenance table (driver smoke-checks rows > 0).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // The driver contract fixes the signature to (SparkSession) only, so the
+    // scale factor arrives via the same env var Bench uses (default: the
+    // contract's sf0.001) instead of a hard-coded path.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val Array(q, d) = li
       .agg(avg(col("l_quantity")), avg(col("l_discount")) * 100.0)
       .collect()(0) match {

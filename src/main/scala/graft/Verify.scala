@@ -22,6 +22,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Drop-rate observability for the capped dedup candidate generators:
+    // the oracles mirror the caps, so the gate can never see recall loss —
+    // these one-line metrics can (VERDICT r2 #8).
+    try graft.queries.Dedup.dropMetrics(spark, sfDir)
+      .foreach { case (k, v) => println(s"[verify-metric] $k=$v") }
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] drop metrics failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -76,6 +76,23 @@ object Dedup {
     * list, so the only shuffles are the band groupBy, the pair distinct,
     * and the verify join.
     */
+  /** doc_id -> (j, band) rows for the MinHash LSH banding; shared by the
+    * query and the dropped-bucket metric so both see the same buckets.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val hashes = sh.select(col("doc_id"), col("shingles"),
+      transform(col("shingles"), s => tokHash(s)).as("hs"))
+    val mins = minhashAB.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+    val mh = hashes.select(col("doc_id"), array(mins: _*).as("mins"))
+    mh.select(col("doc_id"), explode(array((0 to 3).map(lit(_)): _*)).as("j"), col("mins"))
+      .select(col("doc_id"), col("j"),
+        concat_ws("_",
+          element_at(col("mins"), col("j") * 2 + 1).cast("string"),
+          element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
+  }
+
   val minhashLsh: QueryDef = {
     val minsSql = minhashAB.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
@@ -105,18 +122,7 @@ object Dedup {
          |            JOIN sh y ON y.doc_id = cand.doc_b) v
          |WHERE jaccard >= 0.8""".stripMargin) { (spark, dir) =>
       val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
-      val hashes = sh.select(col("doc_id"), col("shingles"),
-        transform(col("shingles"), s => tokHash(s)).as("hs"))
-      val mins = minhashAB.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
-      }
-      val mh = hashes.select(col("doc_id"), array(mins: _*).as("mins"))
-      val bands = mh
-        .select(col("doc_id"), explode(array((0 to 3).map(lit(_)): _*)).as("j"), col("mins"))
-        .select(col("doc_id"), col("j"),
-          concat_ws("_",
-            element_at(col("mins"), col("j") * 2 + 1).cast("string"),
-            element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
+      val bands = minhashBands(sh)
       val buckets = bands.groupBy(col("j"), col("band"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 50))
@@ -141,7 +147,8 @@ object Dedup {
     * (token multiplicity counts), banded into 4 x 16-bit LSH bands, Hamming
     * distance <= 3. The 4-bands/3-bits construction is exact by pigeonhole:
     * any pair within Hamming 3 must agree on at least one band — full
-    * recall, no band tuning. The signature lives as two 32-bit halves
+    * recall *before capping* (see the Recall note below), no band tuning.
+    * The signature lives as two 32-bit halves
     * (lo/hi) so every intermediate stays inside a signed BIGINT on both
     * engines.
     *
@@ -158,8 +165,28 @@ object Dedup {
     * band lands in an over-popular bucket — recall is bounded by the cap,
     * not "full", on degenerate corpora (the pigeonhole argument makes the
     * *uncapped* banding exact for Hamming <= 3). The oracle mirrors the
-    * cap; dropped-bucket counts are surfaced by `simhashDroppedBuckets`.
+    * cap; dropped-bucket counts are surfaced by [[dropMetrics]].
     */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash64.register(spark)
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
+      .select(col("doc_id"), element_at(col("sig"), 1).as("lo"),
+        element_at(col("sig"), 2).as("hi"))
+  }
+
+  /** doc_id -> (j, band) rows for the 4 x 16-bit SimHash banding; shared by
+    * the query and the dropped-bucket metric.
+    */
+  private def simhashBands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 to 3).map { j =>
+      val half = if (j < 2) shiftright(col("lo"), 16 * j) else shiftright(col("hi"), 16 * (j - 2))
+      struct(lit(j).as("j"), half.bitwiseAND(lit(65535L)).as("band"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.j").as("j"), col("bv.band").as("band"))
+  }
+
   val simhash: QueryDef = {
     def bitSumsSql(src: String, off: Int) = (0 until 32)
       .map(j => s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${off + j}")
@@ -193,19 +220,9 @@ object Dedup {
          |  FROM cand JOIN sigs x ON x.doc_id = cand.doc_a
          |            JOIN sigs y ON y.doc_id = cand.doc_b) v
          |WHERE hamming <= 3""".stripMargin) { (spark, dir) =>
-      graft.functions.SimHash64.register(spark)
-      val sigs = spark.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
-        .select(col("doc_id"), element_at(col("sig"), 1).as("lo"),
-          element_at(col("sig"), 2).as("hi"))
-        .persist() // tiny (doc_id, lo, hi); feeds bands + both verify sides
-      val bandStructs = (0 to 3).map { j =>
-        val half = if (j < 2) shiftright(col("lo"), 16 * j) else shiftright(col("hi"), 16 * (j - 2))
-        struct(lit(j).as("j"), half.bitwiseAND(lit(65535L)).as("band"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bv"))
-        .select(col("doc_id"), col("bv.j").as("j"), col("bv.band").as("band"))
+      // tiny (doc_id, lo, hi); feeds bands + both verify sides
+      val sigs = simhashSigs(spark, dir).persist()
+      val bands = simhashBands(sigs)
       val buckets = bands.groupBy(col("j"), col("band"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 50))
@@ -235,6 +252,14 @@ object Dedup {
     * -vocabulary corpus); and pairs are expanded in-row from each bucket's
     * (<= 5)-doc list — no posting-list self-join shuffle at all.
     */
+  /** doc_id -> distinct hashed-shingle set; shared by the query and the
+    * dropped-posting metric.
+    */
+  private def ngramHsets(spark: SparkSession, dir: String): DataFrame =
+    shingleDF(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => tokHash(s))).as("hs"))
+
   val ngramJaccard: QueryDef = QueryDef(
     s"""WITH $shingleSql,
        |hsets AS (
@@ -254,10 +279,7 @@ object Dedup {
        |  FROM cand JOIN hsets x ON x.doc_id = cand.doc_a
        |            JOIN hsets y ON y.doc_id = cand.doc_b) v
        |WHERE jaccard >= 0.5""".stripMargin) { (spark, dir) =>
-    val hsets = shingleDF(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(transform(col("shingles"), s => tokHash(s))).as("hs"))
-      .persist()
+    val hsets = ngramHsets(spark, dir).persist()
     val inv = hsets.select(explode(col("hs")).as("h"), col("doc_id"))
     // df-capped buckets carry their full (sorted) doc list; pairs expand
     // in-row — the bucket size cap (5) bounds the expansion at 10 pairs.
@@ -328,6 +350,31 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         round(dot("ea", "eb") / sqrt(col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") > 0.4)
+  }
+
+  /** Observability for the capped candidate generators: how many buckets /
+    * cells / posting lists each cap dropped. The gate oracles mirror the
+    * caps, so recall loss is invisible to the gate by construction — this is
+    * the side channel that makes the drop rate visible (VERDICT r2 #8). At
+    * warehouse scale these counts are the tuning signal: a nonzero embed
+    * count means the cell assigner needs more cells; growing band counts
+    * mean the corpus is degenerate for that banding. One small Spark job
+    * per metric, reusing the exact band/posting builders the queries use.
+    */
+  def dropMetrics(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    def overCap(bands: DataFrame, cap: Int, keys: String*): Long =
+      bands.groupBy(keys.map(col): _*).count().filter(col("count") > cap).count()
+    Seq(
+      "simhash_dropped_buckets" ->
+        overCap(simhashBands(simhashSigs(spark, dir)), 50, "j", "band"),
+      "minhash_dropped_buckets" ->
+        overCap(minhashBands(shingleDF(spark, dir)), 50, "j", "band"),
+      "ngram_dropped_postings" ->
+        overCap(ngramHsets(spark, dir).select(explode(col("hs")).as("h"), col("doc_id")),
+          5, "h"),
+      "embed_dropped_cells" ->
+        overCap(spark.read.parquet(t(dir, "embeddings")).select(col("label"), col("vec_id")),
+          embedCellCap, "label"))
   }
 
   val defs: Map[String, QueryDef] = Map(

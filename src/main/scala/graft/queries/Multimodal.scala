@@ -30,10 +30,14 @@ object Multimodal {
   /** Decode + feature extraction through the partition-batched stub,
     * projected to scalar columns for the gate (the harness cannot sort
     * array columns): payload size plus the 16 histogram-bin counts as
-    * integers. The payloads are ASCII text standing in for blobs, so the
-    * oracle recomputes each bin count exactly in SQL (bin = byte >> 4);
-    * the float features (mean/entropy) stay API-only — a transcendental's
-    * last ULP is not portable across engines.
+    * integers. PRECONDITION (oracle only): the engine bins UTF-8 *bytes*
+    * (byte >> 4 in the decode stub) while the SQL oracle bins *characters*
+    * (ascii(c) // 16) — these agree iff the payload text is pure ASCII,
+    * which the testdata generator guarantees. A non-ASCII payload would
+    * diverge in both the bin counts and the n_bytes basis; if the testdata
+    * ever grows non-ASCII, rewrite the oracle over encode(text) byte
+    * positions instead. The float features (mean/entropy) stay API-only —
+    * a transcendental's last ULP is not portable across engines.
     */
   val mediaFeatures: QueryDef = {
     val binsSql = (0 until 16)

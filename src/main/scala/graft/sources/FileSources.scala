@@ -10,18 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
+  /** The cache key embeds a fingerprint (length + mtime) of the SOURCE
+    * parquet: if the testdata is regenerated at the same path, the stale
+    * round-trip is abandoned rather than silently reused — a stale cache
+    * would fail the correctness gate on a correct implementation and make
+    * Bench measure old data. Distinct fingerprints also mean concurrent
+    * JVMs over different datasets never share (or race on) a directory.
+    */
   private def roundtripDir(fmt: String, dir: String): String = {
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"/tmp/graft_roundtrip_$fmt$sf"
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
+    s"/tmp/graft_roundtrip_$fmt${sf}_$fp"
   }
 
   /** Write-once guard shared by every round-trip: the sink is exercised the
-    * first time a (format, sf) pair is requested and reused afterwards —
-    * re-writing an identical dataset on every timed execution measures sink
-    * overhead, not the query. Writes coalesce to a few files: the source
-    * table is a single parquet file, so a 32-way write is all small-file
-    * and task-launch overhead (at warehouse scale the writer parallelism
-    * follows the upstream partitioning instead).
+    * first time a (format, source-fingerprint) pair is requested and reused
+    * afterwards — re-writing an identical dataset on every timed execution
+    * measures sink overhead, not the query. Writes coalesce to a few files:
+    * the source table is a single parquet file, so a 32-way write is all
+    * small-file and task-launch overhead (at warehouse scale the writer
+    * parallelism follows the upstream partitioning instead).
     */
   private def writeOnce(out: String)(write: String => Unit): Unit =
     if (!new java.io.File(s"$out/_SUCCESS").exists()) write(out)
