@@ -36,6 +36,19 @@ object TextOps {
 
   /** Language ID: per-language stopword hit counts, argmax with fixed
     * priority order; output is the (actual, predicted) confusion matrix.
+    *
+    * Single-pass plan (round-3 verdict #1): the round-3 shape — five
+    * `size(filter(words, isInCollection(~10 strings)))` columns feeding a
+    * 4-level nested CASE — generated one enormous projection that JIT
+    * compiled late (6.1 s bench median, 5× run-to-run spread on 584 KB of
+    * parquet). Here each word is looked up ONCE in a literal
+    * `map<word, bitmask>` (bit i = member of language i's list — the lists
+    * overlap: "un" is es+fr, "le" is fr+zh, so a mask, not a single lang),
+    * and one `aggregate` fold accumulates the five counts in a struct of
+    * longs. Per-word mask digits are 0/1 and counts accumulate in separate
+    * longs, so no document length can overflow — unlike packed base-B
+    * counter tricks. Map-side only; the sole shuffle is the tiny final
+    * confusion-matrix groupBy.
     */
   val langId: QueryDef = {
     val scoreSqls = stopwords.map { case (l, ws) => s"${countInSql(ws)} AS s_$l" }.mkString(", ")
@@ -45,16 +58,27 @@ object TextOps {
       val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    // word -> 5-bit language-membership mask as a literal map column
+    val maskEntries: Seq[(String, Long)] = stopwords.zipWithIndex
+      .flatMap { case ((_, ws), i) => ws.map(w => (w, 1L << i)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     QueryDef(
       s"""SELECT lang, predicted, count(*) AS n FROM (
          |  SELECT lang, $caseSql AS predicted FROM (
          |    SELECT lang, $scoreSqls
          |    FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) w) s) p
          |GROUP BY lang, predicted""".stripMargin) { (spark, dir) =>
-      val base = spark.read.parquet(t(dir, "documents"))
-        .select(col("lang"), split(col("text"), " ").as("words"))
-      val scored = base.select(col("lang") +:
-        stopwords.map { case (l, ws) => countIn(col("words"), ws).as(s"s_$l") }: _*)
+      // typedlit => a MapType Literal (constant), not a per-row CreateMap
+      val maskMap = typedlit(maskEntries.toMap)
+      val masks = transform(split(col("text"), " "), w => coalesce(element_at(maskMap, w), lit(0L)))
+      val zero = struct(langs.map(l => lit(0L).as(s"s_$l")): _*)
+      val counts = aggregate(masks, zero, (acc, m) =>
+        struct(langs.zipWithIndex.map { case (l, i) =>
+          (acc.getField(s"s_$l") + shiftright(m, i).bitwiseAND(lit(1L))).as(s"s_$l")
+        }: _*))
+      val scored = spark.read.parquet(t(dir, "documents"))
+        .select(col("lang"), counts.as("sc"))
+        .select(col("lang") +: langs.map(l => col(s"sc.s_$l").as(s"s_$l")): _*)
       val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
         val cond = langs.filter(_ != l)
           .map(o => col(s"s_$l") >= col(s"s_$o"))
