@@ -5,6 +5,22 @@ import graft.search._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** JVM-global evaluation-concurrency gauge for the overlap test: objective
+  * closures are serialized into Spark tasks, so captured state would be a
+  * deserialized copy — a static module field is the same instance in
+  * local mode.
+  */
+object ConcurrencyGauge {
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  def enter(): Unit = {
+    val c = inFlight.incrementAndGet()
+    maxSeen.getAndUpdate(m => math.max(m, c))
+  }
+  def exit(): Unit = inFlight.decrementAndGet()
+  def reset(): Unit = { inFlight.set(0); maxSeen.set(0) }
+}
+
 /** Port of the reference's distributed convergence tests
   * (test_search.py:28-60) against the SparkClient on local[4], plus the
   * flagship entry smoke.
@@ -101,21 +117,32 @@ class SparkSearchSpec extends AnyFunSuite {
     } finally client.shutdown()
   }
 
-  test("waves run concurrently: total wall time is far below serial sum") {
-    // 8 waves of a 300 ms objective on 4 threads must overlap; a serialized
-    // client would need >= 8 * 300 ms for the first 8 evaluations alone.
-    val slow = Objective { x => Thread.sleep(300); x.map(v => v * v).sum }
+  test("waves run concurrently: evaluations overlap in flight") {
+    // De-flaked (round-3 verdict #2): the old form asserted total wall time
+    // < 75% of the serial sum, which races suite-level parallelism on a
+    // loaded box (failed 1-in-N full-suite runs). Concurrency is now
+    // observed directly: the objective increments a JVM-global in-flight
+    // gauge on entry and decrements on exit; max simultaneous > 1 proves
+    // waves overlapped regardless of machine load. (Provenance start/stop
+    // times cannot serve here — startTime is SUBMIT time, so a serialized
+    // client's intervals would still overlap.) The gauge lives in a
+    // top-level object: the task closure reaches it via a static module
+    // access, so local-mode executors share the driver's instance even
+    // though the closure itself is serialized.
+    ConcurrencyGauge.reset()
+    val slow = Objective { x =>
+      ConcurrencyGauge.enter()
+      try { Thread.sleep(300); x.map(v => v * v).sum }
+      finally ConcurrencyGauge.exit()
+    }
     val client = new SparkClient(spark)
     try {
-      val t0 = System.nanoTime()
       val res = Search.minimize(slow, x0, ones, client,
         SearchOptions(stopratio = stopratio, maxQueueSize = Some(8),
           maxTasks = Some(16), seed = Some(99)))
-      val wallSec = (System.nanoTime() - t0) / 1e9
       assert(res.evaluations.size == 16)
-      val serialSec = res.evaluations.size * 0.3
-      assert(wallSec < serialSec * 0.75,
-        f"no overlap: wall $wallSec%.1f s vs serial $serialSec%.1f s")
+      assert(ConcurrencyGauge.maxSeen.get() > 1,
+        s"no overlap: max in-flight evaluations = ${ConcurrencyGauge.maxSeen.get()}")
     } finally client.shutdown()
   }
 
