@@ -99,7 +99,17 @@ object Bench {
           else System.err.println(out),
         err => System.err.println(err))
       val rc = Process(cmd).!(logger)
-      if (rc == 0) parsed else None
+      // A truncated/corrupted marker line would parse to a partial map whose
+      // missing queries read as -1.0 — indistinguishable from real failures
+      // (ADVICE r3 #4). Only a parse covering exactly the requested names
+      // counts; anything else is a failed child and the caller falls back.
+      parsed.filter(_ => rc == 0).filter { m =>
+        val ok = m.keySet == qnames.toSet
+        if (!ok) System.err.println(
+          s"[bench] child for '$gname' returned keys ${m.keySet.toSeq.sorted.mkString(",")} " +
+            s"!= requested ${qnames.sorted.mkString(",")}; treating as failed")
+        ok
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spawn failed for '$gname': ${e.getMessage}")
       None

@@ -91,7 +91,11 @@ object AnnIvf {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
       .join(probeDF, "query_id")
-    val cands = broadcast(q).join(assigned, Seq("cell"))
+    // No broadcast hint on the query×probe side (ADVICE r3 #2): a forced
+    // broadcast caps the query table at driver memory, contradicting the
+    // any-size-query-table claim. AQE picks broadcast when the side is
+    // actually small and a shuffled hash join when it isn't.
+    val cands = q.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(expr("dot_product(qe, embedding)") / sqrt(col("nq") * col("norm2")), 4)

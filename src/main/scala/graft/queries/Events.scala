@@ -146,10 +146,21 @@ object Events {
     * streaming-vs-batch equality INCLUDING the watermark-eviction edge.
     */
   val sessionizeStream: QueryDef = QueryDef(
+    // A session reaches the sink two ways: (a) GAP-CLOSED — a later
+    // same-user event arrived beyond the gap, emitted unconditionally when
+    // that event is processed (on bounded input run to completion, that is
+    // every session but the user's last, i.e. sid < max(sid) per user);
+    // (b) TIMED OUT — the final watermark strictly passed end + gap. The
+    // oracle is their union. Filtering by (b) alone (round 3) was a latent
+    // data-dependent flap: a successor event that exceeds the gap while
+    // end_ms + gap == wm_ms is emitted by the stream but was excluded by
+    // the watermark predicate (ADVICE r3 #1).
     s"""SELECT user_id, n, start_us, end_us, sum_value
-      |FROM ($sessionCoreSql) g,
+      |FROM (SELECT g.*, max(sid) OVER (PARTITION BY user_id) AS max_sid
+      |      FROM ($sessionCoreSql) g) g,
       |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
-      |WHERE g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) { (spark, dir) =>
+      |WHERE g.sid < g.max_sid OR g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) {
+    (spark, dir) =>
     withStreamPartitions(spark, 4) {
       val q = graft.streaming.Sessionize.sessions(spark, dir).writeStream
         .outputMode("append")

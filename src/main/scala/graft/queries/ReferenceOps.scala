@@ -218,13 +218,29 @@ object ReferenceOps {
     require(url != null, "missing golden resource search_sphere2d.txt")
     val src = scala.io.Source.fromURL(url)
     try {
-      src.getLines().drop(1).zipWithIndex.map { case (line, i) =>
-        val Array(coords, cost) = line.split(";")
-        val Array(x, y) = coords.trim.split(" ")
-        Seq(x, y, cost.trim).foreach(tok =>
-          require(java.lang.Double.isFinite(tok.toDouble), s"non-finite golden value: $tok"))
-        (i + 1, x, y, cost.trim)
-      }.toVector
+      // Robust parse (ADVICE r3 #3): skip blank lines, tolerate repeated
+      // whitespace, and fail with the offending 1-based file line number
+      // instead of a destructuring MatchError. idx stays consecutive over
+      // parsed rows (it must mirror the Spark side's enumeration).
+      src.getLines().zipWithIndex.drop(1)
+        .filter { case (line, _) => line.trim.nonEmpty }
+        .map { case (line, lineIdx) =>
+          val lineNo = lineIdx + 1
+          val parts = line.split(";")
+          require(parts.length == 2,
+            s"golden dump line $lineNo: expected 'x y;cost', got: $line")
+          val coords = parts(0).trim.split("\\s+")
+          require(coords.length == 2,
+            s"golden dump line $lineNo: expected 2 coordinates, got ${coords.length}: $line")
+          val (x, y, cost) = (coords(0), coords(1), parts(1).trim)
+          Seq(x, y, cost).foreach(tok =>
+            require(java.lang.Double.isFinite(tok.toDouble),
+              s"golden dump line $lineNo: non-finite value: $tok"))
+          (x, y, cost)
+        }
+        .zipWithIndex
+        .map { case ((x, y, cost), i) => (i + 1, x, y, cost) }
+        .toVector
     } finally src.close()
   }
 

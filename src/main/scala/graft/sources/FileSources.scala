@@ -31,9 +31,26 @@ object FileSources {
     * the source table is a single parquet file, so a 32-way write is all
     * small-file and task-launch overhead (at warehouse scale the writer
     * parallelism follows the upstream partitioning instead).
+    *
+    * Before a fresh write, sibling dirs for the same (format, sf) with a
+    * DIFFERENT fingerprint are best-effort deleted — every testdata
+    * regeneration mints a new fingerprint and the stale dirs would
+    * otherwise accumulate in /tmp unboundedly (ADVICE r3 #5).
     */
   private def writeOnce(out: String)(write: String => Unit): Unit =
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) write(out)
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val dir = new java.io.File(out)
+      val prefix = out.substring(out.lastIndexOf('/') + 1, out.lastIndexOf('_') + 1)
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != dir.getName)
+        .foreach(deleteRecursively)
+      write(out)
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** documents -> CSV -> read back. Text is single-line ASCII; quoting is
     * still enabled so embedded delimiters would survive.
@@ -85,9 +102,9 @@ object FileSources {
     */
   def partitionedDocuments(spark: SparkSession, dir: String): DataFrame = {
     val out = roundtripDir("part", dir)
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    writeOnce(out) { o =>
       spark.read.parquet(s"$dir/documents.parquet")
-        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(o)
     }
     spark.read.parquet(out)
   }
