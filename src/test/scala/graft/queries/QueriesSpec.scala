@@ -69,4 +69,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(feats.columns.toSet ==
       Set("doc_id", "format", "n_bytes", "mean_byte", "byte_entropy", "histogram"))
   }
+
+  test("dedup drop metrics are pinned at sf0.001") {
+    // The gate oracles mirror the candidate-generator caps, so a cap bug
+    // (e.g. a band-key regression routing the whole corpus into one dropped
+    // bucket) is invisible to the hash gate by construction. Pinning the
+    // exact counts here makes such a regression fail loudly; the values are
+    // deterministic because the generators and testdata are.
+    val got = Dedup.dropMetrics(spark, sf).toMap
+    val expected = Map(
+      "simhash_dropped_buckets" -> 0L,
+      "minhash_dropped_buckets" -> 0L,
+      "ngram_dropped_postings" -> 45L,
+      "embed_dropped_cells" -> 0L)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(v >= 0L, s"$k negative: $v") }
+    assert(got == expected)
+  }
 }
