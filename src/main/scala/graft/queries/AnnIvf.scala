@@ -24,17 +24,28 @@ import org.apache.spark.sql.functions._
   */
 object AnnIvf {
 
-  private val nCells = 16
-  private val nProbe = 2
-  private val nQueries = 5
-  private val topK = 10
+  /** The knobs a real IVF user turns (VERDICT r3 #7), with the round-3
+    * defaults. `minRecallPct` is the property-gate floor: the expected
+    * recall@k grows with nProbe/nCells (probing more cells can only add
+    * candidates), so each parameterization pins its own floor.
+    */
+  final case class IvfParams(
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      nQueries: Int = 5,
+      topK: Int = 10,
+      minRecallPct: Int = 20) {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe $nProbe out of [1, $nCells]")
+  }
+
   // Centroid training is bounded: at warehouse scale (10^9+ vectors) the
   // standard IVF recipe trains k-means on a uniform sample of ~100k vectors
   // (centroid quality saturates far below that for k=16..65536), then
   // assigns the full corpus in one distributed pass.
   private val trainCap = 100000L
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, p: IvfParams = IvfParams()): DataFrame = {
+    import p._
     graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
@@ -109,26 +120,37 @@ object AnnIvf {
   /** Driver-gate form: KMeans centroids are float-order-sensitive, so the
     * raw top-k is not oracle-expressible — but its *properties* are. The
     * gate query verifies in-plan that (a) every query returns exactly topK
-    * neighbors and (b) recall@10 against the exact brute-force ranking
-    * (Similarity.annTopk, itself hash-verified) clears the 2-of-16-cells
+    * neighbors and (b) recall@k against the exact brute-force ranking
+    * (Similarity.annTopk, itself hash-verified) clears the parameterized
     * floor. The oracle states the expected property row; if IVF recall or
     * result shape ever degrades, the hash mismatches.
     */
-  val annIvf: QueryDef = QueryDef(
-    s"SELECT CAST($nQueries AS BIGINT) AS n_queries, true AS per_query_ok, true AS recall_ge_20pct") {
-    (spark, dir) =>
-      val ivf = ivfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-      val exact = Similarity.annTopk.fn(spark, dir).select(col("query_id"), col("neighbor_id"))
-      val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val ex = exact.agg(count(lit(1)).as("n_exact"))
-      val shape = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
-        .agg(count(lit(1)).as("n_queries"),
-          (min(col("k")) === topK && max(col("k")) === topK).as("per_query_ok"))
-      shape.crossJoin(hits).crossJoin(ex)
-        .select(col("n_queries"), col("per_query_ok"),
-          (col("n_hits") * 100 >= col("n_exact") * 20).as("recall_ge_20pct"))
+  def ivfDef(p: IvfParams): QueryDef = QueryDef(
+    s"SELECT CAST(${p.nQueries} AS BIGINT) AS n_queries, true AS per_query_ok, " +
+      s"true AS recall_ge_${p.minRecallPct}pct") { (spark, dir) =>
+    val ivf = ivfTopK(spark, dir, p).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.annTopk.fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val ex = exact.agg(count(lit(1)).as("n_exact"))
+    val shape = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_queries"),
+        (min(col("k")) === p.topK && max(col("k")) === p.topK).as("per_query_ok"))
+    shape.crossJoin(hits).crossJoin(ex)
+      .select(col("n_queries"), col("per_query_ok"),
+        (col("n_hits") * 100 >= col("n_exact") * p.minRecallPct)
+          .as(s"recall_ge_${p.minRecallPct}pct"))
   }
 
-  val defs: Map[String, QueryDef] = Map("q_ann_ivf" -> annIvf)
+  val annIvf: QueryDef = ivfDef(IvfParams())
+
+  /** Second gate row pinning the parameterization itself: probing 4 of 16
+    * cells is a superset of probing 2, so recall can only improve — the
+    * floor doubles. The exact baseline is shared (same nQueries/topK).
+    */
+  val annIvfProbe4: QueryDef = ivfDef(IvfParams(nProbe = 4, minRecallPct = 40))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_ann_ivf" -> annIvf,
+    "q_ann_ivf_probe4" -> annIvfProbe4)
 }

@@ -33,6 +33,14 @@ class AnnIvfSpec extends AnyFunSuite {
     // necessarily partial; it must still beat the 2/16 random-cell floor.
     assert(recall >= 0.2, s"recall@10 = $recall")
     info(f"IVF recall@10 = $recall%.2f")
+
+    // Parameterized probe width (VERDICT r3 #7): probing 4 cells evaluates a
+    // superset of the 2-cell candidates, so recall is monotone in nProbe.
+    val ivf4 = pairs(AnnIvf.ivfTopK(spark, sf, AnnIvf.IvfParams(nProbe = 4)))
+    val recall4 = (exact intersect ivf4).size.toDouble / exact.size
+    assert(recall4 >= recall, s"recall@10 probe4 = $recall4 < probe2 = $recall")
+    assert(recall4 >= 0.4, s"recall@10 probe4 = $recall4")
+    info(f"IVF probe4 recall@10 = $recall4%.2f")
   }
 
   test("q_ann_ivf gate query asserts the shape + recall properties in-plan") {
@@ -43,5 +51,11 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_queries") == 5L)
     assert(r.getAs[Boolean]("per_query_ok"))
     assert(r.getAs[Boolean]("recall_ge_20pct"))
+    val row4 = SparkEntry.queries("q_ann_ivf_probe4")(spark, sf).collect()
+    assert(row4.length == 1)
+    val r4 = row4(0)
+    assert(r4.getAs[Long]("n_queries") == 5L)
+    assert(r4.getAs[Boolean]("per_query_ok"))
+    assert(r4.getAs[Boolean]("recall_ge_40pct"))
   }
 }
