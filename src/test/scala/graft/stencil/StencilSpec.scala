@@ -78,4 +78,20 @@ class StencilSpec extends AnyFunSuite {
     val b = st.stencilPoints.take(200).map(s => (s.offset.toVector, s.halvings)).toVector
     assert(b.take(100) == a)
   }
+
+  test("StencilDump emits the first-N points as CSV (S4 data half)") {
+    val f = java.io.File.createTempFile("stencildump", ".csv")
+    f.deleteOnExit()
+    graft.tools.StencilDump.main(Array("2", "30", "120", f.getAbsolutePath))
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+    assert(lines.head == "idx,x0,x1,halvings")
+    assert(lines.size == 121) // header + 120 points (the reference GIF's frame count)
+    assert(lines(1) == "1,1.0,0.0,0") // first axial step, halvings 0
+    // rows mirror the live stencil stream exactly
+    val expect = new RightHandedSimplexStencil(2, 30).stencilPoints.take(120)
+      .zipWithIndex
+      .map { case (s, i) => s"${i + 1},${s.offset.mkString(",")},${s.halvings}" }
+      .toVector
+    assert(lines.tail == expect)
+  }
 }
