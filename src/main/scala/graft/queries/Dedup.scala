@@ -93,34 +93,44 @@ object Dedup {
           element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
   }
 
-  val minhashLsh: QueryDef = {
+  /** The full MinHash LSH pair pipeline as a reusable CTE chain ending in a
+    * `pairs(doc_a, doc_b, jaccard)` relation — shared by the pair query's
+    * oracle and the connected-components oracle so both see identical pairs.
+    */
+  private val minhashPairsCtes: String = {
     val minsSql = minhashAB.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
     }.mkString("[", ", ", "]")
+    s"""$shingleSql,
+       |hashes AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> ${tokHashSql("s")}) AS hs
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $minsSql AS mins FROM hashes),
+       |bands AS (
+       |  SELECT doc_id, j,
+       |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
+       |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
+       |capped AS (SELECT j, band FROM bands GROUP BY j, band
+       |           HAVING count(*) BETWEEN 2 AND 50),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN capped g ON a.j = g.j AND a.band = g.band
+       |               JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |                 / len(list_distinct(x.shingles || y.shingles)), 4) AS jaccard
+       |    FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+       |              JOIN sh y ON y.doc_id = cand.doc_b) v
+       |  WHERE jaccard >= 0.8)""".stripMargin
+  }
+
+  val minhashLsh: QueryDef = {
     QueryDef(
-      s"""WITH $shingleSql,
-         |hashes AS (
-         |  SELECT doc_id, shingles,
-         |         list_transform(shingles, s -> ${tokHashSql("s")}) AS hs
-         |  FROM sh),
-         |mh AS (SELECT doc_id, $minsSql AS mins FROM hashes),
-         |bands AS (
-         |  SELECT doc_id, j,
-         |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
-         |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
-         |capped AS (SELECT j, band FROM bands GROUP BY j, band
-         |           HAVING count(*) BETWEEN 2 AND 50),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN capped g ON a.j = g.j AND a.band = g.band
-         |               JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         |               / len(list_distinct(x.shingles || y.shingles)), 4) AS jaccard
-         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
-         |            JOIN sh y ON y.doc_id = cand.doc_b) v
-         |WHERE jaccard >= 0.8""".stripMargin) { (spark, dir) =>
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin) { (spark, dir) =>
       val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
       val bands = minhashBands(sh)
       val buckets = bands.groupBy(col("j"), col("band"))
@@ -141,6 +151,71 @@ object Dedup {
             size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
     }
+  }
+
+  /** Duplicate-cluster assignment: connected components over the verified
+    * MinHash pair graph, the step a real dedup pipeline runs after pair
+    * generation — every document in a near-dup component gets the
+    * component's minimum doc_id as its cluster id, and `keep` marks the one
+    * canonical survivor per cluster.
+    *
+    * Spark shape: iterative min-label propagation as DataFrame joins. Each
+    * round every node takes the min of its own label and its neighbors';
+    * the sum of labels is strictly decreasing until the fixed point, so an
+    * unchanged sum IS convergence (one tiny agg per round checks it). The
+    * graph is the PAIR graph, not the corpus — at 100 TB the near-dup pairs
+    * are a small fraction of documents, and each round is one shuffle on
+    * doc_id of that small edge set. Rounds needed = component diameter;
+    * LSH components are band-bucket cliques glued at shared docs, so the
+    * diameter is tiny (typically <= 3). For adversarial million-node chain
+    * components the large-star/small-star variant (Kiveris et al., "
+    * Connected Components in MapReduce and Beyond") drops rounds to
+    * O(log n) — not needed at this graph shape.
+    *
+    * Oracle: DuckDB recursive CTE computing reachability over the same
+    * pairs, then min per source — exact CC, independent of the Spark
+    * iteration strategy.
+    */
+  val clusters: QueryDef = QueryDef(
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id,
+       |       least(src, min(dst)) AS cluster_id,
+       |       least(src, min(dst)) = src AS keep
+       |FROM reach GROUP BY src""".stripMargin) { (spark, dir) =>
+    val pairs = minhashLsh.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist()
+    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature from per-token bit votes
@@ -380,6 +455,7 @@ object Dedup {
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
     "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_dedup_clusters" -> clusters,
     "q_dedup_simhash" -> simhash,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_embed_neardup" -> embedNeardup)
