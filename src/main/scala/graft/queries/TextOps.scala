@@ -58,10 +58,12 @@ object TextOps {
       val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-    // word -> 5-bit language-membership mask as a literal map column
+    // word -> 5-bit language-membership mask as a literal map column.
+    // Bitwise OR, not arithmetic sum: a word duplicated inside one
+    // language's list must not carry into the next language's bit.
     val maskEntries: Seq[(String, Long)] = stopwords.zipWithIndex
       .flatMap { case ((_, ws), i) => ws.map(w => (w, 1L << i)) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toSeq.sortBy(_._1)
     QueryDef(
       s"""SELECT lang, predicted, count(*) AS n FROM (
          |  SELECT lang, $caseSql AS predicted FROM (

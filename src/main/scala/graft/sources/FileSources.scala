@@ -40,9 +40,14 @@ object FileSources {
   private def writeOnce(out: String)(write: String => Unit): Unit =
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val dir = new java.io.File(out)
+      // Siblings must match (fmt, sf) EXACTLY: prefix + a hex fingerprint and
+      // nothing else. A bare startsWith would let /root/testdata/sf0.1 delete
+      // the in-use dir of /root/testdata/sf0.1_v2 (whose sanitized name
+      // extends the shorter one) from a concurrent JVM (ADVICE r4 #3).
       val prefix = out.substring(out.lastIndexOf('/') + 1, out.lastIndexOf('_') + 1)
+      val sibling = (java.util.regex.Pattern.quote(prefix) + "[0-9a-f]+").r
       Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != dir.getName)
+        .filter(f => f.isDirectory && sibling.matches(f.getName) && f.getName != dir.getName)
         .foreach(deleteRecursively)
       write(out)
     }
