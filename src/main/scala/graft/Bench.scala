@@ -25,11 +25,36 @@ import scala.sys.process.{Process, ProcessLogger}
   *     RDD persists — the round-2 q_ann_ivf leak).
   *   - If child JVMs cannot be spawned in the sandbox, the parent falls
   *     back to running every group in-process with the same protocol.
+  *
+  * Contention self-identification (round-6 rework — BENCH_r05's total was
+  * 1.68× round 4's with zero code changes; the box was loaded for the whole
+  * run and median-of-3 in child JVMs cannot defend against that):
+  *   - Each group's child runs a fixed CPU-bound CALIBRATION job (a
+  *     codegen'd range-sum sized per core, so its idle-box cost is the same
+  *     at any local[N]) before and after its queries. A contended box
+  *     inflates the calibration proportionally, so a distorted group is
+  *     VISIBLY distorted in the output.
+  *   - A group whose worst calibration exceeds the pinned threshold is
+  *     re-run once; the attempt with the lower calibration wins.
+  *   - The JSON line carries /proc/loadavg before/after, the CPU count,
+  *     every group's calibration seconds, the threshold, and the re-run
+  *     count — the driver's 2×-gate can now see WHEN a number is noise.
   */
 object Bench {
 
   private val TimedRuns = 3
   private val GroupMarker = "GRAFT_BENCH_GROUP:"
+  private val CalibMarker = "GRAFT_BENCH_CALIB:"
+
+  /** Idle-box cost of [[calibrate]] is ~0.32 s steady-state (measured round
+    * 6 on the reference box; the job is sized per core, so local[4] and
+    * local[32] agree). The threshold is ~2× that: the r5-style contention
+    * this defends against distorted queries 3-9×, far above it. Above the
+    * threshold a group's numbers are contention-suspect and the group is
+    * re-run once. Overridable for boxes with different idle cost.
+    */
+  private val CalibThresholdSec =
+    sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX_SEC", "0.65").toDouble
 
   /** Isolation groups: heavyweight/stateful families get their own JVM. */
   private def groupOf(name: String): String =
@@ -43,6 +68,40 @@ object Bench {
     case _               => parentMain()
   }
 
+  // ------------------------------------------------------------ calibration
+
+  private def loadavg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim
+    catch { case _: Throwable => "" }
+
+  /** Fixed CPU-bound reference micro-query: a whole-stage-codegen'd sum over
+    * `32M rows × cores`, so the per-core work — and therefore the idle-box
+    * wall time — is constant regardless of the local[N] setting. Runs once
+    * untimed (codegen warm-up), then timed. Pure compute: no shuffle, no IO,
+    * nothing cached — its only variable cost is how much of the box someone
+    * else is using.
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val rows = spark.sparkContext.defaultParallelism.toLong << 25
+    def run(): Unit = spark.range(rows).selectExpr("sum(id * 3 + 1)").collect()
+    // Two warm-ups: in a fresh JVM one run leaves ~40% residual JIT cost in
+    // the second (measured round 6) — enough to read as false contention.
+    run(); run()
+    val t0 = System.nanoTime()
+    run()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One group attempt: per-query medians plus the bracketing calibration
+    * times that certify (or indict) the box during the attempt.
+    */
+  private final case class GroupRun(
+      results: Map[String, Double],
+      calibBefore: Double,
+      calibAfter: Double) {
+    def calibMax: Double = math.max(calibBefore, calibAfter)
+  }
+
   // ---------------------------------------------------------------- parent
 
   private def parentMain(): Unit = {
@@ -50,23 +109,46 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val groups = names.groupBy(groupOf).toSeq.sortBy(_._1)
+    val loadBefore = loadavg()
 
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val calibs = scala.collection.mutable.LinkedHashMap.empty[String, GroupRun]
+    var reruns = 0
     for ((gname, qnames) <- groups) {
-      val res = runGroupChild(gname, qnames, sfDir, cpus)
+      def attempt(): GroupRun = runGroupChild(gname, qnames, sfDir, cpus)
         .getOrElse {
           System.err.println(s"[bench] child JVM for group '$gname' failed; running in-process")
           runGroupInProcess(qnames, sfDir, cpus)
         }
-      res.foreach { case (k, v) => merged(k) = v }
+      val first = attempt()
+      val best =
+        if (first.calibMax > CalibThresholdSec) {
+          System.err.println(
+            f"[bench] group '$gname' calibration ${first.calibMax}%.2fs > " +
+              f"$CalibThresholdSec%.2fs threshold (box contended); re-running once")
+          reruns += 1
+          val second = attempt()
+          if (second.calibMax < first.calibMax) second else first
+        } else first
+      calibs(gname) = best
+      best.results.foreach { case (k, v) => merged(k) = v }
     }
+    val loadAfter = loadavg()
 
     val qs = names
       .map(n => s"\"" + n + "\":" + merged.getOrElse(n, -1.0))
       .mkString("{", ",", "}")
+    val calibJson = calibs
+      .map { case (g, r) =>
+        f""""$g":{"before":${r.calibBefore}%.3f,"after":${r.calibAfter}%.3f}"""
+      }
+      .mkString("{", ",", "}")
     val total = names.flatMap(merged.get).filter(_ >= 0).sum
+    val ncpu = Runtime.getRuntime.availableProcessors()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ncpu":$ncpu""" +
+        s""","calib":$calibJson,"calib_threshold_sec":$CalibThresholdSec,"reruns":$reruns}"""
     println(json)
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     java.nio.file.Files.writeString(
@@ -74,15 +156,15 @@ object Bench {
   }
 
   /** Spawn one child JVM (same java, classpath, module opens, pinned heap)
-    * for a query group; parse its GRAFT_BENCH_GROUP line. Child stderr and
-    * non-marker stdout are relayed to our stderr so Spark noise can never
-    * collide with the parent's single JSON stdout line.
+    * for a query group; parse its GRAFT_BENCH_GROUP + GRAFT_BENCH_CALIB
+    * lines. Child stderr and non-marker stdout are relayed to our stderr so
+    * Spark noise can never collide with the parent's single JSON stdout line.
     */
   private def runGroupChild(
       gname: String,
       qnames: Seq[String],
       sfDir: String,
-      cpus: String): Option[Map[String, Double]] =
+      cpus: String): Option[GroupRun] =
     try {
       val java = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
@@ -92,11 +174,15 @@ object Bench {
       val cmd = Seq(java) ++ jvmArgs ++
         Seq("-cp", cp, "graft.Bench", "--child", sfDir, cpus) ++ qnames
       var parsed: Option[Map[String, Double]] = None
+      var calib: Option[(Double, Double)] = None
       val logger = ProcessLogger(
         out =>
           if (out.startsWith(GroupMarker))
             parsed = Some(parseGroupJson(out.stripPrefix(GroupMarker)))
-          else System.err.println(out),
+          else if (out.startsWith(CalibMarker)) {
+            val m = parseGroupJson(out.stripPrefix(CalibMarker))
+            calib = Some((m.getOrElse("before", -1.0), m.getOrElse("after", -1.0)))
+          } else System.err.println(out),
         err => System.err.println(err))
       val rc = Process(cmd).!(logger)
       // A truncated/corrupted marker line would parse to a partial map whose
@@ -109,13 +195,16 @@ object Bench {
           s"[bench] child for '$gname' returned keys ${m.keySet.toSeq.sorted.mkString(",")} " +
             s"!= requested ${qnames.sorted.mkString(",")}; treating as failed")
         ok
+      }.map { m =>
+        val (b, a) = calib.getOrElse((-1.0, -1.0))
+        GroupRun(m, b, a)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spawn failed for '$gname': ${e.getMessage}")
       None
     }
 
-  /** Parse the child's flat {"name":sec,...} line without a JSON library. */
+  /** Parse a flat {"name":num,...} line without a JSON library. */
   private def parseGroupJson(s: String): Map[String, Double] =
     """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
       .findAllMatchIn(s)
@@ -128,17 +217,18 @@ object Bench {
     val sfDir = args(0)
     val cpus = args(1)
     val qnames = args.drop(2).toSeq
-    val results = runGroupInProcess(qnames, sfDir, cpus)
-    val line = results
+    val run = runGroupInProcess(qnames, sfDir, cpus)
+    val line = run.results
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(GroupMarker + "{", ",", "}")
     println(line)
+    println(f"""$CalibMarker{"before":${run.calibBefore}%.3f,"after":${run.calibAfter}%.3f}""")
   }
 
   private def runGroupInProcess(
       qnames: Seq[String],
       sfDir: String,
-      cpus: String): Seq[(String, Double)] = {
+      cpus: String): GroupRun = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,6 +236,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibBefore = calibrate(spark)
     val queries = SparkEntry.queries
     val out = qnames.map { name =>
       val fn = queries(name)
@@ -162,8 +253,9 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
+    val calibAfter = calibrate(spark)
     spark.stop()
-    out
+    GroupRun(out.toMap, calibBefore, calibAfter)
   }
 
   /** Dataset cache + persistent RDDs (MLlib KMeans persists RDDs that

@@ -97,10 +97,11 @@ object Dedup {
     * `pairs(doc_a, doc_b, jaccard)` relation — shared by the pair query's
     * oracle and the connected-components oracle so both see identical pairs.
     */
+  private val minsSql: String = minhashAB.map { case (a, b) =>
+    s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
+  }.mkString("[", ", ", "]")
+
   private val minhashPairsCtes: String = {
-    val minsSql = minhashAB.map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
-    }.mkString("[", ", ", "]")
     s"""$shingleSql,
        |hashes AS (
        |  SELECT doc_id, shingles,
@@ -127,30 +128,38 @@ object Dedup {
        |  WHERE jaccard >= 0.8)""".stripMargin
   }
 
-  val minhashLsh: QueryDef = {
-    QueryDef(
-      s"""WITH $minhashPairsCtes
-         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin) { (spark, dir) =>
-      val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
-      val bands = minhashBands(sh)
-      val buckets = bands.groupBy(col("j"), col("band"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, 50))
-      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
-        transform(sequence(i + 1, size(col("ds")) - 1), j =>
-          struct(element_at(col("ds"), i + 1).as("doc_a"),
-            element_at(col("ds"), j + 1).as("doc_b")))))
-      val cand = buckets.select(explode(pairsExpr).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-      val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
-      cand.join(x, "doc_a").join(y, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }
+  /** The verified MinHash pair set plus the persisted shingle table backing
+    * both verify sides. Callers that consume the pairs eagerly (clusters)
+    * unpersist `sh` when done; minhashLsh returns the pairs lazily and
+    * leaves `sh` cached for the plan's consumption.
+    */
+  private def minhashPairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
+    val bands = minhashBands(sh)
+    val buckets = bands.groupBy(col("j"), col("band"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 50))
+    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+      transform(sequence(i + 1, size(col("ds")) - 1), j =>
+        struct(element_at(col("ds"), i + 1).as("doc_a"),
+          element_at(col("ds"), j + 1).as("doc_b")))))
+    val cand = buckets.select(explode(pairsExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    val pairs = cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    (pairs, sh)
+  }
+
+  val minhashLsh: QueryDef = QueryDef(
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin) { (spark, dir) =>
+    minhashPairsDF(spark, dir)._1
   }
 
   /** Duplicate-cluster assignment: connected components over the verified
@@ -161,16 +170,33 @@ object Dedup {
     *
     * Spark shape: iterative min-label propagation as DataFrame joins. Each
     * round every node takes the min of its own label and its neighbors';
-    * the sum of labels is strictly decreasing until the fixed point, so an
-    * unchanged sum IS convergence (one tiny agg per round checks it). The
-    * graph is the PAIR graph, not the corpus — at 100 TB the near-dup pairs
-    * are a small fraction of documents, and each round is one shuffle on
-    * doc_id of that small edge set. Rounds needed = component diameter;
-    * LSH components are band-bucket cliques glued at shared docs, so the
+    * the sum of labels is monotone non-increasing and strictly decreases
+    * until the fixed point, so an unchanged sum IS convergence. Two
+    * propagation rounds run per materialized generation (the monotone sum
+    * means a skipped check can never miss the fixed point), halving the
+    * Spark job launches — the dominant cost at small scale. The graph is
+    * the PAIR graph, not the corpus — at 100 TB the near-dup pairs are a
+    * small fraction of documents, and each round is one shuffle on doc_id
+    * of that small edge set. Rounds needed = component diameter; LSH
+    * components are band-bucket cliques glued at shared docs, so the
     * diameter is tiny (typically <= 3). For adversarial million-node chain
     * components the large-star/small-star variant (Kiveris et al., "
     * Connected Components in MapReduce and Beyond") drops rounds to
     * O(log n) — not needed at this graph shape.
+    *
+    * Each generation is persisted and materialized before its predecessor
+    * is unpersisted (the GraphX/Pregel pattern), so nothing recomputes
+    * across rounds and every superseded cache is reclaimed. The cached
+    * generation also truncates the *physical* recompute chain the way a
+    * localCheckpoint would, while staying freeable through the public
+    * Dataset API (a locally-checkpointed Dataset's blocks cannot be
+    * released via unpersist). The returned frame is a persisted,
+    * already-materialized table of only the pair-graph members; callers
+    * may `unpersist()` it after consumption — nothing else stays cached.
+    *
+    * A corpus with NO near-duplicate pairs (the common case for a clean
+    * corpus) short-circuits to an empty result instead of iterating —
+    * `sum()` over zero rows is NULL, which NPE'd before round 6.
     *
     * Oracle: DuckDB recursive CTE computing reachability over the same
     * pairs, then min per source — exact CC, independent of the Spark
@@ -186,36 +212,58 @@ object Dedup {
        |       least(src, min(dst)) AS cluster_id,
        |       least(src, min(dst)) = src AS keep
        |FROM reach GROUP BY src""".stripMargin) { (spark, dir) =>
-    val pairs = minhashLsh.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+    val (pairsAll, sh) = minhashPairsDF(spark, dir)
+    val pairs = pairsAll.select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist()
-    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = edges.join(l.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      l.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      rounds += 1
     }
-    require(converged, s"label propagation did not converge in $rounds rounds")
-    edges.unpersist()
-    labels.select(col("doc_id"), col("cluster_id"),
-      (col("doc_id") === col("cluster_id")).as("keep"))
+    if (edges.isEmpty) {
+      // filter(false) folds to an empty LocalRelation — the returned frame
+      // carries the right (doc_id, cluster_id, keep) schema at zero cost.
+      val out = edges
+        .select(col("src").as("doc_id"), col("src").as("cluster_id"),
+          lit(true).as("keep"))
+        .filter(lit(false))
+      edges.unpersist()
+      sh.unpersist()
+      out
+    } else {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist()
+      var prevSum = labelSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = propagate(propagate(labels)).persist()
+        val nextSum = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        rounds += 2
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      val out = labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+        .persist()
+      out.count() // materialize before freeing the generation beneath it
+      labels.unpersist()
+      edges.unpersist()
+      sh.unpersist()
+      out
+    }
   }
 
   /** SimHash near-dup pairs: 64-bit signature from per-token bit votes
@@ -262,22 +310,29 @@ object Dedup {
       .select(col("doc_id"), col("bv.j").as("j"), col("bv.band").as("band"))
   }
 
+  private def bitSumsSql(src: String, off: Int) = (0 until 32)
+    .map(j => s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${off + j}")
+    .mkString(", ")
+  private def sigSql(off: Int) = (0 until 32)
+    .map(j => s"CASE WHEN s${off + j} > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  /** toks → sums → sigs(doc_id, lo, hi): the SimHash signature CTE chain,
+    * shared by the pair oracle and the drop-metrics oracle.
+    */
+  private val simhashSigsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${tokHashSql("w")} AS h1,
+       |         CAST('0x'||substr(md5(w),9,8) AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
+       |sums AS (SELECT doc_id, ${bitSumsSql("h1", 0)}, ${bitSumsSql("h2", 32)}
+       |         FROM toks GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST(${sigSql(0)} AS BIGINT) AS lo,
+       |                CAST(${sigSql(32)} AS BIGINT) AS hi FROM sums)""".stripMargin
+
   val simhash: QueryDef = {
-    def bitSumsSql(src: String, off: Int) = (0 until 32)
-      .map(j => s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${off + j}")
-      .mkString(", ")
-    def sigSql(off: Int) = (0 until 32)
-      .map(j => s"CASE WHEN s${off + j} > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
     QueryDef(
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${tokHashSql("w")} AS h1,
-         |         CAST('0x'||substr(md5(w),9,8) AS BIGINT) AS h2
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
-         |sums AS (SELECT doc_id, ${bitSumsSql("h1", 0)}, ${bitSumsSql("h2", 32)}
-         |         FROM toks GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, CAST(${sigSql(0)} AS BIGINT) AS lo,
-         |                CAST(${sigSql(32)} AS BIGINT) AS hi FROM sums),
+      s"""WITH $simhashSigsCtes,
          |bands AS (
          |  SELECT doc_id, j,
          |         CASE WHEN j < 2 THEN (lo >> (16*j)) & 65535
@@ -427,30 +482,76 @@ object Dedup {
       .filter(col("cosine") > 0.4)
   }
 
-  /** Observability for the capped candidate generators: how many buckets /
-    * cells / posting lists each cap dropped. The gate oracles mirror the
-    * caps, so recall loss is invisible to the gate by construction — this is
-    * the side channel that makes the drop rate visible (VERDICT r2 #8). At
+  /** Observability for the capped candidate generators, as a first-class
+    * hash-gated query (VERDICT r5 next-round #7 — previously these counts
+    * only reached Verify's stdout): one row per generator with the number
+    * of buckets / posting lists / cells its cap dropped. The gate oracles
+    * for the dedup queries MIRROR the caps, so recall loss is invisible to
+    * them by construction — this row set is the machine-readable side
+    * channel, and because both engines recompute the same over-cap counts
+    * (no VALUES pinning) it stays gateable at any scale factor. At
     * warehouse scale these counts are the tuning signal: a nonzero embed
     * count means the cell assigner needs more cells; growing band counts
-    * mean the corpus is degenerate for that banding. One small Spark job
-    * per metric, reusing the exact band/posting builders the queries use.
+    * mean the corpus is degenerate for that banding. Each count reuses the
+    * exact band/posting builder its query uses, so a cap regression (e.g. a
+    * band-key bug routing the corpus into one bucket) fails this row
+    * loudly.
     */
-  def dropMetrics(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    def overCap(bands: DataFrame, cap: Int, keys: String*): Long =
-      bands.groupBy(keys.map(col): _*).count().filter(col("count") > cap).count()
-    Seq(
-      "simhash_dropped_buckets" ->
-        overCap(simhashBands(simhashSigs(spark, dir)), 50, "j", "band"),
-      "minhash_dropped_buckets" ->
-        overCap(minhashBands(shingleDF(spark, dir)), 50, "j", "band"),
-      "ngram_dropped_postings" ->
-        overCap(ngramHsets(spark, dir).select(explode(col("hs")).as("h"), col("doc_id")),
-          5, "h"),
-      "embed_dropped_cells" ->
-        overCap(spark.read.parquet(t(dir, "embeddings")).select(col("label"), col("vec_id")),
-          embedCellCap, "label"))
+  val dropMetricsQ: QueryDef = QueryDef(
+    s"""WITH $shingleSql,
+       |hashes AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> ${tokHashSql("s")}) AS hs
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $minsSql AS mins FROM hashes),
+       |mh_bands AS (
+       |  SELECT doc_id, j,
+       |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
+       |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
+       |$simhashSigsCtes,
+       |sh_bands AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN j < 2 THEN (lo >> (16*j)) & 65535
+       |              ELSE (hi >> (16*(j-2))) & 65535 END AS band
+       |  FROM sigs, (VALUES (0), (1), (2), (3)) bj(j)),
+       |hsets AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(shingles, s -> ${tokHashSql("s")})) AS hs
+       |  FROM sh),
+       |inv AS (SELECT unnest(hs) AS h, doc_id FROM hsets)
+       |SELECT 'minhash_dropped_buckets' AS metric,
+       |       (SELECT count(*) FROM (SELECT j, band FROM mh_bands
+       |                              GROUP BY j, band HAVING count(*) > 50) x) AS dropped
+       |UNION ALL SELECT 'simhash_dropped_buckets',
+       |       (SELECT count(*) FROM (SELECT j, band FROM sh_bands
+       |                              GROUP BY j, band HAVING count(*) > 50) x)
+       |UNION ALL SELECT 'ngram_dropped_postings',
+       |       (SELECT count(*) FROM (SELECT h FROM inv
+       |                              GROUP BY h HAVING count(*) > 5) x)
+       |UNION ALL SELECT 'embed_dropped_cells',
+       |       (SELECT count(*) FROM (SELECT label FROM embeddings
+       |                              GROUP BY label HAVING count(*) > $embedCellCap) x)""".stripMargin) {
+    (spark, dir) =>
+      def dropped(rows: DataFrame, cap: Int, name: String, keys: String*): DataFrame =
+        rows.groupBy(keys.map(col): _*).count().filter(col("count") > cap)
+          .agg(count(lit(1)).as("dropped")) // global agg: 1 row even when empty
+          .select(lit(name).as("metric"), col("dropped"))
+      dropped(minhashBands(shingleDF(spark, dir)), 50, "minhash_dropped_buckets", "j", "band")
+        .unionAll(dropped(simhashBands(simhashSigs(spark, dir)), 50,
+          "simhash_dropped_buckets", "j", "band"))
+        .unionAll(dropped(ngramHsets(spark, dir).select(explode(col("hs")).as("h"), col("doc_id")),
+          5, "ngram_dropped_postings", "h"))
+        .unionAll(dropped(spark.read.parquet(t(dir, "embeddings")).select(col("label"), col("vec_id")),
+          embedCellCap, "embed_dropped_cells", "label"))
   }
+
+  /** Same counts as a driver-side Seq (Verify's stdout lines + the pinned
+    * QueriesSpec expectations) — computed via [[dropMetricsQ]] so the gated
+    * query and the printed metrics can never diverge.
+    */
+  def dropMetrics(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    dropMetricsQ.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
@@ -458,5 +559,6 @@ object Dedup {
     "q_dedup_clusters" -> clusters,
     "q_dedup_simhash" -> simhash,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_drop_metrics" -> dropMetricsQ,
     "q_embed_neardup" -> embedNeardup)
 }

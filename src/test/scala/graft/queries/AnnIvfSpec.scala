@@ -38,8 +38,11 @@ class AnnIvfSpec extends AnyFunSuite {
     // superset of the 2-cell candidates, so recall is monotone in nProbe.
     val ivf4 = pairs(AnnIvf.ivfTopK(spark, sf, AnnIvf.IvfParams(nProbe = 4)))
     val recall4 = (exact intersect ivf4).size.toDouble / exact.size
+    // The derivable floor is monotonicity + probe2's own floor, not 2x
+    // (ADVICE r4 #4) — the hard 0.4 here could flap on a KMeans reseed.
+    // Measured margin for the record: 0.60 at sf0.001 as of round 6.
     assert(recall4 >= recall, s"recall@10 probe4 = $recall4 < probe2 = $recall")
-    assert(recall4 >= 0.4, s"recall@10 probe4 = $recall4")
+    assert(recall4 >= 0.2, s"recall@10 probe4 = $recall4")
     info(f"IVF probe4 recall@10 = $recall4%.2f")
   }
 
@@ -56,6 +59,8 @@ class AnnIvfSpec extends AnyFunSuite {
     val r4 = row4(0)
     assert(r4.getAs[Long]("n_queries") == 5L)
     assert(r4.getAs[Boolean]("per_query_ok"))
-    assert(r4.getAs[Boolean]("recall_ge_40pct"))
+    // derived gates (ADVICE r4 #4): monotonicity + the probe2-inherited floor
+    assert(r4.getAs[Boolean]("recall_ge_20pct"))
+    assert(r4.getAs[Boolean]("probe4_ge_probe2"))
   }
 }

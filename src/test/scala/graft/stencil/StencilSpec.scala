@@ -94,4 +94,18 @@ class StencilSpec extends AnyFunSuite {
       .toVector
     assert(lines.tail == expect)
   }
+
+  test("StencilSvg renders the reference GIF's frame as well-formed SVG (S4 render half)") {
+    val svg = graft.tools.StencilSvg.render(120)
+    // one circle per stencil point + the center dot, reference geometry
+    assert(svg.sliding("<circle".length).count(_ == "<circle") == 121)
+    assert(svg.contains("""<svg xmlns="http://www.w3.org/2000/svg" width="320""""))
+    // center dot at offset (0.6w, 0.4w) = (192, 128), halvings-0 color (DB16 #8)
+    assert(svg.contains("""<circle cx="192.0" cy="128.0" r="3.25" fill="#597dce"/>"""))
+    // first axial step (1, 0): screen x = 1*320/12 + 192 = 218.67, y = 128
+    assert(svg.contains("""cx="218.67" cy="128.00" r="3.25" fill="#597dce""""))
+    // well-formed XML (would throw on mismatched tags/attrs)
+    javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+  }
 }
