@@ -45,7 +45,8 @@ object SparkEntry {
     ReferenceOps.defs ++ graft.queries.Dedup.defs ++ graft.queries.TextOps.defs ++
       graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
       graft.queries.Multimodal.defs ++ graft.queries.AnnIvf.defs ++
-      graft.queries.Sources.defs ++ graft.queries.Relational.defs
+      graft.queries.Sources.defs ++ graft.queries.Relational.defs ++
+      graft.queries.Pipeline.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -175,6 +175,45 @@ object Events {
         round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` over the key columns in a
+    * Structured Streaming query — the streaming twin of the batch exact
+    * dedup (q_dedup_exact's groupBy shape), emitting each key's FIRST
+    * arrival and suppressing every later one via per-key state. Only the
+    * key columns are selected, so the emitted set is exactly DISTINCT keys
+    * and the result is order-independent (keeping non-key columns would
+    * expose which duplicate arrived first — nondeterministic under
+    * re-partitioning).
+    *
+    * On an unbounded stream this state grows forever;
+    * `dropDuplicatesWithinWatermark` is the production variant that evicts
+    * state once the watermark passes a key (trading exactness for bounded
+    * state: a duplicate arriving after eviction re-emits). On bounded input
+    * the unbounded-state form is exact and must hash-match the batch
+    * DISTINCT oracle.
+    */
+  val streamDedup: QueryDef = QueryDef(
+    "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(t(dir, "events")).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+    withStreamPartitions(spark, 4) {
+      val q = stream.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("graft_stream_dedup")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table("graft_stream_dedup")
+  }
+
   /** As-of join: each click matched to the user's most recent earlier
     * purchase. Spark lacks ASOF JOIN; per the custom-operator preference
     * order this composes built-ins — tag both sides, one window pass per
@@ -246,6 +285,7 @@ object Events {
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,
     "q_sessionize_stream" -> sessionizeStream,
+    "q_stream_dedup" -> streamDedup,
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,
     "q_quantiles" -> quantiles)

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production LLM-data pipeline runs between
+  * dedup and training: benchmark decontamination (n-gram overlap against a
+  * held-out eval set), deterministic stratified sampling (per-language
+  * quotas, hash-ordered so a re-run of the pipeline reselects the same
+  * documents), and intra-document repetition scoring (the duplicated-n-gram
+  * quality filter of Rae et al., "Scaling Language Models: ... Gopher",
+  * arXiv:2112.11446 §A1.3).
+  *
+  * All three are exact and engine-checkable: integer arithmetic (or
+  * integer-quantized ratios) end to end, with DuckDB oracles computing the
+  * identical folds.
+  */
+object Pipeline {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Eval-set membership: a deterministic 1/37 slice of doc_ids stands in
+    * for the held-out benchmark corpus (in production this is the actual
+    * eval/benchmark file — tiny relative to the training corpus, which is
+    * the property the plan shape depends on).
+    */
+  private val EvalMod = 37
+  private val NGram = 4
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one 4-token n-gram with the eval set, with the count of distinct
+    * shared n-grams — the standard pre-training decontamination pass
+    * (n-gram collision against eval benchmarks).
+    *
+    * Scale shape: n-grams are built IN-ROW (`transform` over an index
+    * `sequence`, then `array_distinct`) — no explode-then-shuffle of the
+    * corpus. The eval side is tiny by construction, so the join is a
+    * broadcast hash semi-join against one map-side pass over the corpus;
+    * the only shuffle is the final groupBy(doc_id) over the matching rows
+    * (contaminated grams only — a small fraction of the corpus at 100 TB).
+    * Per-doc grams are distinct before the join, so the per-doc overlap
+    * count is a plain count(*), not a countDistinct.
+    */
+  val decontaminate: QueryDef = QueryDef(
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, len(words) - ${NGram - 2}),
+       |           i -> array_to_string(words[i:i+${NGram - 1}], ' ')))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+       |  WHERE len(words) >= $NGram)
+       |SELECT c.doc_id AS doc_id, count(*) AS n_shared
+       |FROM (SELECT doc_id, gram FROM g WHERE doc_id % $EvalMod <> 0) c
+       |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % $EvalMod = 0) e USING (gram)
+       |GROUP BY c.doc_id""".stripMargin) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(col("words")) - (NGram - 1)),
+      i => concat_ws(" ", slice(col("words"), i, lit(NGram)))))
+    val g = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= NGram)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val eval = g.filter(col("doc_id") % EvalMod === 0).select(col("gram")).distinct()
+    g.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(eval), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic stratified sampling: a fixed per-language quota selected
+    * by fingerprint-hash order — re-running the pipeline (or running it on
+    * a different cluster/partitioning) reselects the SAME documents, which
+    * random sampling cannot promise. The hash is the codegen'd PolyHash
+    * fingerprint, so selection is content-addressed, not row-order-
+    * addressed.
+    *
+    * Scale shape: rank-within-group over (lang, fp) becomes a
+    * WindowGroupLimit — per-partition top-k then a merge of k rows per
+    * group, never a full per-language sort. One shuffle on lang.
+    */
+  private val Quota = 20
+
+  val sampleStratified: QueryDef = QueryDef(
+    s"""SELECT doc_id, lang, fp FROM (
+       |  SELECT doc_id, lang, fp,
+       |         row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                       (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |    FROM documents) f) r
+       |WHERE rn <= $Quota""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"), PolyHash.polyHash(spark, "text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Quota)
+      .drop("rn")
+  }
+
+  /** Intra-document repetition: the fraction of bigram OCCURRENCES that are
+    * repeats of an earlier bigram in the same document (Gopher's
+    * duplicate-n-gram quality signal). Reported in exact 1e-4 fixed point
+    * (integer div — `round()` of a double quotient lands on .5 ULP
+    * boundaries where the engines disagree).
+    *
+    * Scale shape: pure map-side — bigrams via zip_with over shifted slices,
+    * distinct-count via array_distinct, all in-row; NO shuffle at all (the
+    * output is per-document). At 100 TB this runs at scan speed.
+    */
+  val repetition: QueryDef = QueryDef(
+    """SELECT doc_id, n_bigrams, n_distinct,
+      |       (n_bigrams - n_distinct) * 10000 // n_bigrams AS dup_10k
+      |FROM (
+      |  SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id, list_transform(list_zip(words[1:-2], words[2:-1]),
+      |                                  x -> x[1] || ' ' || x[2]) AS bgs
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+      |    WHERE len(words) >= 2) b) f""".stripMargin) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(col("words"), lit(1), size(col("words")) - 1),
+      slice(col("words"), lit(2), size(col("words")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), bigrams.as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        expr("(n_bigrams - n_distinct) * 10000 div n_bigrams").as("dup_10k"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_decontaminate" -> decontaminate,
+    "q_sample_stratified" -> sampleStratified,
+    "q_repetition" -> repetition)
+}

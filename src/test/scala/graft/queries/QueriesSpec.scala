@@ -92,6 +92,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("decontaminate excludes the eval slice and reports positive overlap") {
+    import org.apache.spark.sql.functions.col
+    val out = Pipeline.decontaminate.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // eval docs (doc_id % 37 == 0) are the benchmark side, never flagged
+      assert(out.filter(col("doc_id") % 37 === 0).count() == 0L)
+      assert(out.filter(col("n_shared") < 1).count() == 0L)
+    } finally out.unpersist()
+  }
+
+  test("stratified sample honors the per-language quota and is deterministic") {
+    import org.apache.spark.sql.functions.{col, count}
+    val a = Pipeline.sampleStratified.fn(spark, sf)
+    val over = a.groupBy(col("lang")).agg(count(col("doc_id")).as("n"))
+      .filter(col("n") > 20)
+    assert(over.count() == 0L, "a language exceeded its quota")
+    // content-addressed selection: a second run selects the identical set
+    val b = Pipeline.sampleStratified.fn(spark, sf)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("repetition ratio is bounded and exact on a handcrafted doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    // "a b a b a b": 5 bigrams, 2 distinct -> dup_10k = 3*10000/5 = 6000
+    Seq((0L, "a b a b a b"), (1L, "x y z w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.repetition.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) == ((5L, 2L, 6000L)))
+    assert(rows(1L) == ((3L, 3L, 0L)))
+    val bounds = Pipeline.repetition.fn(spark, sf)
+      .filter(col("dup_10k") < 0 || col("dup_10k") > 10000 ||
+        col("n_distinct") > col("n_bigrams"))
+    assert(bounds.count() == 0L)
+  }
+
+  test("stream dedup equals batch distinct on bounded input") {
+    val stream = Events.streamDedup.fn(spark, sf)
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").distinct()
+    assert(stream.exceptAll(batch).count() == 0L &&
+      batch.exceptAll(stream).count() == 0L)
+    assert(stream.count() == batch.count())
+  }
+
   test("dedup drop metrics are pinned at sf0.001") {
     // The gate oracles mirror the candidate-generator caps, so a cap bug
     // (e.g. a band-key regression routing the whole corpus into one dropped
