@@ -184,15 +184,28 @@ object Dedup {
     * Connected Components in MapReduce and Beyond") drops rounds to
     * O(log n) — not needed at this graph shape.
     *
-    * Each generation is persisted and materialized before its predecessor
-    * is unpersisted (the GraphX/Pregel pattern), so nothing recomputes
-    * across rounds and every superseded cache is reclaimed. The cached
-    * generation also truncates the *physical* recompute chain the way a
-    * localCheckpoint would, while staying freeable through the public
-    * Dataset API (a locally-checkpointed Dataset's blocks cannot be
-    * released via unpersist). The returned frame is a persisted,
-    * already-materialized table of only the pair-graph members; callers
-    * may `unpersist()` it after consumption — nothing else stays cached.
+    * Each generation is materialized through `localCheckpoint(eager=true)`,
+    * which TRUNCATES both lineage and the plan tree to a constant-size
+    * existing-RDD scan. Plain `persist()` is NOT enough here and was the
+    * round-6 regression: an `InMemoryRelation` prints its cached physical
+    * plan as innerChildren, so generation k's plan STRING embeds
+    * generation k-1's several times over (once per reference in the
+    * propagate join), and the per-action plan rendering Spark does for the
+    * SQL-execution listener grows geometrically with rounds — at sf0.1 the
+    * query spent 200+ s inside `TreeNode.generateTreeString` while the
+    * actual joins took ~3 s. This is the same reason GraphFrames'
+    * connected components checkpoints every few iterations; on a real
+    * cluster one would use reliable `checkpoint()` (a localCheckpoint dies
+    * with an executor), which swaps in with one line. The edge set is
+    * checkpointed too, so the whole LSH candidate pipeline is computed and
+    * rendered exactly once, not once per round.
+    *
+    * Superseded generations' checkpoint blocks are freed via their RDD ids
+    * (`SparkContext.getPersistentRDDs` — `unpersist()` on a
+    * locally-checkpointed Dataset cannot release them). The returned frame
+    * is a persisted, already-materialized table of only the pair-graph
+    * members; callers may `unpersist()` it after consumption — nothing
+    * else stays cached.
     *
     * A corpus with NO near-duplicate pairs (the common case for a clean
     * corpus) short-circuits to an empty result instead of iterating —
@@ -212,11 +225,24 @@ object Dedup {
        |       least(src, min(dst)) AS cluster_id,
        |       least(src, min(dst)) = src AS keep
        |FROM reach GROUP BY src""".stripMargin) { (spark, dir) =>
+    val sc = spark.sparkContext
+    // localCheckpoint registers its block RDD in getPersistentRDDs; the
+    // id diff around each checkpoint is the only public handle for freeing
+    // a superseded generation's blocks.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val (pairsAll, sh) = minhashPairsDF(spark, dir)
     val pairs = pairsAll.select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    val (edges, edgeIds) = checkpointed(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    sh.unpersist() // the checkpoint holds the edge data; nothing recomputes
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
     def propagate(l: DataFrame): DataFrame = {
@@ -235,21 +261,27 @@ object Dedup {
         .select(col("src").as("doc_id"), col("src").as("cluster_id"),
           lit(true).as("keep"))
         .filter(lit(false))
-      edges.unpersist()
-      sh.unpersist()
+      free(edgeIds)
       out
     } else {
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist()
+      // Fused first round: after round 1 every node's label is
+      // least(self, min neighbor), which one aggregation over the
+      // symmetric edge set computes directly — replacing the identity
+      // init (a distinct shuffle) plus the first two-join propagate.
+      var (labels, labelIds) = checkpointed(
+        edges.groupBy(col("dst"))
+          .agg(min(col("src")).as("nbr_min"))
+          .select(col("dst").as("doc_id"),
+            least(col("dst"), col("nbr_min")).as("cluster_id")))
       var prevSum = labelSum(labels)
       var converged = false
-      var rounds = 0
+      var rounds = 1
       while (!converged && rounds < 50) {
-        val next = propagate(propagate(labels)).persist()
+        val (next, nextIds) = checkpointed(propagate(propagate(labels)))
         val nextSum = labelSum(next)
-        labels.unpersist()
+        free(labelIds)
         labels = next
+        labelIds = nextIds
         converged = nextSum == prevSum
         prevSum = nextSum
         rounds += 2
@@ -258,10 +290,9 @@ object Dedup {
       val out = labels.select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
         .persist()
-      out.count() // materialize before freeing the generation beneath it
-      labels.unpersist()
-      edges.unpersist()
-      sh.unpersist()
+      out.count() // materialize before freeing the generations beneath it
+      free(labelIds)
+      free(edgeIds)
       out
     }
   }
