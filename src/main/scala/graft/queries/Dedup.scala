@@ -48,6 +48,34 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_doc_id"))
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup — the production shape for
+    * a recurring ingest: dedupe today's batch in-batch (min doc_id per
+    * content hash), then anti-join against the existing corpus's hash set
+    * so only genuinely new content survives. Here `source = 'src0'` stands
+    * in for the new batch and the rest for the corpus.
+    *
+    * Scale shape: one shuffle hash anti-join on the content hash plus one
+    * map-side-combinable groupBy — the corpus side reduces to its hash
+    * column only (column pruning reaches the scan). At 100 TB the corpus
+    * hash set is the thing to keep bucketed by hash so recurring ingests
+    * skip its shuffle entirely.
+    */
+  val incremental: QueryDef = QueryDef(
+    """SELECT min(doc_id) AS doc_id, content_hash FROM (
+      |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE source = 'src0') b
+      |WHERE content_hash NOT IN (SELECT md5(text) FROM documents WHERE source <> 'src0')
+      |GROUP BY content_hash""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(t(dir, "documents"))
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("content_hash"))
+    batch.join(corpus, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
   private def shingleDF(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(t(dir, "documents"))
@@ -586,6 +614,7 @@ object Dedup {
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_clusters" -> clusters,
     "q_dedup_simhash" -> simhash,

@@ -141,6 +141,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(stream.count() == batch.count())
   }
 
+  test("incremental dedup keeps only batch content unseen in the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // corpus (src1) holds "dup text"; batch (src0) has an in-batch double
+    // of the new text plus one doc duplicating corpus content
+    Seq(
+      (0L, "brand new text", "src0"),
+      (1L, "brand new text", "src0"),
+      (2L, "dup text", "src0"),
+      (3L, "dup text", "src1"),
+      (4L, "other corpus text", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.incremental.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // only the new text survives, canonicalized to its minimum doc_id
+    assert(rows.map(_._1) == Seq(0L))
+  }
+
   test("dedup drop metrics are pinned at sf0.001") {
     // The gate oracles mirror the candidate-generator caps, so a cap bug
     // (e.g. a band-key regression routing the whole corpus into one dropped
