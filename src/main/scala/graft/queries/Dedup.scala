@@ -555,6 +555,12 @@ object Dedup {
     * exact band/posting builder its query uses, so a cap regression (e.g. a
     * band-key bug routing the corpus into one bucket) fails this row
     * loudly.
+    *
+    * Cost note: standalone this is the priciest row in the bench (~8 s at
+    * sf0.1) because it is four generators' pipelines in one action. That is
+    * the VERIFIABLE form; a production pipeline computes each count as a
+    * side aggregate of the generator pass it already runs (one extra tiny
+    * agg per pass, amortized to ~zero), not as a standalone job.
     */
   val dropMetricsQ: QueryDef = QueryDef(
     s"""WITH $shingleSql,

@@ -121,4 +121,37 @@ class PlanSpec extends AnyFunSuite {
     // rank<=10 evaluated as a partial per-partition top-k before the shuffle
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_decontaminate broadcasts the eval grams over one filtered corpus scan") {
+    val p = plan("q_decontaminate")
+    // tiny eval side is the broadcast build; the corpus side never shuffles
+    // its grams (the only Exchange is the final doc_id aggregation)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the batch/eval split reaches the scan as a data filter, and grams are
+    // generated in-row (a Generate directly over the projected scan)
+    assert(p.contains("% 37"), p)
+    assert(p.contains("Generate explode(array_distinct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sample_stratified plans the quota as a partial-final WindowGroupLimit") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(p.contains("poly_hash"), p) // content-addressed ordering
+  }
+
+  test("q_repetition is a single scan with zero exchanges") {
+    val p = plan("q_repetition")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_dedup_incremental prunes the corpus side to the text column and anti-joins") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    // corpus side reads only what the hash needs
+    assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
+      p.contains("ReadSchema: struct<text:string>"), p)
+  }
 }
