@@ -175,6 +175,30 @@ object Events {
         round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
   }
 
+  /** Sliding 1-hour windows advancing every 30 minutes, per event type —
+    * Spark's native `window(slide)` operator (each event lands in exactly
+    * two overlapping windows; TimeWindow expands them in-row before the
+    * grouping shuffle). The oracle reproduces the expansion arithmetically:
+    * window starts are the two slide-aligned offsets at or before the
+    * event (`(floor(tus/30min) - o) * 30min` for o in {0,1}) — exactly the
+    * windows `[start, start+1h)` containing the event. Microsecond basis,
+    * fixed-point sums: hash-stable at any partitioning.
+    */
+  val windowSliding: QueryDef = QueryDef(
+    s"""SELECT w_start_us, event_type, n, sum_value FROM (
+       |  SELECT (epoch_us(ts) // 1800000000 - o) * 1800000000 AS w_start_us,
+       |         event_type, count(*) AS n, $fixedSumSql AS sum_value
+       |  FROM events, (VALUES (0), (1)) t(o)
+       |  GROUP BY w_start_us, event_type) w""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("tts"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("tts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over the key columns in a
     * Structured Streaming query — the streaming twin of the batch exact
     * dedup (q_dedup_exact's groupBy shape), emitting each key's FIRST
@@ -286,6 +310,7 @@ object Events {
     "q_sessionize" -> sessionize,
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
+    "q_window_sliding" -> windowSliding,
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,
     "q_quantiles" -> quantiles)
