@@ -110,6 +110,15 @@ final case class SearchOptions(
     integerDimensions: Seq[Int] = Nil,
     batchsize: Option[Int] = None,
     seed: Option[Long] = None,
+    /** Feasibility predicate over grid-snapped trial points — the boundary
+      * -constraint hook the reference declares as future work
+      * (search.py:281-283, `check_feasible`): an infeasible trial point is
+      * skipped entirely (never submitted, never a contract condition),
+      * exactly where the reference's commented-out `continue` sits. The
+      * start point x0 is submitted unchecked, matching the reference shape
+      * (the TODO guards only stencil trial points).
+      */
+    feasible: Option[Array[Double] => Boolean] = None,
     /** Observability hook: receives one line per recenter/termination event. */
     trace: Option[String => Unit] = None) {
   require(stopratio > 0 && stopratio < 1, s"stopratio must be in (0,1), got $stopratio")

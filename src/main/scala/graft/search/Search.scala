@@ -238,7 +238,10 @@ object Search {
                 t
               } else toGrid(Array.tabulate(dims)(j => curPoint.point(j) + dx(j)))
 
-            if (halvings <= maxHalvings) {
+            // Feasibility hook (search.py:281-283's commented-out TODO):
+            // an infeasible trial is skipped before it can become a
+            // contract condition or a submission.
+            if (halvings <= maxHalvings && opts.feasible.forall(_(trial))) {
               val key = ArraySeq.unsafeWrapArray(trial)
               val existing = results.get(key)
               val pending = existing.isEmpty || !existing.get.isDone

@@ -199,4 +199,26 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.maxHalvingsFor(1e-4) == 14)
     assert(Search.maxHalvingsFor(0.5) == 2)
   }
+
+  test("feasibility hook: sphere under a box constraint (search.py:281-283 TODO)") {
+    // Minimize the sphere with the feasible region x(0) >= 2: the
+    // unconstrained optimum (0,0) is infeasible, so the search must land on
+    // the boundary x(0) = 2 (and x(1) = 0, unconstrained).
+    val feasible = (x: Array[Double]) => x(0) >= 2.0
+    val submitted = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val spy = Objective { x => submitted.synchronized(submitted += x.clone()); x.map(v => v * v).sum }
+    for (seed <- 1L to 3L) {
+      submitted.clear()
+      val res = Search.minimize(spy, x0, ones, new SerialClient,
+        SearchOptions(stopratio = stopratio, seed = Some(seed), feasible = Some(feasible)))
+      assertGlobalBest(res)
+      // Every evaluated point after x0 satisfied the predicate — infeasible
+      // trials were never submitted (the reference TODO's `continue`).
+      assert(submitted.tail.forall(feasible), "an infeasible point was submitted")
+      assert(math.abs(res.best.point(0) - 2.0) < 2 * stopratio,
+        s"constrained dim should land on the boundary, got ${res.best}")
+      assert(math.abs(res.best.point(1)) < 2 * stopratio,
+        s"unconstrained dim should reach 0, got ${res.best}")
+    }
+  }
 }
