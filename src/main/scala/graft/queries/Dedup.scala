@@ -61,9 +61,14 @@ object Dedup {
     * skip its shuffle entirely.
     */
   val incremental: QueryDef = QueryDef(
+    // NOT EXISTS, not NOT IN: NOT IN over a subquery containing a NULL
+    // returns zero rows, while Spark's left_anti keeps NULL-hash batch rows
+    // — a NULL `text` would silently diverge the engines (ADVICE r6 #1).
+    // NOT EXISTS has exactly left_anti's null semantics.
     """SELECT min(doc_id) AS doc_id, content_hash FROM (
       |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE source = 'src0') b
-      |WHERE content_hash NOT IN (SELECT md5(text) FROM documents WHERE source <> 'src0')
+      |WHERE NOT EXISTS (SELECT 1 FROM documents c
+      |                  WHERE c.source <> 'src0' AND md5(c.text) = b.content_hash)
       |GROUP BY content_hash""".stripMargin) { (spark, dir) =>
     val docs = spark.read.parquet(t(dir, "documents"))
     val batch = docs.filter(col("source") === "src0")
@@ -196,21 +201,28 @@ object Dedup {
     * component's minimum doc_id as its cluster id, and `keep` marks the one
     * canonical survivor per cluster.
     *
-    * Spark shape: iterative min-label propagation as DataFrame joins. Each
-    * round every node takes the min of its own label and its neighbors';
-    * the sum of labels is monotone non-increasing and strictly decreases
-    * until the fixed point, so an unchanged sum IS convergence. Two
-    * propagation rounds run per materialized generation (the monotone sum
-    * means a skipped check can never miss the fixed point), halving the
-    * Spark job launches — the dominant cost at small scale. The graph is
-    * the PAIR graph, not the corpus — at 100 TB the near-dup pairs are a
-    * small fraction of documents, and each round is one shuffle on doc_id
-    * of that small edge set. Rounds needed = component diameter; LSH
-    * components are band-bucket cliques glued at shared docs, so the
-    * diameter is tiny (typically <= 3). For adversarial million-node chain
-    * components the large-star/small-star variant (Kiveris et al., "
-    * Connected Components in MapReduce and Beyond") drops rounds to
-    * O(log n) — not needed at this graph shape.
+    * Spark shape: iterative min-label propagation PLUS pointer jumping as
+    * DataFrame joins. Each materialized generation does (a) a propagate —
+    * every node takes the min of its own label and its neighbors' — and
+    * (b) a jump — every node replaces its label by its label's label
+    * (labels always hold node ids of the same component, so the
+    * composition is well-defined and stays inside the component). Every
+    * label is monotone non-increasing under both steps and bounded below
+    * by its component's min id, so the label SUM is monotone and an
+    * unchanged sum over a generation IS the fixed point: propagate
+    * unchanged means both endpoints of every edge carry equal labels, and
+    * the component min m always keeps label m, so equal-per-component
+    * labels are exactly the min ids. The graph is the PAIR graph, not the
+    * corpus — at 100 TB the near-dup pairs are a small fraction of
+    * documents, and each generation is two short-key shuffles over that
+    * small edge set. Pointer jumping makes the generation count
+    * O(log diameter) instead of O(diameter): propagate alone walks the min
+    * one hop per round, while jumping doubles the length of resolved label
+    * chains — a 200-node chain converges in ~9 generations (pinned by a
+    * QueriesSpec test), a million-node chain in ~21. LSH graphs are far
+    * easier (band-bucket cliques glued at shared docs, diameter <= 3), so
+    * at the gate scale the jump join costs almost nothing and buys the
+    * adversarial bound.
     *
     * Each generation is materialized through `localCheckpoint(eager=true)`,
     * which TRUNCATES both lineage and the plan tree to a constant-size
@@ -222,18 +234,28 @@ object Dedup {
     * SQL-execution listener grows geometrically with rounds — at sf0.1 the
     * query spent 200+ s inside `TreeNode.generateTreeString` while the
     * actual joins took ~3 s. This is the same reason GraphFrames'
-    * connected components checkpoints every few iterations; on a real
-    * cluster one would use reliable `checkpoint()` (a localCheckpoint dies
-    * with an executor), which swaps in with one line. The edge set is
-    * checkpointed too, so the whole LSH candidate pipeline is computed and
-    * rendered exactly once, not once per round.
+    * connected components checkpoints every few iterations. On a real
+    * cluster a localCheckpoint dies with its executor; setting the
+    * `graft.cc.checkpointDir` session conf switches every generation to
+    * reliable `Dataset.checkpoint()` against that directory (tested in
+    * QueriesSpec), making generations survive executor loss. The edge set
+    * is checkpointed too, so the whole LSH candidate pipeline is computed
+    * and rendered exactly once, not once per round.
     *
     * Superseded generations' checkpoint blocks are freed via their RDD ids
     * (`SparkContext.getPersistentRDDs` — `unpersist()` on a
     * locally-checkpointed Dataset cannot release them). The returned frame
     * is a persisted, already-materialized table of only the pair-graph
     * members; callers may `unpersist()` it after consumption — nothing
-    * else stays cached.
+    * else stays cached. CAVEAT (ADVICE r6 #3): because the generations
+    * beneath it are freed before return, the returned frame is NOT
+    * recomputable — it must be consumed from its cached blocks and never
+    * re-evaluated after `unpersist()` (losing the blocks — executor death
+    * on a real cluster, or unpersist-then-recollect — throws a
+    * checkpoint-block-not-found error rather than silently recomputing).
+    * The reliable-checkpoint mode (`graft.cc.checkpointDir`, below) removes
+    * the executor-death half of that caveat: HDFS-backed generations
+    * survive executor loss.
     *
     * A corpus with NO near-duplicate pairs (the common case for a clean
     * corpus) short-circuits to an empty result instead of iterating —
@@ -253,24 +275,65 @@ object Dedup {
        |       least(src, min(dst)) AS cluster_id,
        |       least(src, min(dst)) = src AS keep
        |FROM reach GROUP BY src""".stripMargin) { (spark, dir) =>
+    val (pairsAll, sh) = minhashPairsDF(spark, dir)
+    val pairs = pairsAll.select(col("doc_a"), col("doc_b"))
+    // The edge checkpoint materializes the whole LSH pipeline; sh's cache
+    // can go the moment that happens (nothing recomputes through it).
+    ccFromPairs(spark, pairs, onEdgesMaterialized = () => { sh.unpersist(); () })._1
+  }
+
+  /** Connected components over an undirected `(doc_a, doc_b)` pair graph —
+    * the engine behind [[clusters]], factored out so tests can drive it on
+    * adversarial graph shapes (the ~200-node chain test). Returns the
+    * `(doc_id, cluster_id, keep)` labels frame plus the number of
+    * materialized generations it took to converge (1 = the fused first
+    * round sufficed). See [[clusters]]'s scaladoc for the algorithm,
+    * checkpointing, and memory-release contract.
+    *
+    * `onEdgesMaterialized` fires once the edge set is checkpointed —
+    * callers use it to release caches the edge pipeline was reading.
+    */
+  private[graft] def ccFromPairs(
+      spark: SparkSession,
+      pairs: DataFrame,
+      onEdgesMaterialized: () => Unit = () => ()): (DataFrame, Int) = {
     val sc = spark.sparkContext
-    // localCheckpoint registers its block RDD in getPersistentRDDs; the
-    // id diff around each checkpoint is the only public handle for freeing
-    // a superseded generation's blocks.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint(true)
-      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    // Reliable-checkpoint mode (real clusters: a localCheckpoint dies with
+    // its executor): when the `graft.cc.checkpointDir` session conf is set,
+    // every generation goes through HDFS-backed Dataset.checkpoint()
+    // against that directory instead. Reliable checkpoints are file-backed
+    // (not block-manager-persisted), so there is nothing to free per
+    // generation and the returned frame stays recomputable.
+    val reliableDir = spark.conf.getOption("graft.cc.checkpointDir").filter(_.nonEmpty)
+    reliableDir.foreach { d =>
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
     }
+    // A generation's checkpoint block RDDs are identified by walking the
+    // checkpointed Dataset's OWN execution-RDD lineage for storage-backed
+    // nodes — not by diffing sc.getPersistentRDDs around the call, which
+    // would mis-attribute (and later free) anything a CONCURRENT query
+    // persisted on the shared SparkContext in that window (ADVICE r6 #2).
+    // localCheckpoint persists the pre-checkpoint RDD, so the persisted
+    // node sits at a shallow, bounded depth in the new plan's lineage.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      if (reliableDir.isDefined) (df.checkpoint(true), Set.empty)
+      else {
+        val cp = df.localCheckpoint(true)
+        def persisted(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+          val own =
+            if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Set(r.id)
+            else Set.empty[Int]
+          own ++ r.dependencies.iterator.flatMap(d => persisted(d.rdd))
+        }
+        (cp, persisted(cp.queryExecution.toRdd))
+      }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-    val (pairsAll, sh) = minhashPairsDF(spark, dir)
-    val pairs = pairsAll.select(col("doc_a"), col("doc_b"))
     val (edges, edgeIds) = checkpointed(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    sh.unpersist() // the checkpoint holds the edge data; nothing recomputes
+    onEdgesMaterialized()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
     def propagate(l: DataFrame): DataFrame = {
@@ -282,6 +345,17 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
     }
+    // Pointer jumping: label := label(label). Every label value is a node
+    // id present in the labels frame (initial labels are node ids; min and
+    // composition preserve that), so the self-join always matches; the
+    // coalesce only guards the invariant, it never fires.
+    def jump(l: DataFrame): DataFrame = {
+      val cur = l.select(col("doc_id"), col("cluster_id").as("cur_label"))
+      val via = l.select(col("doc_id").as("via_key"), col("cluster_id").as("via_label"))
+      cur.join(via, cur("cur_label") === via("via_key"), "left")
+        .select(col("doc_id"),
+          coalesce(col("via_label"), col("cur_label")).as("cluster_id"))
+    }
     if (edges.isEmpty) {
       // filter(false) folds to an empty LocalRelation — the returned frame
       // carries the right (doc_id, cluster_id, keep) schema at zero cost.
@@ -290,7 +364,7 @@ object Dedup {
           lit(true).as("keep"))
         .filter(lit(false))
       free(edgeIds)
-      out
+      (out, 0)
     } else {
       // Fused first round: after round 1 every node's label is
       // least(self, min neighbor), which one aggregation over the
@@ -303,25 +377,25 @@ object Dedup {
             least(col("dst"), col("nbr_min")).as("cluster_id")))
       var prevSum = labelSum(labels)
       var converged = false
-      var rounds = 1
-      while (!converged && rounds < 50) {
-        val (next, nextIds) = checkpointed(propagate(propagate(labels)))
+      var generations = 1
+      while (!converged && generations < 60) {
+        val (next, nextIds) = checkpointed(jump(propagate(labels)))
         val nextSum = labelSum(next)
         free(labelIds)
         labels = next
         labelIds = nextIds
         converged = nextSum == prevSum
         prevSum = nextSum
-        rounds += 2
+        generations += 1
       }
-      require(converged, s"label propagation did not converge in $rounds rounds")
+      require(converged, s"label propagation did not converge in $generations generations")
       val out = labels.select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
         .persist()
       out.count() // materialize before freeing the generations beneath it
       free(labelIds)
       free(edgeIds)
-      out
+      (out, generations)
     }
   }
 

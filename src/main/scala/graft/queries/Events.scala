@@ -31,8 +31,33 @@ object Events {
        |         count(*) AS n, $fixedSumSql AS sum_value
        |  FROM events GROUP BY event_type, hour_bucket) w""".stripMargin
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Set-and-restore wrapper for the nanos-as-long parquet flag (ADVICE r6
+    * #4): used by the STREAMING queries, whose execution completes inside
+    * the body, so restoring cannot break anything downstream.
+    */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+  }
+
+  /** Batch read of events.parquet (TIMESTAMP(NANOS) ts → long). The flag is
+    * deliberately left set on the session — NOT restored: the returned
+    * frame is lazy, and the parquet scan re-reads this conf when the plan
+    * executes (file-source readers capture SQLConf at physical planning,
+    * i.e. action time), so a restore here would make later execution of the
+    * returned frame fail on the nanos type. Session-sticky by requirement,
+    * not oversight; the fully-executed streaming queries use
+    * [[withNanosAsLong]] instead and leak nothing.
+    */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(NanosKey, "true")
     spark.read.parquet(t(dir, "events"))
   }
 
@@ -69,23 +94,24 @@ object Events {
     * On bounded input this must hash-match the batch oracle exactly.
     */
   val streamWindows: QueryDef = QueryDef(oracle) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(t(dir, "events")).schema
-    // The file source wants a directory; a [t] character class turns the
-    // exact file path into a glob so basePath resolves to the parent dir.
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-    withStreamPartitions(spark, 4) {
-      val q = windowAgg(stream).writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName("graft_stream_windows")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+    withNanosAsLong(spark) {
+      val schema = spark.read.parquet(t(dir, "events")).schema
+      // The file source wants a directory; a [t] character class turns the
+      // exact file path into a glob so basePath resolves to the parent dir.
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+      withStreamPartitions(spark, 4) {
+        val q = windowAgg(stream).writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("graft_stream_windows")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     spark.table("graft_stream_windows")
   }
@@ -161,14 +187,19 @@ object Events {
       |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
       |WHERE g.sid < g.max_sid OR g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) {
     (spark, dir) =>
-    withStreamPartitions(spark, 4) {
-      val q = graft.streaming.Sessionize.sessions(spark, dir).writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("graft_sessionize_stream")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+    // withNanosAsLong wraps the whole execution: Sessionize.sessions sets
+    // the flag itself (for direct callers), but the wrapper's restore here
+    // means this query leaves no session-conf residue either way.
+    withNanosAsLong(spark) {
+      withStreamPartitions(spark, 4) {
+        val q = graft.streaming.Sessionize.sessions(spark, dir).writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_sessionize_stream")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     spark.table("graft_sessionize_stream")
       .select(col("user_id"), col("n"), col("start_us"), col("end_us"),
@@ -217,23 +248,24 @@ object Events {
     */
   val streamDedup: QueryDef = QueryDef(
     "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(t(dir, "events")).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-    withStreamPartitions(spark, 4) {
-      val q = stream.select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName("graft_stream_dedup")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+    withNanosAsLong(spark) {
+      val schema = spark.read.parquet(t(dir, "events")).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+      withStreamPartitions(spark, 4) {
+        val q = stream.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_dedup")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     spark.table("graft_stream_dedup")
   }

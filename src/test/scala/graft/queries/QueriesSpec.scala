@@ -134,11 +134,16 @@ class QueriesSpec extends AnyFunSuite {
 
   test("stream dedup equals batch distinct on bounded input") {
     val stream = Events.streamDedup.fn(spark, sf)
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .select("user_id", "event_type").distinct()
-    assert(stream.exceptAll(batch).count() == 0L &&
-      batch.exceptAll(stream).count() == 0L)
-    assert(stream.count() == batch.count())
+    // The stream query restores the nanos-as-long flag on exit (ADVICE r6
+    // #4), so this batch comparison read sets it for itself and cleans up.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val batch = spark.read.parquet(s"$sf/events.parquet")
+        .select("user_id", "event_type").distinct()
+      assert(stream.exceptAll(batch).count() == 0L &&
+        batch.exceptAll(stream).count() == 0L)
+      assert(stream.count() == batch.count())
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
   test("incremental dedup keeps only batch content unseen in the corpus") {
@@ -175,5 +180,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.keySet == expected.keySet)
     got.foreach { case (k, v) => assert(v >= 0L, s"$k negative: $v") }
     assert(got == expected)
+  }
+
+  test("connected components converge in O(log d) generations on a 200-node chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Adversarial diameter: a path graph 0-1-2-...-199 (diameter 199).
+    // Plain min-label propagation walks the min one hop per round (~100
+    // two-propagate generations); pointer jumping doubles resolved label
+    // chains each generation, so convergence must stay logarithmic.
+    val n = 200
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, generations) = Dedup.ccFromPairs(spark, pairs)
+    try {
+      assert(labels.count() == n.toLong)
+      assert(labels.filter(col("cluster_id") =!= 0L).count() == 0L,
+        "every chain node must label to the component min (0)")
+      assert(labels.filter(col("keep")).count() == 1L)
+      // log2(199) ~ 7.6; the fused first round plus jump-doubling needs
+      // ~9 generations. 15 is the regression ceiling — a propagate-only
+      // implementation would need ~100 and fail loudly here.
+      assert(generations <= 15, s"chain-200 took $generations generations (not logarithmic)")
+      assert(generations >= 3, s"chain-200 in $generations generations is implausible")
+    } finally labels.unpersist()
+  }
+
+  test("reliable-checkpoint mode (graft.cc.checkpointDir) produces identical clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    spark.conf.set("graft.cc.checkpointDir", ckDir)
+    try {
+      // two components: a 5-chain (min 0) and a triangle (min 10)
+      val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+      val (labels, _) = Dedup.ccFromPairs(spark, pairs)
+      val got = labels.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got == Map(
+        0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((0L, false)),
+        3L -> ((0L, false)), 4L -> ((0L, false)),
+        10L -> ((10L, true)), 11L -> ((10L, false)), 12L -> ((10L, false))))
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint directory is empty — local path was used")
+      labels.unpersist()
+    } finally spark.conf.unset("graft.cc.checkpointDir")
   }
 }
