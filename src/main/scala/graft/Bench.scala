@@ -39,6 +39,27 @@ import scala.sys.process.{Process, ProcessLogger}
   *   - The JSON line carries /proc/loadavg before/after, the CPU count,
   *     every group's calibration seconds, the threshold, and the re-run
   *     count — the driver's 2×-gate can now see WHEN a number is noise.
+  *
+  * Per-query contention pins (round-7 rework — r6's calibration gate had a
+  * dead zone: a 0.58 s calibration passed the 0.65 threshold while
+  * individual multi-job queries in the group ran up to 30× their clean
+  * cost, because a 1-job pure-compute micro-query under-measures the
+  * contention heavyweight queries feel superlinearly):
+  *   - `bench_pins.json` (a committed resource) holds the last CLEAN run's
+  *     per-query medians. After each group, any query whose median exceeds
+  *     [[PinDistortionFactor]]× its pin is re-run in a fresh child JVM
+  *     (with its own bracketing calibration) and the lower median wins.
+  *   - Queries STILL above the pin band after the re-run are listed in the
+  *     output's `"suspect"` array — a loaded box now yields either clean
+  *     numbers or visibly-flagged ones, never silent distortion.
+  *   - Queries without a pin (new this round) are exempt until pinned.
+  *
+  * Output protocol (round-7 rework — r6's single ~2.1 KB full-precision
+  * line overflowed the driver's bounded tail capture and the round's
+  * number was lost): per-query seconds are rounded to 3 decimals, and a
+  * second COMPACT record `{"metric":"total","value":…,"unit":"sec",
+  * "sf":…}` is printed LAST, so a bounded tail always ends with a
+  * complete parseable JSON line carrying the headline number.
   */
 object Bench {
 
@@ -56,9 +77,48 @@ object Bench {
   private val CalibThresholdSec =
     sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX_SEC", "0.65").toDouble
 
+  /** A query running slower than this factor times its pinned clean median
+    * is treated as contention-distorted and re-run in a fresh child JVM.
+    * 3× sits far above honest round-over-round regressions (the largest
+    * real one observed was ~1.7×) and far below the 5-30× distortions the
+    * r5/r6 contended runs produced.
+    */
+  private val PinDistortionFactor =
+    sys.env.getOrElse("SPARK_GRAFT_PIN_FACTOR", "3.0").toDouble
+
+  /** Clean per-query medians from the last committed clean run at the
+    * given scale factor (src/main/resources/bench_pins_<sfName>.json, e.g.
+    * bench_pins_sf0.1.json) — the reference band for per-query distortion
+    * detection. Pins are SCALE-FACTOR-SCOPED: a run at an unpinned SF gets
+    * no pins (an sf0.1 median is meaningless against an sf0.01 run), and
+    * queries absent from the file (new this round) are exempt until the
+    * next pin refresh.
+    */
+  private def pinsFor(sfDir: String): Map[String, Double] =
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val in = getClass.getResourceAsStream(s"/bench_pins_$sfName.json")
+      if (in == null) Map.empty
+      else
+        try parseGroupJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] failed to load bench pins: ${e.getMessage}")
+      Map.empty
+    }
+
+  /** The flagship end-to-end search (SparkEntry.entry: minimize waves as
+    * Spark jobs through SparkClient) is benched under this name in its own
+    * group; it is not a gate row because the async wave-completion order
+    * legitimately perturbs the trajectory (the driver smoke-checks rows>0;
+    * SearchSpec/GoldenTrajectorySpec pin semantics on the serial client).
+    */
+  private val EntryBenchName = "q_search_e2e"
+
   /** Isolation groups: heavyweight/stateful families get their own JVM. */
   private def groupOf(name: String): String =
-    if (name.startsWith("q_ann")) "ml"
+    if (name == EntryBenchName) "e2e"
+    else if (name.startsWith("q_ann")) "ml"
     else if (name.startsWith("q_stream") || name.endsWith("_stream")) "stream"
     else if (name.startsWith("q_dedup") || name == "q_embed_neardup") "dedup"
     else "core"
@@ -107,49 +167,83 @@ object Bench {
   private def parentMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted :+ EntryBenchName
     val groups = names.groupBy(groupOf).toSeq.sortBy(_._1)
+    val pins = pinsFor(sfDir)
     val loadBefore = loadavg()
 
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val calibs = scala.collection.mutable.LinkedHashMap.empty[String, GroupRun]
     var reruns = 0
-    for ((gname, qnames) <- groups) {
-      def attempt(): GroupRun = runGroupChild(gname, qnames, sfDir, cpus)
+    def runOnce(gname: String, qnames: Seq[String]): GroupRun =
+      runGroupChild(gname, qnames, sfDir, cpus)
         .getOrElse {
           System.err.println(s"[bench] child JVM for group '$gname' failed; running in-process")
           runGroupInProcess(qnames, sfDir, cpus)
         }
-      val first = attempt()
-      val best =
+    for ((gname, qnames) <- groups) {
+      val first = runOnce(gname, qnames)
+      var best =
         if (first.calibMax > CalibThresholdSec) {
           System.err.println(
             f"[bench] group '$gname' calibration ${first.calibMax}%.2fs > " +
               f"$CalibThresholdSec%.2fs threshold (box contended); re-running once")
           reruns += 1
-          val second = attempt()
+          val second = runOnce(gname, qnames)
           if (second.calibMax < first.calibMax) second else first
         } else first
+      // Per-query distortion check against the pinned clean medians: the
+      // calibration micro-query can read clean while heavyweight queries
+      // were distorted (the r6 dead zone), so any query beyond its pin
+      // band is re-run in a fresh child JVM and the lower median wins.
+      val distorted = qnames.filter { n =>
+        val v = best.results.getOrElse(n, -1.0)
+        v >= 0 && pins.get(n).exists(p => v > PinDistortionFactor * p)
+      }
+      if (distorted.nonEmpty) {
+        System.err.println(
+          s"[bench] group '$gname': ${distorted.mkString(",")} above " +
+            s"$PinDistortionFactor x pinned clean medians; re-running those queries")
+        reruns += 1
+        val again = runOnce(s"$gname-pinrerun", distorted)
+        val better = again.results.map { case (k, v) =>
+          val prev = best.results.getOrElse(k, Double.MaxValue)
+          k -> (if (v >= 0 && v < prev) v else prev)
+        }
+        best = best.copy(results = best.results ++ better)
+      }
       calibs(gname) = best
       best.results.foreach { case (k, v) => merged(k) = v }
     }
     val loadAfter = loadavg()
 
+    // Queries still above their pin band after the targeted re-run: the
+    // number is reported but flagged — consumers must not trust it.
+    val suspects = names.filter { n =>
+      val v = merged.getOrElse(n, -1.0)
+      v >= 0 && pins.get(n).exists(p => v > PinDistortionFactor * p)
+    }
+
     val qs = names
-      .map(n => s"\"" + n + "\":" + merged.getOrElse(n, -1.0))
+      .map(n => f""""$n":${merged.getOrElse(n, -1.0)}%.3f""")
       .mkString("{", ",", "}")
     val calibJson = calibs
       .map { case (g, r) =>
         f""""$g":{"before":${r.calibBefore}%.3f,"after":${r.calibAfter}%.3f}"""
       }
       .mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.flatMap(merged.get).filter(_ >= 0).sum
     val ncpu = Runtime.getRuntime.availableProcessors()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ncpu":$ncpu""" +
-        s""","calib":$calibJson,"calib_threshold_sec":$CalibThresholdSec,"reruns":$reruns}"""
+        s""","calib":$calibJson,"calib_threshold_sec":$CalibThresholdSec""" +
+        s""","suspect":$suspectJson,"reruns":$reruns}"""
     println(json)
+    // Compact trailing record: the driver's tail capture is bounded, so the
+    // LAST stdout line must be a short, complete JSON object on its own.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","suspect_count":${suspects.size}}""")
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"/tmp/graft_bench_$tag.json"), json)
@@ -239,7 +333,8 @@ object Bench {
     val calibBefore = calibrate(spark)
     val queries = SparkEntry.queries
     val out = qnames.map { name =>
-      val fn = queries(name)
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == EntryBenchName) SparkEntry.entryAt else queries(name)
       try { fn(spark, sfDir).count(); dropAllCaches(spark) } // warm-up
       catch { case _: Throwable => () }
       val times = (1 to TimedRuns).flatMap { _ =>

@@ -22,7 +22,14 @@ object SparkEntry {
     // The driver contract fixes the signature to (SparkSession) only, so the
     // scale factor arrives via the same env var Bench uses (default: the
     // contract's sf0.001) instead of a hard-coded path.
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    entryAt(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+  }
+
+  /** [[entry]] with an explicit scale-factor directory — the form Bench
+    * times (`q_search_e2e`), so end-to-end minimize waves on SparkClient
+    * have a tracked wall-clock number round over round.
+    */
+  def entryAt(spark: SparkSession, sfDir: String): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val Array(q, d) = li
       .agg(avg(col("l_quantity")), avg(col("l_discount")) * 100.0)
