@@ -270,6 +270,164 @@ object Events {
     spark.table("graft_stream_dedup")
   }
 
+  /** Chunk width for the bounded-state streaming dedup: 10 days of event
+    * time per micro-batch file, so the 30-day events table yields ~4
+    * ordered chunks and the watermark advances between batches.
+    */
+  private[graft] val WmChunkUs = 864000000000L // 10 days
+  /** Dedup delay: 48 hours — long enough that late-in-chunk first-arrivals
+    * stay deduped into the next chunk, short enough that early ones evict
+    * (both branches of the eviction edge are exercised on the testdata).
+    */
+  private[graft] val WmDelayMs = 172800000L
+  private[graft] val WmDelayUs = WmDelayMs * 1000L
+
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` — the
+    * production variant of [[streamDedup]] whose per-key state is EVICTED
+    * once the event-time watermark passes the key's
+    * `expiresAt = first_seen_ts + delay`; a key re-arriving after eviction
+    * re-emits (bounded state traded against exactness). This row gates the
+    * full eviction semantics against an oracle that replays them.
+    *
+    * Determinism requires controlling what Spark's exec leaves
+    * order-dependent: within a micro-batch the FIRST row of a key sets the
+    * stored expiry, and shuffle arrival order is nondeterministic — so the
+    * stream input is a PREPARED chunk dataset with exactly ONE row per
+    * (user_id, event_type) per 10-day chunk (its rep timestamp = the key's
+    * earliest event in that chunk), built write-once from events.parquet
+    * with the same fingerprint caching as the source round-trips. Each
+    * chunk is one parquet file with strictly increasing mtime, and the
+    * file stream (`maxFilesPerTrigger=1`, oldest-first) processes one
+    * chunk per micro-batch in event-time order — no row is ever late.
+    *
+    * The oracle replays the exec's exact rules (pinned empirically by
+    * StreamDedupWmSpec against MemoryStream micro-batches):
+    *   - state eviction runs at the END of each batch, removing entries
+    *     whose expiry is STRICTLY below that batch's eviction watermark
+    *     (= floor-to-ms(max event time over PRIOR batches) - delay, ms
+    *     basis scaled to micros);
+    *   - so with back-to-back data batches (this query: all chunk files
+    *     exist up front, no no-data batch slips between them) the state
+    *     visible to chunk k's lookups survived the eviction at the end of
+    *     chunk k-1, whose watermark came from chunks <= k-2 — the oracle's
+    *     window is therefore `UNBOUNDED PRECEDING AND 2 PRECEDING`. (When
+    *     the source idles between batches, the default no-data batch runs
+    *     the same eviction one batch earlier — the MemoryStream shape in
+    *     StreamDedupWmSpec; same rule, different batch cadence.)
+    *   - a key emits at chunk k iff it has no state or its stored expiry
+    *     was evicted as above;
+    *   - emission stores `rep + delay` as the new expiry; suppression does
+    *     NOT refresh it.
+    * The per-key fold across chunks is a DuckDB recursive CTE walking each
+    * key's chunk sequence in order.
+    *
+    * Scale shape: the chunk prep is one map-side-combinable groupBy of the
+    * raw events; the stream itself is the state-store shuffle on the dedup
+    * key — exactly the production topology, with state bounded by keys
+    * live inside one delay window instead of all keys ever seen
+    * (StreamDedupWmSpec asserts the store shrinks below the distinct-key
+    * count).
+    */
+  val streamDedupWm: QueryDef = QueryDef(
+    s"""WITH RECURSIVE reps AS (
+       |  SELECT user_id, event_type,
+       |         epoch_ns(ts) // 1000 // $WmChunkUs AS chunk,
+       |         min(epoch_ns(ts) // 1000) AS r
+       |  FROM events GROUP BY user_id, event_type, chunk),
+       |cmax AS (SELECT chunk, max(r) AS mx FROM reps GROUP BY chunk),
+       |wm AS (
+       |  SELECT chunk,
+       |         (max(mx) OVER (ORDER BY chunk
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+       |          // 1000 - $WmDelayMs) * 1000 AS wm_us
+       |  FROM cmax),
+       |seq AS (
+       |  SELECT r.user_id, r.event_type, r.chunk, r.r, w.wm_us,
+       |         row_number() OVER (PARTITION BY r.user_id, r.event_type
+       |                            ORDER BY r.chunk) AS i
+       |  FROM reps r JOIN wm w ON r.chunk = w.chunk),
+       |walk AS (
+       |  SELECT user_id, event_type, chunk, r, i,
+       |         TRUE AS emit, r + $WmDelayUs AS expiry
+       |  FROM seq WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.event_type, s.chunk, s.r, s.i,
+       |         (s.wm_us IS NOT NULL AND w.expiry < s.wm_us) AS emit,
+       |         CASE WHEN s.wm_us IS NOT NULL AND w.expiry < s.wm_us
+       |              THEN s.r + $WmDelayUs ELSE w.expiry END AS expiry
+       |  FROM walk w JOIN seq s
+       |    ON s.user_id = w.user_id AND s.event_type = w.event_type
+       |   AND s.i = w.i + 1)
+       |SELECT user_id, event_type, r AS emit_tus FROM walk WHERE emit""".stripMargin) {
+    (spark, dir) =>
+    val out = prepareWmChunks(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_type STRING, ts TIMESTAMP")
+    withStreamPartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out)
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("emit_tus"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("graft_stream_dedup_wm")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table("graft_stream_dedup_wm")
+  }
+
+  /** Write-once preparation of the per-chunk rep dataset: one parquet FILE
+    * per 10-day chunk, named in chunk order with strictly increasing
+    * mtimes (the file stream source takes files oldest-first). Exposed
+    * private[graft] so StreamDedupWmSpec can replay the same input.
+    */
+  private[graft] def prepareWmChunks(spark: SparkSession, dir: String): String = {
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("streamwm", dir, "events.parquet")
+    FileSources.writeOnce(out) { o =>
+      val raw = o + ".raw"
+      readEvents(spark, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+        .withColumn("chunk", expr(s"tus div $WmChunkUs"))
+        .groupBy(col("user_id"), col("event_type"), col("chunk"))
+        .agg(min(col("tus")).as("rep_tus"))
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("rep_tus")).as("ts"), col("chunk"))
+        // one shuffle partition per chunk value -> exactly one data file
+        // under each chunk= directory of the dynamic-partitioned write
+        .repartition(col("chunk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("chunk").parquet(raw)
+      val rawDir = new java.io.File(raw)
+      val chunkDirs = Option(rawDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+        .sortBy(_.getName.stripPrefix("chunk=").toLong)
+      require(chunkDirs.length >= 2, s"expected >=2 time chunks, got ${chunkDirs.length}")
+      new java.io.File(o).mkdirs()
+      val baseMtime = 1600000000000L // fixed -> byte-stable across rebuilds
+      chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+        val part = cd.listFiles().filter(_.getName.endsWith(".parquet")) match {
+          case Array(single) => single
+          case parts => throw new IllegalStateException(
+            s"chunk ${cd.getName}: expected 1 part file, got ${parts.length}")
+        }
+        val dest = new java.io.File(o, f"chunk_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(baseMtime + i * 60000L): Unit
+      }
+      FileSources.deleteRecursively(rawDir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+    }
+    out
+  }
+
   /** As-of join: each click matched to the user's most recent earlier
     * purchase. Spark lacks ASOF JOIN; per the custom-operator preference
     * order this composes built-ins — tag both sides, one window pass per
@@ -342,6 +500,7 @@ object Events {
     "q_sessionize" -> sessionize,
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_dedup_wm" -> streamDedupWm,
     "q_window_sliding" -> windowSliding,
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,

@@ -17,11 +17,18 @@ object FileSources {
     * Bench measure old data. Distinct fingerprints also mean concurrent
     * JVMs over different datasets never share (or race on) a directory.
     */
-  private def roundtripDir(fmt: String, dir: String): String = {
+  private def roundtripDir(fmt: String, dir: String): String =
+    cacheDir(s"roundtrip_$fmt", dir, "documents.parquet")
+
+  /** Generalized fingerprinted cache path (same contract as roundtripDir)
+    * for any derived-dataset writer keyed on a source parquet — also used
+    * by the streaming-dedup chunk preparation (graft.queries.Events).
+    */
+  private[graft] def cacheDir(tag: String, dir: String, srcName: String): String = {
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
+    val src = new java.io.File(s"$dir/$srcName")
     val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
-    s"/tmp/graft_roundtrip_$fmt${sf}_$fp"
+    s"/tmp/graft_$tag${sf}_$fp"
   }
 
   /** Write-once guard shared by every round-trip: the sink is exercised the
@@ -37,7 +44,7 @@ object FileSources {
     * regeneration mints a new fingerprint and the stale dirs would
     * otherwise accumulate in /tmp unboundedly (ADVICE r3 #5).
     */
-  private def writeOnce(out: String)(write: String => Unit): Unit =
+  private[graft] def writeOnce(out: String)(write: String => Unit): Unit =
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val dir = new java.io.File(out)
       // Siblings must match (fmt, sf) EXACTLY: prefix + a hex fingerprint and
@@ -52,7 +59,7 @@ object FileSources {
       write(out)
     }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
