@@ -86,10 +86,19 @@ object Bench {
   private val PinDistortionFactor =
     sys.env.getOrElse("SPARK_GRAFT_PIN_FACTOR", "3.0").toDouble
 
-  /** Clean per-query medians from the last committed clean run at the
-    * given scale factor (src/main/resources/bench_pins_<sfName>.json, e.g.
-    * bench_pins_sf0.1.json) — the reference band for per-query distortion
-    * detection. Pins are SCALE-FACTOR-SCOPED: a run at an unpinned SF gets
+  /** The relative pin check alone misfires on sub-0.3 s queries, where 3×
+    * the pin is inside ordinary fresh-JVM jitter (JIT, GC, page cache); a
+    * query must ALSO be this many seconds over its pin to count as
+    * distorted. Real contention distortions are multi-second; a 0.15 s
+    * query drifting to 0.45 s is noise, not signal.
+    */
+  private val PinDistortionFloorSec =
+    sys.env.getOrElse("SPARK_GRAFT_PIN_FLOOR_SEC", "0.75").toDouble
+
+  /** Best observed clean per-query medians at the given scale factor
+    * (src/main/resources/bench_pins_<sfName>.json, e.g.
+    * bench_pins_sf0.1.json; refreshed as the element-wise min over clean
+    * local runs) — the reference band for per-query distortion detection. Pins are SCALE-FACTOR-SCOPED: a run at an unpinned SF gets
     * no pins (an sf0.1 median is meaningless against an sf0.01 run), and
     * queries absent from the file (new this round) are exempt until the
     * next pin refresh.
@@ -198,7 +207,8 @@ object Bench {
       // band is re-run in a fresh child JVM and the lower median wins.
       val distorted = qnames.filter { n =>
         val v = best.results.getOrElse(n, -1.0)
-        v >= 0 && pins.get(n).exists(p => v > PinDistortionFactor * p)
+        v >= 0 && pins.get(n).exists(p =>
+          v > PinDistortionFactor * p && v - p > PinDistortionFloorSec)
       }
       if (distorted.nonEmpty) {
         System.err.println(
@@ -221,7 +231,8 @@ object Bench {
     // number is reported but flagged — consumers must not trust it.
     val suspects = names.filter { n =>
       val v = merged.getOrElse(n, -1.0)
-      v >= 0 && pins.get(n).exists(p => v > PinDistortionFactor * p)
+      v >= 0 && pins.get(n).exists(p =>
+        v > PinDistortionFactor * p && v - p > PinDistortionFloorSec)
     }
 
     val qs = names
