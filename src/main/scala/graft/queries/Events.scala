@@ -387,18 +387,25 @@ object Events {
     * mtimes (the file stream source takes files oldest-first). Exposed
     * private[graft] so StreamDedupWmSpec can replay the same input.
     */
+  /** The chunk-prep aggregation itself: one map-side-combinable groupBy of
+    * the raw events projected to (user_id, event_type, ts) — PlanSpec pins
+    * the single-exchange hash-aggregate shape and the 3-column read.
+    */
+  private[graft] def wmChunkPrepFrame(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .withColumn("chunk", expr(s"tus div $WmChunkUs"))
+      .groupBy(col("user_id"), col("event_type"), col("chunk"))
+      .agg(min(col("tus")).as("rep_tus"))
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("rep_tus")).as("ts"), col("chunk"))
+
   private[graft] def prepareWmChunks(spark: SparkSession, dir: String): String = {
     import graft.sources.FileSources
     val out = FileSources.cacheDir("streamwm", dir, "events.parquet")
     FileSources.writeOnce(out) { o =>
       val raw = o + ".raw"
-      readEvents(spark, dir)
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
-        .withColumn("chunk", expr(s"tus div $WmChunkUs"))
-        .groupBy(col("user_id"), col("event_type"), col("chunk"))
-        .agg(min(col("tus")).as("rep_tus"))
-        .select(col("user_id"), col("event_type"),
-          timestamp_micros(col("rep_tus")).as("ts"), col("chunk"))
+      wmChunkPrepFrame(spark, dir)
         // one shuffle partition per chunk value -> exactly one data file
         // under each chunk= directory of the dynamic-partitioned write
         .repartition(col("chunk"))

@@ -154,4 +154,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
       p.contains("ReadSchema: struct<text:string>"), p)
   }
+
+  test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = Events.wmChunkPrepFrame(spark, sf)
+      .queryExecution.explainString(SimpleMode)
+    // partial + final hash agg around exactly one exchange: the prep stays
+    // map-side-combinable at any corpus size
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    // column pruning reaches the scan: only the key pair + timestamp read
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"), p)
+  }
 }
