@@ -206,6 +206,36 @@ class QueriesSpec extends AnyFunSuite {
     } finally labels.unpersist()
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    import spark.implicits._
+    // Seeded random pair graphs across densities (sparse forest -> near
+    // -connected): the DataFrame propagate+jump labels must equal exact
+    // driver-side union-find on every graph shape in between.
+    for ((nEdges, seed) <- Seq((30, 11L), (150, 12L), (400, 13L))) {
+      val rng = new scala.util.Random(seed)
+      val n = 200
+      val pairs = Seq.fill(nEdges) {
+        val a = rng.nextInt(n); var b = rng.nextInt(n)
+        while (b == a) b = rng.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val (labels, generations) = Dedup.ccFromPairs(spark, pairs.toDF("doc_a", "doc_b"))
+      try {
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$nEdges seed=$seed: labels diverge from union-find")
+        assert(generations <= 15, s"edges=$nEdges took $generations generations")
+      } finally labels.unpersist()
+    }
+  }
+
   test("reliable-checkpoint mode (graft.cc.checkpointDir) produces identical clusters") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
