@@ -137,8 +137,83 @@ object Pipeline {
         expr("(n_bigrams - n_distinct) * 10000 div n_bigrams").as("dup_10k"))
   }
 
+  /** C4-style blocklist filter: per document, the number of token
+    * occurrences hitting a blocklist, and the keep/drop decision (C4 drops
+    * any page containing a listed word; Raffel et al., arXiv:1910.10683
+    * §2.2 describe the original word-list cleanup). The list here is a
+    * 3-token stand-in — in production it is hundreds of terms, which
+    * changes nothing structural below.
+    *
+    * Scale shape: pure map-side — token split and the membership filter
+    * run in-row, output is per-document; ZERO shuffles (PlanSpec-pinned),
+    * so the filter runs at scan speed. A large real-world blocklist ships
+    * as a broadcast set (or a Bloom filter at the million-term scale)
+    * instead of an inline literal — same plan shape.
+    */
+  private val Blocklist = Seq("dup", "leak", "spam")
+
+  val blocklistFilter: QueryDef = QueryDef(
+    s"""SELECT doc_id,
+       |       len(list_filter(string_split(text, ' '),
+       |                       w -> w IN (${Blocklist.map("'" + _ + "'").mkString(", ")})))
+       |         AS n_blocked,
+       |       len(list_filter(string_split(text, ' '),
+       |                       w -> w IN (${Blocklist.map("'" + _ + "'").mkString(", ")}))) = 0
+       |         AS keep
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    val hits = size(filter(split(col("text"), " "), w => w.isin(Blocklist: _*)))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), hits.cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
+  /** Token-budget sampling: fill a PER-LANGUAGE token quota (not a document
+    * quota) in content-addressed order — the pretraining-mix operator
+    * (language weights in a data mixture are token budgets; document counts
+    * under-weight long-document languages). A document is selected iff the
+    * running token total through it, in (fingerprint, doc_id) order, stays
+    * within the budget. Same determinism story as [[sampleStratified]]:
+    * re-runs at any partitioning reselect the identical set.
+    *
+    * Scale shape: one shuffle on lang, then an in-partition running sum
+    * (window running sums do not get the WindowGroupLimit rewrite — this
+    * is a genuine per-language sort, the honest cost of an exact budget
+    * cut). At 100 TB one first bounds the sort with a cheap prefilter:
+    * rank ordered by fp (which IS WindowGroupLimit-able) cut at
+    * `budget / avg_tokens * safety`, then the exact running sum over the
+    * few survivors — same result, sort input shrunk by orders of
+    * magnitude.
+    */
+  private val TokenBudget = 1000L
+
+  val sampleTokenBudget: QueryDef = QueryDef(
+    s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY fp, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                       (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |    FROM documents) f) r
+       |WHERE cum_tokens <= $TokenBudget""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        PolyHash.polyHash(spark, "text").as("fp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_stratified" -> sampleStratified,
-    "q_repetition" -> repetition)
+    "q_repetition" -> repetition,
+    "q_blocklist_filter" -> blocklistFilter,
+    "q_sample_token_budget" -> sampleTokenBudget)
 }

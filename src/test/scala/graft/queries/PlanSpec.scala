@@ -155,6 +155,12 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ReadSchema: struct<text:string>"), p)
   }
 
+  test("q_blocklist_filter is a single scan with zero exchanges") {
+    val p = plan("q_blocklist_filter")
+    assert(!p.contains("Exchange"), s"blocklist filter must run at scan speed:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
     spark.sparkContext.setLogLevel("ERROR")
     val p = Events.wmChunkPrepFrame(spark, sf)

@@ -206,6 +206,29 @@ class QueriesSpec extends AnyFunSuite {
     } finally labels.unpersist()
   }
 
+  test("blocklist filter flags exactly the docs containing a listed token") {
+    import org.apache.spark.sql.functions.col
+    val out = Pipeline.blocklistFilter.fn(spark, sf).persist()
+    try {
+      // flag iff n_blocked > 0, and both classes are populated ("dup"
+      // occurs in a small fraction of the corpus)
+      assert(out.filter(col("keep") === (col("n_blocked") > 0)).count() == 0L)
+      val dropped = out.filter(!col("keep")).count()
+      assert(dropped > 0L && dropped < out.count(), s"degenerate split: $dropped dropped")
+    } finally out.unpersist()
+  }
+
+  test("token-budget sample respects the budget per language and is deterministic") {
+    import org.apache.spark.sql.functions.{col, max => smax, sum => ssum}
+    val a = Pipeline.sampleTokenBudget.fn(spark, sf)
+    val over = a.groupBy(col("lang"))
+      .agg(smax(col("cum_tokens")).as("m"), ssum(col("n_tokens")).as("s"))
+      .filter(col("m") > 1000L || col("s") =!= col("m"))
+    assert(over.count() == 0L, "budget exceeded or running sum inconsistent")
+    val b = Pipeline.sampleTokenBudget.fn(spark, sf)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
