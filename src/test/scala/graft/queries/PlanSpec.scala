@@ -161,6 +161,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q_sample_token_budget is one lang shuffle + one window sort") {
+    val p = plan("q_sample_token_budget")
+    // the exact budget cut is honestly sort-based: one exchange on lang,
+    // one in-partition sort feeding the running-sum window — and nothing
+    // else (no extra shuffle, no global sort)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Sort "), p)
+  }
+
   test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
     spark.sparkContext.setLogLevel("ERROR")
     val p = Events.wmChunkPrepFrame(spark, sf)
