@@ -210,10 +210,128 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** PII scrubbing: count and redact pattern-matched spans, and fingerprint
+    * the REDACTED text (the post-scrub dedup key — redaction must happen
+    * before dedup or two documents differing only in the redacted span
+    * escape it). The pattern here is a stand-in — `customer <word>` as a
+    * "name after title" span, since the synthetic corpus carries no real
+    * emails/phones — in production it is the usual email/phone/SSN
+    * alternation, which changes nothing structural: same regex engine
+    * class (RE2-compatible: no backrefs, no lookaround), same plan.
+    *
+    * Scale shape: pure map-side — match count, replacement, and the
+    * codegen'd PolyHash fingerprint all run in-row over one pruned scan;
+    * ZERO shuffles (PlanSpec-pinned), so scrubbing runs at scan speed.
+    */
+  private val PiiPattern = "customer [a-z]+"
+
+  val piiScrub: QueryDef = QueryDef(
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$PiiPattern')) AS BIGINT) AS n_pii,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                     list_transform(string_split(
+       |                       regexp_replace(text, '$PiiPattern', '<PII>', 'g'), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |                   (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp_redacted
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    PolyHash.register(spark)
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
+          .cast("long").as("n_pii"),
+        regexp_replace(col("text"), PiiPattern, "<PII>").as("redacted"))
+      .select(col("doc_id"), col("n_pii"),
+        expr("poly_hash(redacted)").as("fp_redacted"))
+  }
+
+  /** Sequence packing: concatenate the corpus (per language, in
+    * content-addressed order) into one token stream and cut it at fixed
+    * [[PackCapacity]]-token boundaries — each document is assigned to the
+    * pack in which it STARTS. This is the concat-and-chunk packing step of
+    * LLM pretraining (documents are packed into fixed-length training
+    * sequences; the pack id is what the batch loader shards on).
+    * Deterministic like [[sampleStratified]]: re-runs at any partitioning
+    * produce identical pack assignments.
+    *
+    * Scale shape: one shuffle on lang + one in-partition sort feeding a
+    * running-sum window — identical cost envelope to
+    * [[sampleTokenBudget]], and the same prefilter trick applies if only
+    * the first K packs are wanted.
+    */
+  private val PackCapacity = 512L
+
+  val packSequences: QueryDef = QueryDef(
+    s"""SELECT doc_id, lang, n_tokens,
+       |       (cum_tokens - n_tokens) // $PackCapacity AS pack_id
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY fp, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                       (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |    FROM documents) f) r""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        PolyHash.polyHash(spark, "text").as("fp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $PackCapacity").as("pack_id"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each document by how much its unigrams look like a TARGET distribution
+    * (here: the `lang = 'en'` slice stands in for the high-quality target
+    * corpus) relative to the RAW corpus distribution. Exact integer fixed
+    * point: per token, `target_count * 10000 div raw_count` (a quantized
+    * probability ratio — both counts share the same total-token denominator
+    * up to the constant target/raw size ratio, which rescales every
+    * document equally and does not change the resampling ORDER); per
+    * document, the sum over its token occurrences.
+    *
+    * Scale shape: the vocabulary count table is one map-side-combinable
+    * aggregation (unigram vocab is tiny relative to any corpus — Heaps'
+    * law), then broadcast back onto a second corpus pass; the only other
+    * shuffle is the per-document re-aggregation. No all-pairs, no sort.
+    */
+  val dsirWeight: QueryDef = QueryDef(
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (
+      |  SELECT w, count(*) AS raw_c,
+      |         count(*) FILTER (WHERE lang = 'en') AS tgt_c
+      |  FROM toks GROUP BY w)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(tgt_c * 10000 // raw_c) AS BIGINT) AS dsir_10k
+      |FROM toks JOIN counts USING (w)
+      |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("raw_c"),
+      count(when(col("lang") === "en", 1)).as("tgt_c"))
+    toks.join(broadcast(counts), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("tgt_c * 10000 div raw_c")).as("dsir_10k"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_stratified" -> sampleStratified,
     "q_repetition" -> repetition,
     "q_blocklist_filter" -> blocklistFilter,
-    "q_sample_token_budget" -> sampleTokenBudget)
+    "q_sample_token_budget" -> sampleTokenBudget,
+    "q_pii_scrub" -> piiScrub,
+    "q_pack_sequences" -> packSequences,
+    "q_dsir_weight" -> dsirWeight)
 }

@@ -171,6 +171,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Sort "), p)
   }
 
+  test("q_pii_scrub is a single scan with zero exchanges, poly_hash codegen'd") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Exchange"), s"PII scrub must run at scan speed:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("poly_hash")), p)
+  }
+
+  test("q_pack_sequences is one lang shuffle + one window sort") {
+    val p = plan("q_pack_sequences")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_dsir_weight broadcasts the vocabulary counts, hash aggregation only") {
+    val p = plan("q_dsir_weight")
+    // the vocab count table is the broadcast build side; the corpus token
+    // stream never shuffles for the join (only for the two aggregations,
+    // both map-side-combinable)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
     spark.sparkContext.setLogLevel("ERROR")
     val p = Events.wmChunkPrepFrame(spark, sf)

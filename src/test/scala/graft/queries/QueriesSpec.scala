@@ -229,6 +229,90 @@ class QueriesSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
   }
 
+  test("pii scrub counts and redacts exactly, and is identity on clean docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq((0L, "hello customer alice more text"),
+        (1L, "no match here"),
+        (2L, "customer bob and customer carol"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.piiScrub.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L) == ((1L, PolyHash.hash(UTF8String.fromString("hello <PII> more text")))))
+    assert(rows(1L) == ((0L, PolyHash.hash(UTF8String.fromString("no match here")))))
+    assert(rows(2L) == ((2L, PolyHash.hash(UTF8String.fromString("<PII> and <PII>")))))
+    // corpus: both classes populated, and zero-hit docs keep their original
+    // fingerprint (redaction is an identity there)
+    val out = Pipeline.piiScrub.fn(spark, sf).persist()
+    try {
+      assert(out.filter(col("n_pii") > 0).count() > 0L)
+      val clean = out.filter(col("n_pii") === 0L)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), PolyHash.polyHash(spark, "text").as("fp_orig"))
+      assert(clean.join(docs, "doc_id")
+        .filter(col("fp_redacted") =!= col("fp_orig")).count() == 0L)
+    } finally out.unpersist()
+  }
+
+  test("sequence packing assigns each doc to the pack where it starts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val docs = Seq(
+      (0L, Seq.fill(300)("alpha").mkString(" "), "en"),
+      (1L, Seq.fill(300)("beta").mkString(" "), "en"),
+      (2L, Seq.fill(100)("gamma").mkString(" "), "en"),
+      (3L, Seq.fill(700)("delta").mkString(" "), "de"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent driver-side reference: concatenate per lang in
+    // (poly-hash, doc_id) order, pack = starting-offset div 512
+    val expected = docs
+      .map { case (id, text, lang) =>
+        (id, lang, text.split(" ").length.toLong,
+          PolyHash.hash(UTF8String.fromString(text)))
+      }
+      .groupBy(_._2)
+      .flatMap { case (_, ds) =>
+        val ordered = ds.sortBy(d => (d._4, d._1))
+        val offsets = ordered.scanLeft(0L)(_ + _._3)
+        ordered.zip(offsets).map { case (d, off) => d._1 -> (off / 512L) }
+      }
+    val got = Pipeline.packSequences.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected.toMap, s"got $got, expected $expected")
+    // every doc assigned exactly once at corpus scale, pack ids non-negative
+    val out = Pipeline.packSequences.fn(spark, sf).persist()
+    try {
+      val total = spark.read.parquet(s"$sf/documents.parquet").count()
+      assert(out.count() == total)
+      assert(out.filter(org.apache.spark.sql.functions.col("pack_id") < 0).count() == 0L)
+    } finally out.unpersist()
+  }
+
+  test("dsir weight is the exact quantized target/raw unigram ratio sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // counts: a -> raw 3 / tgt 2, b -> raw 3 / tgt 1
+    // per-token: a -> 6666, b -> 3333
+    Seq((0L, "a a b", "en"), (1L, "a b b", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.dsirWeight.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L) == ((3L, 6666L + 6666L + 3333L)))
+    assert(rows(1L) == ((3L, 6666L + 3333L + 3333L)))
+    // corpus invariants: every doc scored, 0 <= score <= 10000 * n_tokens
+    val out = Pipeline.dsirWeight.fn(spark, sf).persist()
+    try {
+      assert(out.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+      assert(out.filter(col("dsir_10k") < 0 ||
+        col("dsir_10k") > col("n_tokens") * 10000L).count() == 0L)
+    } finally out.unpersist()
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
