@@ -325,6 +325,63 @@ object Pipeline {
         sum(expr("tgt_c * 10000 div raw_c")).as("dsir_10k"))
   }
 
+  /** Cross-document duplicated n-gram mining: the signal behind exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — their suffix-array
+    * pass finds repeated spans; the bounded-length form is repeated
+    * n-grams): the top [[DupTopK]] 8-grams occurring in at least two
+    * distinct documents, with document frequency and total occurrence
+    * counts. Feeding these to the scrubber removes boilerplate
+    * (headers/footers/licenses) that document-level dedup cannot see.
+    *
+    * Scale shape: grams are generated IN-ROW; the (gram, doc_id) pre-
+    * aggregation collapses in-document repeats map-side before the only
+    * wide shuffle (the standard two-level distinct rewrite — never a
+    * countDistinct over an exploded corpus), the per-gram rollup is again
+    * map-side combinable, and the final top-k compiles to
+    * TakeOrderedAndProject (per-partition heads, no global sort). At
+    * 100 TB the gram shuffle is the honest dominant cost; production
+    * bounds it by hashing grams to fixed-width longs (poly_hash) instead
+    * of shipping strings — same plan, ~10× narrower shuffle rows.
+    */
+  private val DupNGram = 8
+  private val DupTopK = 20
+
+  val dupNgrams: QueryDef = QueryDef(
+    s"""SELECT gram, n_docs, n_occ FROM (
+       |  SELECT gram,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(cnt) AS BIGINT) AS n_occ
+       |  FROM (
+       |    SELECT gram, doc_id, count(*) AS cnt
+       |    FROM (
+       |      SELECT doc_id,
+       |             unnest(list_transform(
+       |               range(1, len(words) - ${DupNGram - 2}),
+       |               i -> array_to_string(words[i:i+${DupNGram - 1}], ' '))) AS gram
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+       |      WHERE len(words) >= $DupNGram) g
+       |    GROUP BY gram, doc_id) pg
+       |  GROUP BY gram) f
+       |WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, gram
+       |LIMIT $DupTopK""".stripMargin) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), size(col("words")) - (DupNGram - 1)),
+      i => concat_ws(" ", slice(col("words"), i, lit(DupNGram))))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= DupNGram)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(DupTopK)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_stratified" -> sampleStratified,
@@ -333,5 +390,6 @@ object Pipeline {
     "q_sample_token_budget" -> sampleTokenBudget,
     "q_pii_scrub" -> piiScrub,
     "q_pack_sequences" -> packSequences,
-    "q_dsir_weight" -> dsirWeight)
+    "q_dsir_weight" -> dsirWeight,
+    "q_dup_ngrams" -> dupNgrams)
 }

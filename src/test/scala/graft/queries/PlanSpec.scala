@@ -195,6 +195,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dup_ngrams pre-aggregates in two hash levels and takes an ordered head") {
+    val p = plan("q_dup_ngrams")
+    // grams generated in-row, never a corpus-wide countDistinct
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // the top-k is per-partition heads + merge, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
     spark.sparkContext.setLogLevel("ERROR")
     val p = Events.wmChunkPrepFrame(spark, sf)

@@ -313,6 +313,22 @@ class QueriesSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("dup-ngram mining counts document and occurrence frequency exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupn").toString
+    // "a..h" occurs in doc0 (once), doc1 (once), doc3 (twice); every other
+    // 8-gram lives in a single document and must be filtered (n_docs < 2)
+    Seq((0L, "a b c d e f g h x"),
+        (1L, "z a b c d e f g h"),
+        (2L, "totally unrelated words only seven here"),
+        (3L, "a b c d e f g h a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.dupNgrams.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a b c d e f g h", 3L, 4L)), got.mkString(", "))
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
