@@ -717,8 +717,52 @@ object Dedup {
     dropMetricsQ.fn(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
 
+  /** Edit-distance verification of the LSH candidate pairs: the exact
+    * character-level re-rank a production near-dedup pipeline runs on its
+    * (shingle-level) candidate pairs before acting on them — Jaccard over
+    * shingles can score reordered-but-distinct documents as near-identical,
+    * while Levenshtein certifies actual textual closeness. Emits, per
+    * verified pair, the raw edit distance and a 1e-4 fixed-point normalized
+    * similarity `(maxlen - ed) * 10000 div maxlen` (integer-exact in both
+    * engines).
+    *
+    * Scale shape: the input is the ALREADY-CAPPED verified pair set (band
+    * buckets capped at 50, in-row expansion — see [[minhashPairsDF]]), so
+    * the tiny pair side broadcasts into two hash joins that fetch the two
+    * texts, and the DP runs in-row per pair. The O(len²) per-pair DP is the
+    * honest cost of exactness — production bounds it by truncating to the
+    * first N KB or switching to a banded DP once the distance bound is
+    * known; the operator is a VERIFIER over a capped candidate set, never a
+    * pair generator.
+    */
+  val editVerify: QueryDef = QueryDef(
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b,
+       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS ed,
+       |       (greatest(len(da.text), len(db.text)) - levenshtein(da.text, db.text))
+       |         * 10000 // greatest(len(da.text), len(db.text)) AS sim_10k
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b""".stripMargin) { (spark, dir) =>
+    val (pairs, sh) = minhashPairsDF(spark, dir)
+    val docs = spark.read.parquet(t(dir, "documents"))
+    val da = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    // sh stays cached for the plan's three consumers (bands + both verify
+    // sides), as in [[minhashLsh]]; `_ = sh` documents the shared ownership.
+    val _ = sh
+    broadcast(pairs.select(col("doc_a"), col("doc_b")))
+      .join(da, "doc_a").join(db, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("ml"))
+      .select(col("doc_a"), col("doc_b"), col("ed"),
+        expr("(ml - ed) * 10000 div ml").as("sim_10k"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_edit_verify" -> editVerify,
     "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,
     "q_dedup_clusters" -> clusters,

@@ -205,6 +205,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_dedup_edit_verify broadcasts the capped pair set into the text joins") {
+    val p = plan("q_dedup_edit_verify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("stream-dedup-wm chunk prep is one hash-aggregate over a 3-column scan") {
     spark.sparkContext.setLogLevel("ERROR")
     val p = Events.wmChunkPrepFrame(spark, sf)

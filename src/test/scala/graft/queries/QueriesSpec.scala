@@ -329,6 +329,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b c d e f g h", 3L, 4L)), got.mkString(", "))
   }
 
+  test("edit-distance verify covers exactly the LSH pairs with exact bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // unit anchor: the canonical kitten/sitting distance
+    val ks = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect()(0).getInt(0)
+    assert(ks == 3)
+    val ev = Dedup.editVerify.fn(spark, sf).persist()
+    try {
+      // same pair set as the jaccard-verified LSH output, exact bounds, and
+      // the corpus' exact-duplicate pairs must score ed=0 / sim=10000
+      val lsh = Dedup.minhashLsh.fn(spark, sf).select(col("doc_a"), col("doc_b"))
+      assert(ev.select(col("doc_a"), col("doc_b")).exceptAll(lsh).count() == 0L)
+      assert(lsh.exceptAll(ev.select(col("doc_a"), col("doc_b"))).count() == 0L)
+      assert(ev.filter(col("ed") < 0 || col("sim_10k") < 0 || col("sim_10k") > 10000 ||
+        (col("ed") === 0L) =!= (col("sim_10k") === 10000L)).count() == 0L)
+      assert(ev.filter(lit(true)).count() > 0L)
+    } finally ev.unpersist()
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
