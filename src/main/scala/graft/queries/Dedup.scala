@@ -81,6 +81,63 @@ object Dedup {
       .select(col("doc_id"), col("content_hash"))
   }
 
+  /** Bloom-filter prefilter for incremental dedup — the 100 TB shape of
+    * [[incremental]]. The exact anti-join shuffles the BATCH side against
+    * the corpus hash set; once the corpus is petabyte-scale, the right
+    * structure is a Bloom filter built over the corpus hashes ONCE
+    * (map-side-combinable aggregate, `bloom_filter_agg`), broadcast to the
+    * ingest, and probed per batch row (`might_contain`) with NO shuffle at
+    * all. Bloom semantics give ZERO false negatives — a row the filter
+    * calls unseen is CERTAINLY new, so rows passing the prefilter can skip
+    * the exact check entirely; the small false-positive fraction (rows the
+    * filter calls "possibly seen") is re-checked by the exact anti-join,
+    * whose input has shrunk from the whole batch to that fraction.
+    *
+    * Probabilistic membership cannot be replayed bit-exactly by a SQL
+    * oracle, so this ships as a tested utility rather than a gate row: the
+    * QueriesSpec property pins the no-false-negative guarantee (every
+    * truly-new row per the exact [[incremental]] anti-join survives the
+    * prefilter) and measures the false-positive rate against the
+    * configured capacity.
+    *
+    * Mechanics: the filter builds via the public
+    * `DataFrameStatFunctions.bloomFilter` (a distributed treeAggregate
+    * over xxhash64 longs), and the resulting size-bounded sketch travels
+    * driver-side into a FOLDABLE literal probed by the codegen'd
+    * catalyst `BloomFilterMightContain` — the same
+    * build-distributed/ship-constant structure Spark's own runtime bloom
+    * join uses (it injects the filter as a scalar-subquery constant).
+    * `bloom_filter_agg` itself is not in the public registry in 4.1, and
+    * `might_contain` requires a constant filter anyway.
+    *
+    * Returns batch rows annotated with `maybe_seen`; `expectedItems`/
+    * `numBits` size the filter (1% FP at ~9.6 bits/item).
+    */
+  def bloomPrefilter(
+      spark: SparkSession,
+      dir: String,
+      expectedItems: Long = 100000L,
+      numBits: Long = 960000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val docs = spark.read.parquet(t(dir, "documents"))
+    val bf = docs.filter(col("source") =!= "src0")
+      .select(xxhash64(md5(col("text"))).as("h"))
+      .stat.bloomFilter("h", expectedItems, numBits)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe",
+      exprs => BloomFilterMightContain(Literal.create(bytes, BinaryType), exprs.head),
+      "built-in")
+    docs.filter(col("source") === "src0")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("maybe_seen", expr("graft_bloom_probe(xxhash64(content_hash))"))
+  }
+
   /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
   private def shingleDF(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(t(dir, "documents"))

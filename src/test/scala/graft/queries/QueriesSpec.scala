@@ -349,6 +349,32 @@ class QueriesSpec extends AnyFunSuite {
     } finally ev.unpersist()
   }
 
+  test("bloom prefilter: zero false negatives vs the exact anti-join, low FP rate") {
+    import org.apache.spark.sql.functions.col
+    val pre = Dedup.bloomPrefilter(spark, sf).persist()
+    try {
+      // the exact anti-join defines ground truth: batch hashes absent from
+      // the corpus (incremental emits one row per truly-new content_hash)
+      val trulyNew = Dedup.incremental.fn(spark, sf)
+        .select(col("content_hash")).persist()
+      try {
+        // no false negatives: every row the filter calls unseen IS new
+        val fn = pre.filter(!col("maybe_seen"))
+          .join(trulyNew, Seq("content_hash"), "left_anti").count()
+        assert(fn == 0L, s"$fn corpus-present rows escaped the bloom filter")
+        // false-positive rate among truly-new rows stays under the
+        // configured capacity's bound (oversized here -> near zero)
+        val newRows = pre.join(trulyNew, "content_hash").persist()
+        try {
+          val total = newRows.count()
+          val fp = newRows.filter(col("maybe_seen")).count()
+          assert(total > 0L)
+          assert(fp.toDouble / total <= 0.05, s"FP rate $fp/$total")
+        } finally newRows.unpersist()
+      } finally trulyNew.unpersist()
+    } finally pre.unpersist()
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
