@@ -501,7 +501,104 @@ object Events {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
   }
 
+  /** Stream-stream interval join — click-to-purchase attribution: every
+    * purchase a user makes within one hour of a click, emitted as the
+    * (click, purchase) pair with the lag in whole seconds. The last big
+    * Structured Streaming primitive in the surface: BOTH sides are
+    * unbounded streams, so each buffers keyed state and the time-interval
+    * condition plus per-side watermarks bound that state — rows older than
+    * `watermark - interval` are evicted, which is what makes the operator
+    * viable on an unbounded 100 TB/day ingest (an un-watermarked
+    * stream-stream join grows state forever).
+    *
+    * On bounded input an INNER interval join emits exactly the batch join
+    * result regardless of arrival order (watermarks only bound state and
+    * late data), so the DuckDB batch join is a hash-exact oracle.
+    *
+    * Timestamp basis: the watermark/time-constraint columns are
+    * `timestamp_micros(ts div 1000)` — lossless here (event timestamps are
+    * microsecond-exact, verified against the generator) — while the
+    * emitted lag works on raw nanos longs, matching the oracle's
+    * `epoch_ns` arithmetic exactly.
+    */
+  val streamJoin: QueryDef = QueryDef(
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.user_id AS user_id,
+      |       (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS lag_s
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+      | AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000""".stripMargin) {
+    (spark, dir) =>
+      withNanosAsLong(spark) {
+        val schema = spark.read.parquet(t(dir, "events")).schema
+        def side(tpe: String, pre: String): DataFrame =
+          spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("basePath", dir)
+            .parquet(s"$dir/events.parque[t]")
+            .filter(col("event_type") === tpe)
+            .select(
+              col("event_id").as(s"${pre}_event_id"),
+              col("user_id").as(s"${pre}_user_id"),
+              col("ts").as(s"${pre}_ts"),
+              timestamp_micros(expr("ts div 1000")).as(s"${pre}_tsw"))
+            .withWatermark(s"${pre}_tsw", "1 hour")
+        withStreamPartitions(spark, 4) {
+          val joined = side("click", "c").join(
+            side("purchase", "p"),
+            col("c_user_id") === col("p_user_id") &&
+              col("p_tsw") >= col("c_tsw") &&
+              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"))
+          val q = joined
+            .select(
+              col("c_event_id").as("click_id"),
+              col("p_event_id").as("purchase_id"),
+              col("c_user_id").as("user_id"),
+              expr("(p_ts - c_ts) div 1000000000").as("lag_s"))
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("graft_stream_join")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        spark.table("graft_stream_join")
+      }
+  }
+
+  /** JSON metadata extraction: pull a typed field out of the `props` JSON
+    * string column and roll it up per event type — the metadata-sidecar
+    * pattern (crawl/source/license attributes ship as JSON strings beside
+    * the payload; pipelines filter and aggregate on extracted fields).
+    *
+    * Scale shape: `get_json_object` evaluates per-row inside the scan
+    * projection (codegen'd path evaluation, no UDF), so extraction runs at
+    * scan speed; the rollup is one map-side-combinable aggregation on a
+    * 5-value key. Integer-exact end to end.
+    */
+  val jsonExtract: QueryDef = QueryDef(
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) e
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_json_extract" -> jsonExtract,
+    "q_stream_join" -> streamJoin,
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,

@@ -57,4 +57,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size / 2,
       s"suspiciously few closed sessions: ${streamed.size} of ${batch.size}")
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, expr}
+    // an INNER interval join on bounded input must emit exactly the batch
+    // join's pairs, independent of micro-batch arrival order
+    val streamed = graft.queries.Events.streamJoin.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val batch = c.join(p, "user_id")
+      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + 3600000000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        expr("(pts - cts) div 1000000000").as("lag_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-batch mismatch: only-stream=${(streamed -- batch).take(3)}, " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
