@@ -85,4 +85,53 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-batch mismatch: only-stream=${(streamed -- batch).take(3)}, " +
         s"only-batch=${(batch -- streamed).take(3)}")
   }
+
+  test("interval-join watermarks evict both sides' buffered state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, timestamp_seconds}
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def side(s: MemoryStream[(Long, Long, Long)], pre: String) =
+      s.toDF().toDF("id", "user", "secs")
+        .select(col("id").as(s"${pre}_id"), col("user").as(s"${pre}_user"),
+          timestamp_seconds(col("secs")).as(s"${pre}_ts"))
+        .withWatermark(s"${pre}_ts", "10 seconds")
+    val joined = side(clicks, "c").join(side(purchases, "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 60 SECONDS"))
+      .select(col("c_id"), col("p_id"),
+        (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lag_s"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_join_state").start()
+    def pairs(): Set[(Long, Long, Long)] =
+      spark.table("graft_join_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // in-window pair joins; out-of-window purchase (t=2000) does not
+      clicks.addData((1L, 7L, 1000L)); purchases.addData((11L, 7L, 1030L), (12L, 7L, 2000L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 11L, 30L)))
+      // both sides jump to t~5000: watermark (min of sides, -10s) passes
+      // every pre-jump row's match window, evicting it from join state
+      clicks.addData((2L, 7L, 5000L)); purchases.addData((13L, 7L, 5010L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 11L, 30L), (2L, 13L, 10L)))
+      // a final advancing batch (disjoint users -> no new pairs) lets the
+      // no-data batch evict the t=5000 generation too
+      clicks.addData((3L, 8L, 9000L)); purchases.addData((14L, 9L, 9001L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 11L, 30L), (2L, 13L, 10L)))
+      // 7 rows entered; an un-watermarked join would buffer all 7 forever.
+      // Only the newest generation (<= 2 rows, expiries beyond the
+      // watermark) may remain.
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.exists(_ <= 2L),
+        s"join state not evicted: $stateRows rows buffered of 7 fed")
+    } finally q.stop()
+  }
 }
