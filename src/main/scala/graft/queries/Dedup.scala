@@ -690,6 +690,62 @@ object Dedup {
       .filter(col("cosine") > 0.4)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): within each embedding cell, a vector is DROPPED
+    * when some lower-id vector in the same cell has cosine similarity
+    * above the threshold — the paper's upper-triangular max-over-earlier
+    * rule, which keeps exactly the first representative of every
+    * near-duplicate neighborhood without any iterative clustering. The
+    * output is the drop list (vec_id, its cell, and the similarity to the
+    * closest earlier neighbor, 4-dp fixed), i.e. what a curation pipeline
+    * would anti-join against the corpus.
+    *
+    * Scale shape: identical to [[embedNeardup]] — cells bounded at
+    * [[embedCellCap]] keep the per-cell pair work quadratic only in the
+    * cap, the pair step is a shuffled equi-join on the cell key (never a
+    * corpus broadcast), and the max-over-earlier reduction is one
+    * map-side-combinable aggregation on vec_b. At warehouse scale the cell
+    * key comes from the IVF/KMeans assigner (AnnIvf) instead of the label
+    * column; the rule and the plan shape are unchanged.
+    */
+  private val semanticTau = 0.3
+
+  val semanticDedup: QueryDef = QueryDef(
+    s"""WITH ok AS (
+      |  SELECT label FROM embeddings GROUP BY label
+      |  HAVING count(*) BETWEEN 2 AND $embedCellCap),
+      |e AS (
+      |  SELECT emb.label AS label, vec_id, embedding,
+      |         list_dot_product(embedding, embedding) AS norm2
+      |  FROM embeddings emb JOIN ok ON emb.label = ok.label)
+      |SELECT vec_id, label, max_prior_sim FROM (
+      |  SELECT b.vec_id AS vec_id, b.label AS label,
+      |         max(round(list_dot_product(a.embedding, b.embedding)
+      |                   / sqrt(a.norm2 * b.norm2), 4)) AS max_prior_sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY b.vec_id, b.label) m
+      |WHERE max_prior_sim > $semanticTau""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorOps.register(spark)
+    val emb = spark.read.parquet(t(dir, "embeddings"))
+    def dot(x: String, y: String): Column = expr(s"dot_product($x, $y)")
+    val okCells = emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n").between(2, embedCellCap))
+      .select(col("label"))
+    val e = emb.join(okCells, Seq("label"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        dot("embedding", "embedding").as("norm2"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm2").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_id"),
+      col("embedding").as("eb"), col("norm2").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(round(dot("ea", "eb") / sqrt(col("na") * col("nb")), 4))
+        .as("max_prior_sim"))
+      .filter(col("max_prior_sim") > semanticTau)
+  }
+
   /** Observability for the capped candidate generators, as a first-class
     * hash-gated query (VERDICT r5 next-round #7 — previously these counts
     * only reached Verify's stdout): one row per generator with the number
@@ -826,5 +882,6 @@ object Dedup {
     "q_dedup_simhash" -> simhash,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_drop_metrics" -> dropMetricsQ,
+    "q_dedup_semantic" -> semanticDedup,
     "q_embed_neardup" -> embedNeardup)
 }

@@ -596,7 +596,91 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
   }
 
+  /** Stream-static broadcast enrichment: an unbounded event stream joined
+    * to a bounded dimension (per-user history: event count + max value),
+    * emitting each event tagged with its user's stats and whether it is
+    * that user's maximum. The third join shape in the streaming surface,
+    * and the cheapest: a stream-static INNER join is STATELESS — no
+    * watermark, no buffered state, no state store at all — because only
+    * the static side is complete; Spark just re-plans the static relation
+    * into every micro-batch. StreamingSpec pins the no-state property from
+    * query progress.
+    *
+    * Scale shape: the static side is aggregated once and explicitly
+    * `broadcast()` — at 100 TB/day ingest the dimension (users, domains,
+    * licenses) is orders of magnitude smaller than the stream, so each
+    * micro-batch is a map-side hash join with zero shuffle of stream rows.
+    * A dimension too big to broadcast switches to a pre-partitioned
+    * stream-static shuffle join with the same semantics. On bounded input
+    * the result equals the batch join exactly (no time condition, no late
+    * data), so the DuckDB batch join is a hash-exact oracle.
+    */
+  val streamStaticJoin: QueryDef = QueryDef(
+    """SELECT e.event_id AS event_id, e.user_id AS user_id, u.n_user AS n_user,
+      |       e.value = u.max_value AS is_user_max
+      |FROM events e
+      |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_user,
+      |             max(value) AS max_value
+      |      FROM events GROUP BY user_id) u
+      |  ON e.user_id = u.user_id""".stripMargin) { (spark, dir) =>
+    withNanosAsLong(spark) {
+      val users = readEvents(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user"), max(col("value")).as("max_value"))
+      val schema = spark.read.parquet(t(dir, "events")).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+        .select(col("event_id"), col("user_id"), col("value"))
+      withStreamPartitions(spark, 4) {
+        val q = stream.join(broadcast(users), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("n_user"),
+            (col("value") === col("max_value")).as("is_user_max"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_static")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table("graft_stream_static")
+    }
+  }
+
+  /** Distinct-cardinality sketch: per-event-type exact distinct users next
+    * to a HyperLogLog++ estimate (`approx_count_distinct`, rsd 1%), gated
+    * on the DERIVED property that the sketch lands within 5% of truth —
+    * the same derived-gate technique as the IVF monotonicity row, since no
+    * oracle can replay Spark's HLL register values. The row computes both
+    * sides so the gate has its truth anchor; a production profile runs the
+    * sketch alone.
+    *
+    * Scale shape: this is why the sketch exists at 100 TB — exact distinct
+    * is a full shuffle of every (type, user) pair before counting, while
+    * the HLL is one scan with a fixed few-KB register set per group,
+    * partially aggregated map-side and merged associatively (also the
+    * incremental form: per-partition sketches merge across days without
+    * re-reading history).
+    */
+  val approxDistinct: QueryDef = QueryDef(
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |       TRUE AS hll_ok
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("n_hll"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_hll") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_ok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_stream_static_join" -> streamStaticJoin,
+    "q_approx_distinct" -> approxDistinct,
     "q_json_extract" -> jsonExtract,
     "q_stream_join" -> streamJoin,
     "q_window_sessions" -> windowSessions,

@@ -157,6 +157,38 @@ object TextOps {
         round(avg(col("n_tokens").cast("double")), 2).as("avg_tokens"))
   }
 
+  /** Token-length histogram: documents bucketed by whitespace-token count
+    * (fixed width 16), one row per (source, bucket) with the doc count and
+    * the bucket's observed min/max — the data-profiling pass a curation run
+    * does before choosing packing lengths and length filters (the
+    * [[graft.queries.Pipeline]] operators consume exactly this signal).
+    *
+    * Scale shape: the token count and bucket id are computed in the scan
+    * projection (codegen'd split/size, no UDF), so the only exchange is the
+    * final map-side-combinable aggregation on a key space bounded by
+    * sources × (max_len/16) — a few hundred cells regardless of corpus
+    * size. Integer-exact end to end; a 100 TB profile is one scan.
+    */
+  val tokenHist: QueryDef = QueryDef(
+    """SELECT source, bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+      |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      |FROM (
+      |  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+      |         len(string_split(text, ' ')) // 16 AS bucket
+      |  FROM documents) f
+      |GROUP BY source, bucket""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        floor(col("n_tokens") / 16).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).cast("long").as("min_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+  }
+
   /** Document fingerprinting: rolling polynomial hash over code points via
     * the native codegen'd PolyHash expression (whole-stage codegen, no UDF).
     */
@@ -249,6 +281,7 @@ object TextOps {
     "q_lang_id" -> langId,
     "q_quality_score" -> quality,
     "q_token_count" -> tokenCount,
+    "q_token_hist" -> tokenHist,
     "q_fingerprint" -> fingerprint,
     "q_tfidf" -> tfidf,
     "q_bigram" -> bigram)
