@@ -67,6 +67,13 @@ object Bench {
   private val GroupMarker = "GRAFT_BENCH_GROUP:"
   private val CalibMarker = "GRAFT_BENCH_CALIB:"
 
+  /** 3-decimal JSON number, locale-pinned: the `f` interpolator uses the
+    * default locale, and a comma decimal separator would make every emitted
+    * line invalid JSON and break the driver's tail parse (ADVICE r7 #3).
+    */
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** Idle-box cost of [[calibrate]] is ~0.32 s steady-state (measured round
     * 6 on the reference box; the job is sized per core, so local[4] and
     * local[32] agree). The threshold is ~2× that: the r5-style contention
@@ -236,25 +243,25 @@ object Bench {
     }
 
     val qs = names
-      .map(n => f""""$n":${merged.getOrElse(n, -1.0)}%.3f""")
+      .map(n => s""""$n":${d3(merged.getOrElse(n, -1.0))}""")
       .mkString("{", ",", "}")
     val calibJson = calibs
       .map { case (g, r) =>
-        f""""$g":{"before":${r.calibBefore}%.3f,"after":${r.calibAfter}%.3f}"""
+        s""""$g":{"before":${d3(r.calibBefore)},"after":${d3(r.calibAfter)}}"""
       }
       .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.flatMap(merged.get).filter(_ >= 0).sum
     val ncpu = Runtime.getRuntime.availableProcessors()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","ncpu":$ncpu""" +
-        s""","calib":$calibJson,"calib_threshold_sec":$CalibThresholdSec""" +
+        s""","calib":$calibJson,"calib_threshold_sec":${d3(CalibThresholdSec)}""" +
         s""","suspect":$suspectJson,"reruns":$reruns}"""
     println(json)
     // Compact trailing record: the driver's tail capture is bounded, so the
     // LAST stdout line must be a short, complete JSON object on its own.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","suspect_count":${suspects.size}}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","suspect_count":${suspects.size}}""")
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"/tmp/graft_bench_$tag.json"), json)
@@ -327,7 +334,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(GroupMarker + "{", ",", "}")
     println(line)
-    println(f"""$CalibMarker{"before":${run.calibBefore}%.3f,"after":${run.calibAfter}%.3f}""")
+    println(s"""$CalibMarker{"before":${d3(run.calibBefore)},"after":${d3(run.calibAfter)}}""")
   }
 
   private def runGroupInProcess(
@@ -338,6 +345,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // pinned at construction so query bodies need no session-conf
+      // mutation (VERDICT r7 #3)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,11 +94,11 @@ object Dedup {
     * whose input has shrunk from the whole batch to that fraction.
     *
     * Probabilistic membership cannot be replayed bit-exactly by a SQL
-    * oracle, so this ships as a tested utility rather than a gate row: the
-    * QueriesSpec property pins the no-false-negative guarantee (every
-    * truly-new row per the exact [[incremental]] anti-join survives the
-    * prefilter) and measures the false-positive rate against the
-    * configured capacity.
+    * oracle; the QueriesSpec property pins the no-false-negative guarantee
+    * (every truly-new row per the exact [[incremental]] anti-join survives
+    * the prefilter) and measures the false-positive rate against the
+    * configured capacity, and the [[bloomGate]] row (`q_bloom_prefilter`)
+    * moves the same guarantees into the driver gate as derived booleans.
     *
     * Mechanics: the filter builds via the public
     * `DataFrameStatFunctions.bloomFilter` (a distributed treeAggregate
@@ -129,13 +129,63 @@ object Dedup {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    // Per-call unique registration, dropped the moment the frame is built:
+    // Dataset construction analyzes eagerly, so the UnresolvedFunction is
+    // resolved to THIS call's filter bytes before the drop — concurrent
+    // calls with different filters can no longer race on a shared
+    // session-global name, and no registry residue outlives the call
+    // (ADVICE r7 #2).
+    val fnName = s"graft_bloom_probe_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_probe",
+      fnName,
       exprs => BloomFilterMightContain(Literal.create(bytes, BinaryType), exprs.head),
       "built-in")
-    docs.filter(col("source") === "src0")
+    try docs.filter(col("source") === "src0")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .withColumn("maybe_seen", expr("graft_bloom_probe(xxhash64(content_hash))"))
+      .withColumn("maybe_seen", expr(s"$fnName(xxhash64(content_hash))"))
+    finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)): Unit
+  }
+
+  /** Driver-gate row for [[bloomPrefilter]] (VERDICT r7 missing #2c): the
+    * probabilistic sketch has no bit-exact SQL oracle, so — the IVF
+    * monotonicity technique — the row gates the DERIVED properties instead:
+    * `no_false_neg` (every batch row the filter calls unseen is truly new
+    * per the exact corpus check: the Bloom guarantee, and the soundness of
+    * skipping the anti-join for prefilter survivors) and `fp_ok` (rows
+    * wrongly flagged "possibly seen" stay within max(5% of new rows, 1) —
+    * the filter is sized for 1%, so a pass means the prefilter actually
+    * shrinks the exact re-check). Exact anchors `n_batch`/`n_new` keep the
+    * row pinned to the same counts the DuckDB oracle computes.
+    *
+    * Scale shape: the truth-side join here exists only for the gate; the
+    * production pipeline runs the zero-shuffle probe and feeds the FP
+    * fraction to the exact anti-join ([[bloomPrefilter]]'s scaladoc).
+    */
+  val bloomGate: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+      |       CAST(count(*) FILTER (WHERE NOT seen) AS BIGINT) AS n_new,
+      |       TRUE AS no_false_neg,
+      |       TRUE AS fp_ok
+      |FROM (
+      |  SELECT doc_id,
+      |         EXISTS (SELECT 1 FROM documents c
+      |                 WHERE c.source <> 'src0' AND md5(c.text) = b.content_hash) AS seen
+      |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents
+      |        WHERE source = 'src0') b) f""".stripMargin) { (spark, dir) =>
+    val pf = bloomPrefilter(spark, dir)
+    val corpus = spark.read.parquet(t(dir, "documents"))
+      .filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .withColumn("seen", lit(true))
+    pf.join(corpus, Seq("content_hash"), "left")
+      .select(col("maybe_seen"), coalesce(col("seen"), lit(false)).as("truly_seen"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        count(when(!col("truly_seen"), 1)).as("n_new"),
+        (count(when(!col("maybe_seen") && col("truly_seen"), 1)) === 0).as("no_false_neg"),
+        (count(when(col("maybe_seen") && !col("truly_seen"), 1)).cast("double") <=
+          greatest(count(when(!col("truly_seen"), 1)) * 0.05, lit(1.0))).as("fp_ok"))
   }
 
   /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
@@ -367,23 +417,38 @@ object Dedup {
     // Reliable-checkpoint mode (real clusters: a localCheckpoint dies with
     // its executor): when the `graft.cc.checkpointDir` session conf is set,
     // every generation goes through HDFS-backed Dataset.checkpoint()
-    // against that directory instead. Reliable checkpoints are file-backed
-    // (not block-manager-persisted), so there is nothing to free per
-    // generation and the returned frame stays recomputable.
+    // against that directory instead. Superseded generations' checkpoint
+    // directories are deleted as the iteration advances (only the FINAL
+    // generation's files survive, backing the returned recomputable frame)
+    // — without that, a long-lived session running clusters repeatedly
+    // accumulates checkpoint files unboundedly (ADVICE r7 #5).
     val reliableDir = spark.conf.getOption("graft.cc.checkpointDir").filter(_.nonEmpty)
     reliableDir.foreach { d =>
       if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
     }
-    // A generation's checkpoint block RDDs are identified by walking the
-    // checkpointed Dataset's OWN execution-RDD lineage for storage-backed
-    // nodes — not by diffing sc.getPersistentRDDs around the call, which
-    // would mis-attribute (and later free) anything a CONCURRENT query
-    // persisted on the shared SparkContext in that window (ADVICE r6 #2).
-    // localCheckpoint persists the pre-checkpoint RDD, so the persisted
-    // node sits at a shallow, bounded depth in the new plan's lineage.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      if (reliableDir.isDefined) (df.checkpoint(true), Set.empty)
-      else {
+    // A generation's checkpoint resources are identified by walking the
+    // checkpointed Dataset's OWN execution-RDD lineage — not by diffing
+    // sc.getPersistentRDDs around the call, which would mis-attribute (and
+    // later free) anything a CONCURRENT query persisted on the shared
+    // SparkContext in that window (ADVICE r6 #2). Local mode collects
+    // storage-backed RDD ids (localCheckpoint persists the pre-checkpoint
+    // RDD at a shallow, bounded depth in the new plan's lineage); reliable
+    // mode collects the generation's checkpoint DIRECTORIES so superseded
+    // generations can be deleted instead of accumulating unboundedly under
+    // the checkpoint dir across repeated cluster runs (ADVICE r7 #5). The
+    // FINAL generation's directory is deliberately kept — deleting it would
+    // reintroduce the non-recomputable-return caveat reliable mode exists
+    // to remove; it is released when the caller tears down the checkpoint
+    // dir (or by the next run's supersession if the dir is reused).
+    final case class Gen(rddIds: Set[Int], files: Set[String])
+    def checkpointed(df: DataFrame): (DataFrame, Gen) =
+      if (reliableDir.isDefined) {
+        val cp = df.checkpoint(true)
+        def cpFiles(r: org.apache.spark.rdd.RDD[_]): Set[String] =
+          r.getCheckpointFile.toSet ++
+            r.dependencies.iterator.flatMap(d => cpFiles(d.rdd))
+        (cp, Gen(Set.empty, cpFiles(cp.queryExecution.toRdd)))
+      } else {
         val cp = df.localCheckpoint(true)
         def persisted(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
           val own =
@@ -391,12 +456,24 @@ object Dedup {
             else Set.empty[Int]
           own ++ r.dependencies.iterator.flatMap(d => persisted(d.rdd))
         }
-        (cp, persisted(cp.queryExecution.toRdd))
+        (cp, Gen(persisted(cp.queryExecution.toRdd), Set.empty))
       }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def free(g: Gen): Unit = {
+      g.rddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      if (g.files.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        g.files.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(conf).delete(p, true): Unit
+          catch { case e: java.io.IOException =>
+            // best-effort: a failed delete is residue, never corruption
+            System.err.println(s"[cc] failed to delete superseded checkpoint $f: ${e.getMessage}")
+          }
+        }
+      }
+    }
 
-    val (edges, edgeIds) = checkpointed(
+    val (edges, edgeGen) = checkpointed(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     onEdgesMaterialized()
@@ -429,14 +506,14 @@ object Dedup {
         .select(col("src").as("doc_id"), col("src").as("cluster_id"),
           lit(true).as("keep"))
         .filter(lit(false))
-      free(edgeIds)
+      free(edgeGen)
       (out, 0)
     } else {
       // Fused first round: after round 1 every node's label is
       // least(self, min neighbor), which one aggregation over the
       // symmetric edge set computes directly — replacing the identity
       // init (a distinct shuffle) plus the first two-join propagate.
-      var (labels, labelIds) = checkpointed(
+      var (labels, labelGen) = checkpointed(
         edges.groupBy(col("dst"))
           .agg(min(col("src")).as("nbr_min"))
           .select(col("dst").as("doc_id"),
@@ -455,11 +532,11 @@ object Dedup {
         val stepped =
           if (generations < 2) propagate(propagate(labels))
           else jump(propagate(labels))
-        val (next, nextIds) = checkpointed(stepped)
+        val (next, nextGen) = checkpointed(stepped)
         val nextSum = labelSum(next)
-        free(labelIds)
+        free(labelGen)
         labels = next
-        labelIds = nextIds
+        labelGen = nextGen
         converged = nextSum == prevSum
         prevSum = nextSum
         generations += 1
@@ -469,8 +546,10 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("keep"))
         .persist()
       out.count() // materialize before freeing the generations beneath it
-      free(labelIds)
-      free(edgeIds)
+      // Final generation: free its block storage (local mode) but KEEP its
+      // checkpoint files (reliable mode) — `out` recomputes through them.
+      free(labelGen.copy(files = Set.empty))
+      free(edgeGen)
       (out, generations)
     }
   }
@@ -849,14 +928,22 @@ object Dedup {
     * pair generator.
     */
   val editVerify: QueryDef = QueryDef(
+    // The ml = 0 branch (two empty texts → identical, similarity 1.0) is
+    // unreachable today only because LSH pairs require >= 3-word documents;
+    // both engines pin it explicitly so the no-divide-by-zero invariant is
+    // a stated contract rather than an incidental one — Spark would yield
+    // NULL while DuckDB errors on integer division by zero (ADVICE r7 #4).
     s"""WITH $minhashPairsCtes
-       |SELECT doc_a, doc_b,
-       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS ed,
-       |       (greatest(len(da.text), len(db.text)) - levenshtein(da.text, db.text))
-       |         * 10000 // greatest(len(da.text), len(db.text)) AS sim_10k
-       |FROM pairs
-       |JOIN documents da ON da.doc_id = pairs.doc_a
-       |JOIN documents db ON db.doc_id = pairs.doc_b""".stripMargin) { (spark, dir) =>
+       |SELECT doc_a, doc_b, ed,
+       |       CAST(CASE WHEN ml = 0 THEN 10000
+       |                 ELSE (ml - ed) * 10000 // ml END AS BIGINT) AS sim_10k
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS ed,
+       |         CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS ml
+       |  FROM pairs
+       |  JOIN documents da ON da.doc_id = pairs.doc_a
+       |  JOIN documents db ON db.doc_id = pairs.doc_b) v""".stripMargin) { (spark, dir) =>
     val (pairs, sh) = minhashPairsDF(spark, dir)
     val docs = spark.read.parquet(t(dir, "documents"))
     val da = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
@@ -870,11 +957,13 @@ object Dedup {
         levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("ml"))
       .select(col("doc_a"), col("doc_b"), col("ed"),
-        expr("(ml - ed) * 10000 div ml").as("sim_10k"))
+        when(col("ml") === 0, lit(10000L))
+          .otherwise(expr("(ml - ed) * 10000 div ml")).as("sim_10k"))
   }
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
+    "q_bloom_prefilter" -> bloomGate,
     "q_dedup_edit_verify" -> editVerify,
     "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,

@@ -47,17 +47,20 @@ object Events {
     }
   }
 
-  /** Batch read of events.parquet (TIMESTAMP(NANOS) ts → long). The flag is
-    * deliberately left set on the session — NOT restored: the returned
-    * frame is lazy, and the parquet scan re-reads this conf when the plan
-    * executes (file-source readers capture SQLConf at physical planning,
-    * i.e. action time), so a restore here would make later execution of the
-    * returned frame fail on the nanos type. Session-sticky by requirement,
-    * not oversight; the fully-executed streaming queries use
+  /** Batch read of events.parquet (TIMESTAMP(NANOS) ts → long). Every
+    * session this library constructs (Verify, Bench children, the test
+    * harnesses) pins the flag at SESSION CONSTRUCTION (VERDICT r7 #3), so
+    * the set below is a no-op there; it remains only as a defensive
+    * fallback for externally-built sessions, and is deliberately NOT
+    * restored when it does fire: the returned frame is lazy, and the
+    * parquet scan re-reads this conf when the plan executes (file-source
+    * readers capture SQLConf at physical planning, i.e. action time), so a
+    * restore would make later execution of the returned frame fail on the
+    * nanos type. The fully-executed streaming queries use
     * [[withNanosAsLong]] instead and leak nothing.
     */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set(NanosKey, "true")
+    if (!spark.conf.getOption(NanosKey).contains("true")) spark.conf.set(NanosKey, "true")
     spark.read.parquet(t(dir, "events"))
   }
 
@@ -427,7 +430,11 @@ object Events {
         val dest = new java.io.File(o, f"chunk_$i%03d.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dest.setLastModified(baseMtime + i * 60000L): Unit
+        // The stream source orders files by mtime; a silently-failed set
+        // would process chunks out of event-time order and corrupt the
+        // gate's eviction replay — fail loudly instead (ADVICE r7 #1).
+        require(dest.setLastModified(baseMtime + i * 60000L),
+          s"failed to set mtime on $dest — chunk order would be undefined")
       }
       FileSources.deleteRecursively(rawDir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
@@ -521,6 +528,56 @@ object Events {
     * emitted lag works on raw nanos longs, matching the oracle's
     * `epoch_ns` arithmetic exactly.
     */
+  /** The interval-join pipeline shared by [[streamJoin]] (inner) and
+    * [[streamJoinOuter]] (left outer): both sides of the same bounded file
+    * stream, per-side 1-hour watermarks, the `[c_tsw, c_tsw + 1h]` time
+    * condition, run to completion into a memory sink named `sinkName`.
+    */
+  private def runIntervalJoin(
+      spark: SparkSession,
+      dir: String,
+      joinType: String,
+      sinkName: String): DataFrame = {
+    withNanosAsLong(spark) {
+      val schema = spark.read.parquet(t(dir, "events")).schema
+      def side(tpe: String, pre: String): DataFrame =
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parque[t]")
+          .filter(col("event_type") === tpe)
+          .select(
+            col("event_id").as(s"${pre}_event_id"),
+            col("user_id").as(s"${pre}_user_id"),
+            col("ts").as(s"${pre}_ts"),
+            timestamp_micros(expr("ts div 1000")).as(s"${pre}_tsw"))
+          .withWatermark(s"${pre}_tsw", "1 hour")
+      withStreamPartitions(spark, 4) {
+        val joined = side("click", "c").join(
+          side("purchase", "p"),
+          col("c_user_id") === col("p_user_id") &&
+            col("p_tsw") >= col("c_tsw") &&
+            col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
+          joinType)
+        val q = joined
+          .select(
+            col("c_event_id").as("click_id"),
+            col("p_event_id").as("purchase_id"),
+            col("c_user_id").as("user_id"),
+            expr("(p_ts - c_ts) div 1000000000").as("lag_s"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(sinkName)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table(sinkName)
+    }
+  }
+
   val streamJoin: QueryDef = QueryDef(
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
       |       c.user_id AS user_id,
@@ -530,44 +587,47 @@ object Events {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND epoch_ns(p.ts) >= epoch_ns(c.ts)
       | AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000""".stripMargin) {
-    (spark, dir) =>
-      withNanosAsLong(spark) {
-        val schema = spark.read.parquet(t(dir, "events")).schema
-        def side(tpe: String, pre: String): DataFrame =
-          spark.readStream
-            .schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("basePath", dir)
-            .parquet(s"$dir/events.parque[t]")
-            .filter(col("event_type") === tpe)
-            .select(
-              col("event_id").as(s"${pre}_event_id"),
-              col("user_id").as(s"${pre}_user_id"),
-              col("ts").as(s"${pre}_ts"),
-              timestamp_micros(expr("ts div 1000")).as(s"${pre}_tsw"))
-            .withWatermark(s"${pre}_tsw", "1 hour")
-        withStreamPartitions(spark, 4) {
-          val joined = side("click", "c").join(
-            side("purchase", "p"),
-            col("c_user_id") === col("p_user_id") &&
-              col("p_tsw") >= col("c_tsw") &&
-              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"))
-          val q = joined
-            .select(
-              col("c_event_id").as("click_id"),
-              col("p_event_id").as("purchase_id"),
-              col("c_user_id").as("user_id"),
-              expr("(p_ts - c_ts) div 1000000000").as("lag_s"))
-            .writeStream
-            .outputMode("append")
-            .format("memory")
-            .queryName("graft_stream_join")
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
-        spark.table("graft_stream_join")
-      }
+    (spark, dir) => runIntervalJoin(spark, dir, "inner", "graft_stream_join")
+  }
+
+  /** LEFT OUTER stream-stream interval join — attribution including the
+    * clicks that never converted: matched pairs emit exactly as in
+    * [[streamJoin]]; a click with NO purchase in its hour window emits a
+    * null-extended row once the watermark proves no future purchase can
+    * match it. That proof is what makes outer stream-stream joins need
+    * watermarks AT ALL (an un-watermarked outer join could never emit a
+    * null row — a match might always still arrive), and the null rows are
+    * emitted at state EVICTION time, i.e. delayed by the watermark lag —
+    * the production caveat this row pins.
+    *
+    * The oracle replays the eviction rule pinned empirically at ms
+    * resolution by StreamOuterJoinSpec: a never-matched click emits iff
+    * `click_ms + interval_ms < final_wm_ms` — STRICTLY below, no ±1 ms
+    * adjustment — where `final_wm_ms = min(max click event-time ms, max
+    * purchase event-time ms) - 3600000` (per-side watermark nodes track
+    * their own ms-floored max; the query's global watermark is the min;
+    * all input arrives in one micro-batch here, so only the FINAL
+    * watermark's eviction matters). Matched rows are watermark-independent
+    * on bounded input, exactly as in the inner row.
+    */
+  val streamJoinOuter: QueryDef = QueryDef(
+    """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(tns // 1000000) FROM c),
+      |                    (SELECT max(tns // 1000000) FROM p)) - 3600000 AS wm_ms),
+      |j AS (
+      |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |         c.user_id AS user_id,
+      |         (p.tns - c.tns) // 1000000000 AS lag_s,
+      |         c.tns // 1000000 AS c_ms
+      |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |    AND p.tns >= c.tns AND p.tns <= c.tns + 3600000000000)
+      |SELECT click_id, purchase_id, user_id, lag_s
+      |FROM j, wm
+      |WHERE purchase_id IS NOT NULL OR c_ms + 3600000 < wm.wm_ms""".stripMargin) {
+    (spark, dir) => runIntervalJoin(spark, dir, "left_outer", "graft_stream_join_outer")
   }
 
   /** JSON metadata extraction: pull a typed field out of the `props` JSON
@@ -683,6 +743,7 @@ object Events {
     "q_approx_distinct" -> approxDistinct,
     "q_json_extract" -> jsonExtract,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_outer" -> streamJoinOuter,
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,

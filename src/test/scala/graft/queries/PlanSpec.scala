@@ -17,6 +17,7 @@ class PlanSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-plan-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -184,14 +185,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("q_dsir_weight broadcasts the vocabulary counts, hash aggregation only") {
+  test("q_dsir_weight joins the vocabulary without a forced broadcast hint") {
     val p = plan("q_dsir_weight")
-    // the vocab count table is the broadcast build side; the corpus token
-    // stream never shuffles for the join (only for the two aggregations,
-    // both map-side-combinable)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // The vocab join is deliberately UNHINTED (VERDICT r7 #2): statically
+    // it plans as an equi-join on the token (AQE converts it to broadcast
+    // at runtime when the counts table is actually small, and keeps the
+    // shuffle fallback when a web-scale vocab would exceed broadcast
+    // limits). The pin is the join SHAPE, not the strategy: an equi-join,
+    // hash aggregation, no cartesian anywhere.
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dup_spans semi-joins marked positions and island-merges in one window") {
+    val p = plan("q_dup_spans")
+    // marked positions come back through a LEFT SEMI join (no gram payload
+    // kept past the mark), and the island merge is a single doc_id window —
+    // never a position self-join or interval logic
+    assert(p.contains("Semi"), p)
+    assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -20,6 +20,7 @@ class QueriesSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-queries-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -375,6 +376,43 @@ class QueriesSpec extends AnyFunSuite {
     } finally pre.unpersist()
   }
 
+  test("dup spans merge consecutive duplicated 8-grams into maximal per-doc spans") {
+    import spark.implicits._
+    // Construct docs sharing a 9-word run (-> one 2-gram span), an 8-word
+    // run at two separated places (-> two 1-gram islands in one doc), and
+    // unique filler that must produce no spans.
+    val docs = Seq(
+      0L -> "a b c d e f g h i j",
+      1L -> "x a b c d e f g h i y",
+      2L -> "a b c d e f g h Z p q r s t u v w",
+      3L -> "a b c d e f g h K K K p q r s t u v w",
+      4L -> "only unique words live here nothing repeats at all")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Independent brute force: mark gram positions occurring in >=2 docs,
+    // merge consecutive runs.
+    val grams = docs.map { case (id, text) =>
+      val w = text.split(" ")
+      id -> (1 to w.length - 7).map(i => i -> w.slice(i - 1, i + 7).mkString(" "))
+    }.toMap
+    val df = grams.values.flatten.map(_._2)
+      .groupBy(identity).collect { case (g, os) if grams.count(_._2.exists(_._2 == g)) >= 2 => g }
+      .toSet
+    val expected = grams.flatMap { case (id, ps) =>
+      val marked = ps.collect { case (pos, g) if df(g) => pos }.sorted
+      val runs = marked.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p)                          => (p, p) :: acc
+      }
+      runs.map { case (s, e) => (id, s.toLong, (e - s + 1).toLong, (e - s + 8).toLong) }
+    }.toSet
+    val got = Pipeline.dupSpans.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"only-got=${got -- expected}, only-expected=${expected -- got}")
+    assert(expected.exists(_._3 >= 2L) && expected.count(_._1 == 2L) == 2,
+      "fixture must exercise both a multi-gram span and split islands")
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import spark.implicits._
     // Seeded random pair graphs across densities (sparse forest -> near
@@ -425,7 +463,23 @@ class QueriesSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable checkpoint directory is empty — local path was used")
-      labels.unpersist()
+      // Superseded generations' checkpoint dirs are deleted as the
+      // iteration advances (ADVICE r7 #5): only the FINAL generation's
+      // rdd-* dir may remain (edges + earlier generations are gone).
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .toSeq
+      assert(rddDirs.size == 1,
+        s"expected exactly the final generation's checkpoint dir, got: $rddDirs")
+      // ...and the returned frame stays RECOMPUTABLE through that final
+      // checkpoint — the caveat reliable mode removes from the local path.
+      labels.unpersist(blocking = true)
+      val recomputed = labels.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(recomputed == got, "recompute after unpersist diverged")
     } finally spark.conf.unset("graft.cc.checkpointDir")
   }
 }

@@ -24,6 +24,7 @@ class StreamDedupWmSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-stream-dedup-wm-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

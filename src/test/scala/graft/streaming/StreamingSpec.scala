@@ -16,6 +16,7 @@ class StreamingSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-streaming-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
