@@ -110,6 +110,15 @@ object Dedup {
     * `bloom_filter_agg` itself is not in the public registry in 4.1, and
     * `might_contain` requires a constant filter anyway.
     *
+    * Sizing limit: the serialized filter transits the driver, so the
+    * single-sketch form tops out around 10^9 corpus keys (~1.2 GB at
+    * 9.6 bits/key); a 10^10-key warehouse corpus needs a PARTITIONED
+    * filter family — bucket the corpus hashes (e.g. by hash prefix into
+    * 64 buckets), build one bounded sketch per bucket, and probe each
+    * batch row against its bucket's sketch via the same constant-literal
+    * expression keyed by the row's prefix. Same zero-shuffle probe, driver
+    * memory bounded per bucket.
+    *
     * Returns batch rows annotated with `maybe_seen`; `expectedItems`/
     * `numBits` size the filter (1% FP at ~9.6 bits/item).
     */

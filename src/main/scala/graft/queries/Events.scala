@@ -738,7 +738,46 @@ object Events {
         (abs(col("n_hll") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_ok"))
   }
 
+  /** Approximate-quantile sketch next to exact truth — the percentile
+    * sibling of [[approxDistinct]]'s HLL row, with the same derived-gate
+    * technique (no SQL oracle can replay Spark's KLL/GK sketch registers):
+    * per event type, the exact p50/p99 anchor the row, and the booleans
+    * assert `percentile_approx(value, p, 1000)` lands inside the exact
+    * [p - 0.02, p + 0.02] quantile band — a worst-case envelope over the
+    * sketch's rank guarantee (n/1000) plus one order-statistic step of
+    * interpolation slack, valid at every scale factor.
+    *
+    * Scale shape: this sketch is why exact [[quantiles]] gets to stay
+    * sort-based — the approx form is one scan with a fixed-size register
+    * set per group, partially aggregated map-side and merged associatively
+    * (and incrementally across days), while the exact form pays a per-group
+    * sort. A profile pipeline runs the sketch; the gate runs both so the
+    * property has its truth anchor.
+    */
+  val approxQuantiles: QueryDef = QueryDef(
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |       round(quantile_cont(value, 0.99), 4) AS p99_exact,
+      |       TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_exact"),
+        expr("percentile_approx(value, 0.5, 1000)").as("p50_a"),
+        expr("percentile_approx(value, 0.99, 1000)").as("p99_a"),
+        expr("percentile(value, 0.48)").as("p50_lo"),
+        expr("percentile(value, 0.52)").as("p50_hi"),
+        expr("percentile(value, 0.97)").as("p99_lo"),
+        expr("percentile(value, 1.0)").as("p99_hi"))
+      .select(col("event_type"), col("p50_exact"), col("p99_exact"),
+        col("p50_a").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
+        col("p99_a").between(col("p99_lo"), col("p99_hi")).as("p99_ok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,
     "q_approx_distinct" -> approxDistinct,
     "q_json_extract" -> jsonExtract,

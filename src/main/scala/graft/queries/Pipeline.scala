@@ -456,7 +456,56 @@ object Pipeline {
         (col("n_grams") + (DupNGram - 1)).as("span_words"))
   }
 
+  /** Fixed-window document chunking with overlap — the context-window
+    * splitter every retrieval / eval / long-doc-training pipeline runs
+    * (chunks of [[ChunkLen]] tokens advancing by [[ChunkStride]], so
+    * consecutive chunks overlap by ChunkLen - ChunkStride tokens and no
+    * token is ever dropped; the tail chunk is short rather than padded).
+    * Emits (doc_id, chunk_id, start_tok, n_tok, chunk_fp) — the fingerprint
+    * is the shared md5-prefix token hash, so chunk-level dedup can chain
+    * directly onto this output.
+    *
+    * Scale shape: chunk starts are generated IN-ROW (`sequence` +
+    * `explode`) and every emitted column is computed in the same projection
+    * — zero shuffles, zero joins; the operator is pure map work that
+    * parallelizes with the scan. Chunk count per doc is
+    * ceil(max(n-len,0)/stride)+1, so output size is predictable from token
+    * counts (the packing/budget rows' accounting composes with it).
+    */
+  private val ChunkLen = 128
+  private val ChunkStride = 96
+
+  val docChunks: QueryDef = QueryDef(
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |w AS (SELECT doc_id, words, len(words) AS n FROM w0),
+       |k AS (SELECT doc_id, words, n,
+       |             CAST(ceil(greatest(n - $ChunkLen, 0) / $ChunkStride.0) AS BIGINT) AS kmax
+       |      FROM w),
+       |c AS (SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |       CAST(i * $ChunkStride + 1 AS BIGINT) AS start_tok,
+       |       CAST(least($ChunkLen, n - i * $ChunkStride) AS BIGINT) AS n_tok,
+       |       CAST('0x' || substr(md5(array_to_string(
+       |              words[(i * $ChunkStride + 1):least(i * $ChunkStride + $ChunkLen, n)],
+       |              ' ')), 1, 8) AS BIGINT) AS chunk_fp
+       |FROM c""".stripMargin) { (spark, dir) =>
+    val start = col("i") * ChunkStride + 1
+    val nTok = least(lit(ChunkLen), col("n") - col("i") * ChunkStride)
+    val chunk = concat_ws(" ", slice(col("w"), start, nTok))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("kmax",
+        ceil(greatest(col("n") - ChunkLen, lit(0)) / ChunkStride.toDouble))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("kmax"))).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_id"),
+        start.cast("long").as("start_tok"), nTok.cast("long").as("n_tok"),
+        conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("chunk_fp"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_doc_chunks" -> docChunks,
     "q_decontaminate" -> decontaminate,
     "q_sample_stratified" -> sampleStratified,
     "q_repetition" -> repetition,

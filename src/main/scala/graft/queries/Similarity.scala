@@ -175,8 +175,43 @@ object Similarity {
     */
   val annLshWide: QueryDef = lshDef(planes = 24, bands = 3)
 
+  /** Per-label embedding centroids — mean pooling per cell, the aggregation
+    * behind IVF coarse quantizers, cluster summaries, and class prototypes.
+    * One row per (label, dim) with the 4-dp mean; sums run in 1e-4 fixed
+    * point (parallel float summation is order-dependent in the last bits —
+    * integer sums are partition-order-proof, the q_window_sessions rule).
+    *
+    * Scale shape: the posexplode shuffles N×D (label, dim, v) rows into ONE
+    * map-side-combinable aggregation — no collect_list, no per-label state
+    * proportional to cell size. At warehouse scale the same result comes
+    * cheaper from a treeAggregate of dense vectors (one D-array per
+    * partition per label, i.e. MLlib Summarizer's shape); the explode form
+    * is the verifiable plan and within ~2× of it while D stays modest.
+    */
+  val embedCentroids: QueryDef = QueryDef(
+    """SELECT label, dim,
+      |       round(sum_fixed / (10000.0 * n), 4) AS centroid
+      |FROM (
+      |  SELECT label, u.i AS dim,
+      |         sum(CAST(floor(u.v * 10000 + 0.5) AS BIGINT)) AS sum_fixed,
+      |         count(*) AS n
+      |  FROM (SELECT label,
+      |               unnest([{'i': i - 1, 'v': embedding[i]}
+      |                       for i in range(1, len(embedding) + 1)]) AS u
+      |        FROM embeddings) e
+      |  GROUP BY label, u.i) g""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "embeddings"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v") * 10000 + 0.5).cast("long")).as("sum_fixed"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("sum_fixed") / (col("n") * 10000.0), 4).as("centroid"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
-    "q_ann_lsh_wide" -> annLshWide)
+    "q_ann_lsh_wide" -> annLshWide,
+    "q_embed_centroids" -> embedCentroids)
 }
