@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName ...] — with names given, dump only
+    // those queries (targeted local re-checks); driver always passes two.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +23,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -30,10 +35,12 @@ object Verify {
     // Drop-rate observability for the capped dedup candidate generators:
     // the oracles mirror the caps, so the gate can never see recall loss —
     // these one-line metrics can (VERDICT r2 #8).
-    try graft.queries.Dedup.dropMetrics(spark, sfDir)
-      .foreach { case (k, v) => println(s"[verify-metric] $k=$v") }
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] drop metrics failed: ${e.getMessage}")
+    if (only.isEmpty) {
+      try graft.queries.Dedup.dropMetrics(spark, sfDir)
+        .foreach { case (k, v) => println(s"[verify-metric] $k=$v") }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] drop metrics failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -509,12 +509,20 @@ object Dedup {
           coalesce(col("via_label"), col("cur_label")).as("cluster_id"))
     }
     if (edges.isEmpty) {
-      // filter(false) folds to an empty LocalRelation — the returned frame
-      // carries the right (doc_id, cluster_id, keep) schema at zero cost.
-      val out = edges
-        .select(col("src").as("doc_id"), col("src").as("cluster_id"),
-          lit(true).as("keep"))
-        .filter(lit(false))
+      // The empty frame is built from the SCHEMA, not derived from `edges`:
+      // free(edgeGen) below deletes the checkpoint files backing `edges`
+      // under reliable mode, and a frame derived from it would survive only
+      // because the optimizer happens to fold Filter(false) to a
+      // LocalRelation — the exact non-recomputable-return hazard reliable
+      // mode exists to avoid (ADVICE r8).
+      val srcType = edges.schema("src").dataType
+      val out = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", srcType),
+          org.apache.spark.sql.types.StructField("cluster_id", srcType),
+          org.apache.spark.sql.types.StructField("keep",
+            org.apache.spark.sql.types.BooleanType))))
       free(edgeGen)
       (out, 0)
     } else {

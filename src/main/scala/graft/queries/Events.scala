@@ -539,6 +539,24 @@ object Events {
       joinType: String,
       sinkName: String): DataFrame = {
     withNanosAsLong(spark) {
+      // Precondition (ADVICE r8): the eviction-replay oracles assume ALL
+      // input arrives in ONE micro-batch, so only the final watermark's
+      // eviction matters. With maxFilesPerTrigger=1, a multi-file events
+      // dataset would advance the watermark BETWEEN micro-batches — dropping
+      // late rows and emitting early null rows the batch oracle cannot
+      // replay. Fail loudly if a generator change ever splits the file.
+      val dataFiles = {
+        val d = new java.io.File(s"$dir/events.parquet")
+        val fs = if (d.isDirectory)
+          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+        else Array(d)
+        fs.length
+      }
+      require(dataFiles == 1,
+        s"stream interval-join oracles require a single-file events dataset " +
+          s"(found $dataFiles data files in $dir/events.parquet); the batch " +
+          "oracle cannot replay per-micro-batch watermark eviction")
       val schema = spark.read.parquet(t(dir, "events")).schema
       def side(tpe: String, pre: String): DataFrame =
         spark.readStream
@@ -609,14 +627,24 @@ object Events {
     * all input arrives in one micro-batch here, so only the FINAL
     * watermark's eviction matters). Matched rows are watermark-independent
     * on bounded input, exactly as in the inner row.
+    *
+    * Degenerate input (ADVICE r8): if either side is empty, Spark's global
+    * watermark is min over BOTH watermark nodes and the empty side's never
+    * advances past 0, so NO null rows emit — while DuckDB's `least()`
+    * ignores NULL and would have computed a live watermark from the
+    * non-empty side alone. The oracle therefore makes wm NULL when either
+    * side's max is NULL, so the strict `<` predicate is never true and
+    * both engines agree on zero null rows.
     */
   val streamJoinOuter: QueryDef = QueryDef(
     """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
       |           FROM events WHERE event_type = 'click'),
       |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
       |      FROM events WHERE event_type = 'purchase'),
-      |wm AS (SELECT least((SELECT max(tns // 1000000) FROM c),
-      |                    (SELECT max(tns // 1000000) FROM p)) - 3600000 AS wm_ms),
+      |wm AS (SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+      |              ELSE least(cm, pm) - 3600000 END AS wm_ms
+      |       FROM (SELECT (SELECT max(tns // 1000000) FROM c) AS cm,
+      |                    (SELECT max(tns // 1000000) FROM p) AS pm)),
       |j AS (
       |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
       |         c.user_id AS user_id,

@@ -177,9 +177,18 @@ object Similarity {
 
   /** Per-label embedding centroids — mean pooling per cell, the aggregation
     * behind IVF coarse quantizers, cluster summaries, and class prototypes.
-    * One row per (label, dim) with the 4-dp mean; sums run in 1e-4 fixed
-    * point (parallel float summation is order-dependent in the last bits —
-    * integer sums are partition-order-proof, the q_window_sessions rule).
+    * One row per (label, dim); sums run in 1e-4 fixed point (parallel float
+    * summation is order-dependent in the last bits — integer sums are
+    * partition-order-proof, the q_window_sessions rule). The fixed-point
+    * encode casts the float element to DOUBLE explicitly in BOTH engines
+    * before `* 10000 + 0.5`: left implicit, Spark and DuckDB promote
+    * float-times-int differently (float vs double intermediates), and the
+    * widening order shifts `floor` by 1 on boundary values. The emitted mean is
+    * the RAW IEEE quotient sum_fixed / (10000.0 * n): division of identical
+    * BIGINTs is bit-identical across engines, whereas a final
+    * round(double, 4) is not (Spark HALF_UP on the shortest decimal repr vs
+    * DuckDB rounding the binary double diverge on exact ...5 boundaries —
+    * 4/640 cells at sf0.01).
     *
     * Scale shape: the posexplode shuffles N×D (label, dim, v) rows into ONE
     * map-side-combinable aggregation — no collect_list, no per-label state
@@ -190,10 +199,10 @@ object Similarity {
     */
   val embedCentroids: QueryDef = QueryDef(
     """SELECT label, dim,
-      |       round(sum_fixed / (10000.0 * n), 4) AS centroid
+      |       sum_fixed / (10000.0 * n) AS centroid
       |FROM (
       |  SELECT label, u.i AS dim,
-      |         sum(CAST(floor(u.v * 10000 + 0.5) AS BIGINT)) AS sum_fixed,
+      |         sum(CAST(floor(CAST(u.v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS sum_fixed,
       |         count(*) AS n
       |  FROM (SELECT label,
       |               unnest([{'i': i - 1, 'v': embedding[i]}
@@ -203,10 +212,10 @@ object Similarity {
     spark.read.parquet(t(dir, "embeddings"))
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(sum(floor(col("v") * 10000 + 0.5).cast("long")).as("sum_fixed"),
+      .agg(sum(floor(col("v").cast("double") * 10000 + 0.5).cast("long")).as("sum_fixed"),
         count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
-        round(col("sum_fixed") / (col("n") * 10000.0), 4).as("centroid"))
+        (col("sum_fixed") / (lit(10000.0) * col("n"))).as("centroid"))
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -133,6 +133,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(bounds.count() == 0L)
   }
 
+  test("embedding centroids: exact fixed-point mean incl. a .5-boundary cell") {
+    import spark.implicits._
+    // The cell engineered here is exactly the class that broke the r8 gate:
+    // fixed values 217 + 218 over n=2 give 435/20000 = 0.02175, a quotient
+    // ending in 5 at the 5th decimal where Spark's round(HALF_UP) and
+    // DuckDB's binary-double round disagree. The query now emits the raw
+    // IEEE quotient, which must equal 435.0/20000.0 bit-for-bit.
+    val dir = java.nio.file.Files.createTempDirectory("graft-centroid").toString
+    Seq(
+      (0L, Array(0.0217f, 1.0f), 0),
+      (1L, Array(0.0218f, 2.0f), 0),
+      (2L, Array(-1.0f, -3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embedCentroids.fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 0)) == 435.0 / 20000.0) // 0.02175 exactly, NOT rounded
+    assert(got((0, 1)) == 1.5)
+    assert(got((1, 0)) == -1.0 && got((1, 1)) == -3.0)
+    assert(got.size == 4)
+  }
+
   test("stream dedup equals batch distinct on bounded input") {
     val stream = Events.streamDedup.fn(spark, sf)
     // The stream query restores the nanos-as-long flag on exit (ADVICE r6
