@@ -87,8 +87,11 @@ object Bench {
   /** A query running slower than this factor times its pinned clean median
     * is treated as contention-distorted and re-run in a fresh child JVM.
     * 3× sits far above honest round-over-round regressions (the largest
-    * real one observed was ~1.7×) and far below the 5-30× distortions the
-    * r5/r6 contended runs produced.
+    * real one observed was ~1.7× — r8's q_dup_ngrams at 1.53 s vs its
+    * 0.894 pin, 1.71×, is exactly that class and correctly NOT flagged:
+    * the band detects box contention, not code regressions, which the
+    * round-over-round pin diff catches instead) and far below the 5-30×
+    * distortions the r5/r6 contended runs produced.
     */
   private val PinDistortionFactor =
     sys.env.getOrElse("SPARK_GRAFT_PIN_FACTOR", "3.0").toDouble

@@ -133,6 +133,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(bounds.count() == 0L)
   }
 
+  test("fine dup spans see 4-word and within-doc repeats that q_dup_spans cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-finespan").toString
+    // doc 0 repeats "red fox jumps high" INSIDE itself (within-doc, 4 words:
+    // both dupSpans gaps at once); docs 1 and 2 share the same 4 words
+    // cross-doc. All words are otherwise unique so no accidental marks.
+    Seq(
+      (0L, "red fox jumps high aa bb cc dd red fox jumps high"),
+      (1L, "ee ff red fox jumps high gg hh"),
+      (2L, "red fox jumps high ii jj kk ll"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // width-8 cross-doc spans: none (no 8-gram repeats across docs)
+    assert(Pipeline.dupSpans.fn(spark, dir).count() == 0L)
+    val fine = Pipeline.dupSpansFine.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // every occurrence of the repeated 4 words is a 1-gram island -> a
+    // 4-word span at each position: doc 0 pos 1 and 9, doc 1 pos 3, doc 2 pos 1
+    assert(fine == Set((0L, 1L, 4L), (0L, 9L, 4L), (1L, 3L, 4L), (2L, 1L, 4L)))
+  }
+
   test("embedding centroids: exact fixed-point mean incl. a .5-boundary cell") {
     import spark.implicits._
     // The cell engineered here is exactly the class that broke the r8 gate:
