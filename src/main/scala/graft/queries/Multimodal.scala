@@ -27,27 +27,45 @@ object Multimodal {
         max(col("nb")).as("max_bytes"), countDistinct(col("fb")).as("distinct_first_bytes"))
   }
 
-  /** Decode + feature extraction through the partition-batched stub,
-    * projected to scalar columns for the gate (the harness cannot sort
-    * array columns): payload size plus the 16 histogram-bin counts as
-    * integers. PRECONDITION (oracle only): the engine bins UTF-8 *bytes*
-    * (byte >> 4 in the decode stub) while the SQL oracle bins *characters*
-    * (ascii(c) // 16) — these agree iff the payload text is pure ASCII,
-    * which the testdata generator guarantees. A non-ASCII payload would
-    * diverge in both the bin counts and the n_bytes basis; if the testdata
-    * ever grows non-ASCII, rewrite the oracle over encode(text) byte
-    * positions instead. The float features (mean/entropy) stay API-only —
-    * a transcendental's last ULP is not portable across engines.
+  /** Decode + feature extraction, projected to scalar columns for the gate
+    * (the harness cannot sort array columns): payload size plus the 16
+    * histogram-bin counts as integers. `src0` rows carry REAL binary PPM
+    * payloads and go through [[Media.decodePpm]] (actual header parse +
+    * raster read — VERDICT r8 #4); the oracle replays the payload
+    * arithmetic exactly: raster = content zero-padded to full 32-wide RGB
+    * rows (so h0 gains the padding count), n_bytes = header + raster where
+    * the header is `P6\n32 <H>\n255\n` = 11 + digits(H) bytes. Other
+    * sources keep the disclosed stub path with payload = the raw bytes.
+    *
+    * PRECONDITION (oracle only): the engine bins *bytes* (byte >> 4) while
+    * the SQL oracle bins *characters* (ascii(c) // 16) — these agree iff
+    * the payload text is pure ASCII, which the testdata generator
+    * guarantees. A non-ASCII payload would diverge in both the bin counts
+    * and the n_bytes basis; if the testdata ever grows non-ASCII, rewrite
+    * the oracle over encode(text) byte positions instead. The float
+    * features (mean/entropy) stay API-only — a transcendental's last ULP
+    * is not portable across engines.
     */
   val mediaFeatures: QueryDef = {
+    val pad = s"CASE WHEN source = '${Media.PpmSource}' THEN 96 * hh - nb ELSE 0 END"
     val binsSql = (0 until 16)
-      .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 16 = $j)) AS BIGINT) AS h$j")
+      .map { j =>
+        val extra = if (j == 0) s" + $pad" else ""
+        s"CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 16 = $j))$extra AS BIGINT) AS h$j"
+      }
       .mkString(",\n      |       ")
     QueryDef(
-      s"""SELECT doc_id, source AS format,
-         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      s"""SELECT doc_id,
+         |       CASE WHEN source = '${Media.PpmSource}' THEN 'ppm' ELSE source END AS format,
+         |       CAST(CASE WHEN source = '${Media.PpmSource}'
+         |            THEN 11 + len(CAST(hh AS VARCHAR)) + 96 * hh
+         |            ELSE nb END AS BIGINT) AS n_bytes,
          |       $binsSql
-         |FROM documents""".stripMargin) { (spark, dir) =>
+         |FROM (SELECT doc_id, source, text, nb,
+         |             greatest(((nb + 2) // 3 + 31) // 32, 1) AS hh
+         |      FROM (SELECT doc_id, source, text,
+         |                   octet_length(encode(text)) AS nb
+         |            FROM documents) b) d""".stripMargin) { (spark, dir) =>
       val bins = (0 until 16)
         .map(j => element_at(col("histogram"), j + 1).cast("long").as(s"h$j"))
       Media.features(spark, dir)

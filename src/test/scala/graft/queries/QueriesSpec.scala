@@ -63,6 +63,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(e0 == 0.0)
   }
 
+  test("PPM codec: encode round-trips through the real decoder") {
+    val content = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val img = Media.decodePpm(Media.encodePpm(content))
+    assert(img.width == 32 && img.height == 1)
+    assert(img.raster.length == 32 * 1 * 3)
+    assert(img.raster.take(content.length).toSeq == content.toSeq)
+    assert(img.raster.drop(content.length).forall(_ == 0)) // zero padding
+    // multi-row: 100 bytes -> 34 pixels -> still 1 row; 300 bytes -> 100
+    // pixels -> 4 rows of 32
+    val big = Array.fill[Byte](300)(7)
+    val img2 = Media.decodePpm(Media.encodePpm(big))
+    assert(img2.height == 4 && img2.raster.length == 32 * 4 * 3)
+    val empty = Media.decodePpm(Media.encodePpm(Array.emptyByteArray))
+    assert(empty.width == 32 && empty.height == 1 && empty.raster.forall(_ == 0))
+  }
+
+  test("PPM decoder: handcrafted image with comments; malformed payloads throw") {
+    val hand = ("P6\n# a comment line\n2 1\n# another\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](10, 20, 30, 40, 50, 60))
+    val img = Media.decodePpm(hand)
+    assert(img.width == 2 && img.height == 1)
+    assert(img.raster.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    intercept[IllegalArgumentException] {
+      Media.decodePpm("P5\n2 1\n255\n??".getBytes("US-ASCII")) // wrong magic
+    }
+    intercept[IllegalArgumentException] {
+      Media.decodePpm("P6\n2 1\n65535\n??????".getBytes("US-ASCII")) // 16-bit
+    }
+    intercept[IllegalArgumentException] {
+      Media.decodePpm(("P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2))) // truncated
+    }
+  }
+
   test("media features pipeline preserves one row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = Media.features(spark, sf)
