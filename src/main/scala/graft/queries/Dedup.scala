@@ -117,7 +117,8 @@ object Dedup {
     * 64 buckets), build one bounded sketch per bucket, and probe each
     * batch row against its bucket's sketch via the same constant-literal
     * expression keyed by the row's prefix. Same zero-shuffle probe, driver
-    * memory bounded per bucket.
+    * memory bounded per bucket — implemented as
+    * [[bloomPrefilterPartitioned]], gated by `q_bloom_partitioned`.
     *
     * Returns batch rows annotated with `maybe_seen`; `expectedItems`/
     * `numBits` size the filter (1% FP at ~9.6 bits/item).
@@ -156,6 +157,84 @@ object Dedup {
       org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)): Unit
   }
 
+  /** PARTITIONED Bloom-filter family — the 10^10-key form of
+    * [[bloomPrefilter]] (that scaladoc's sizing-limit design, now
+    * implemented; VERDICT r8 next #5). The single sketch tops out where its
+    * serialized bytes strain the driver (~10^9 keys, ~1.2 GB at 9.6
+    * bits/key); the family buckets every corpus hash by `pmod(hash, n)`,
+    * builds one BOUNDED sketch per bucket, and probes each batch row
+    * against ITS bucket's sketch only, so driver transit and probe-literal
+    * size are bounded per bucket no matter how large the corpus grows
+    * (scale n with the corpus; 16 here exercises the machinery).
+    *
+    * Build: the corpus hash frame is persisted once and each bucket's
+    * sketch is a filtered treeAggregate over it — n light passes over
+    * cached hashes rather than n corpus scans. (With a grouped
+    * `bloom_filter_agg` this would be ONE pass; Spark 4.1 exposes no
+    * grouped form publicly, and n bounded scans of a cached LONG column is
+    * the honest public-API cost.) On a real cluster each sketch still
+    * builds distributed and ships driver-side ONE bucket at a time — peak
+    * driver memory is one bucket's sketch plus the assembled probe
+    * expression, never the whole family.
+    *
+    * Probe: a codegen'd CASE chain keyed by the row's bucket — bucket b
+    * probes constant-literal sketch b via the same
+    * `BloomFilterMightContain` mechanics as the single-sketch path. Zero
+    * shuffle, zero false negatives per bucket (a key is always probed
+    * against exactly the sketch it was inserted into).
+    */
+  def bloomPrefilterPartitioned(
+      spark: SparkSession,
+      dir: String,
+      buckets: Int = 16,
+      expectedItems: Long = 100000L,
+      numBits: Long = 960000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val docs = spark.read.parquet(t(dir, "documents"))
+    val corpusHashes = docs.filter(col("source") =!= "src0")
+      .select(xxhash64(md5(col("text"))).as("h"),
+        pmod(xxhash64(md5(col("text"))), lit(buckets)).as("b"))
+      .persist()
+    try {
+      val perBucketItems = math.max(expectedItems / buckets, 1L)
+      val perBucketBits = math.max(numBits / buckets, 64L)
+      val fnNames = (0 until buckets).map { b =>
+        val bf = corpusHashes.filter(col("b") === b)
+          .stat.bloomFilter("h", perBucketItems, perBucketBits)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val fnName =
+          s"graft_bloom_part_${b}_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          fnName,
+          exprs => BloomFilterMightContain(Literal.create(bytes, BinaryType), exprs.head),
+          "built-in")
+        fnName
+      }
+      try {
+        val batch = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .withColumn("hh", xxhash64(col("content_hash")))
+          .withColumn("bb", pmod(col("hh"), lit(buckets)))
+        val probe = (0 until buckets).foldLeft(lit(false)) { (acc, b) =>
+          when(col("bb") === b, expr(s"${fnNames(b)}(hh)")).otherwise(acc)
+        }
+        // eager analysis (Dataset construction) resolves every probe
+        // function to ITS bucket's filter bytes before the registry drop
+        batch.select(col("doc_id"), col("content_hash"),
+          probe.as("maybe_seen"))
+      } finally fnNames.foreach { fn =>
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(fn)): Unit
+      }
+    } finally corpusHashes.unpersist(): Unit
+  }
+
   /** Driver-gate row for [[bloomPrefilter]] (VERDICT r7 missing #2c): the
     * probabilistic sketch has no bit-exact SQL oracle, so — the IVF
     * monotonicity technique — the row gates the DERIVED properties instead:
@@ -182,7 +261,17 @@ object Dedup {
       |                 WHERE c.source <> 'src0' AND md5(c.text) = b.content_hash) AS seen
       |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents
       |        WHERE source = 'src0') b) f""".stripMargin) { (spark, dir) =>
-    val pf = bloomPrefilter(spark, dir)
+    bloomGateFrame(spark, dir, bloomPrefilter(spark, dir))
+  }
+
+  /** The derived-boolean aggregation shared by [[bloomGate]] and
+    * [[bloomGatePartitioned]]: join the prefilter verdicts against exact
+    * corpus truth and reduce to the gate's 4 columns.
+    */
+  private def bloomGateFrame(
+      spark: SparkSession,
+      dir: String,
+      pf: DataFrame): DataFrame = {
     val corpus = spark.read.parquet(t(dir, "documents"))
       .filter(col("source") =!= "src0")
       .select(md5(col("text")).as("content_hash")).distinct()
@@ -195,6 +284,27 @@ object Dedup {
         (count(when(!col("maybe_seen") && col("truly_seen"), 1)) === 0).as("no_false_neg"),
         (count(when(col("maybe_seen") && !col("truly_seen"), 1)).cast("double") <=
           greatest(count(when(!col("truly_seen"), 1)) * 0.05, lit(1.0))).as("fp_ok"))
+  }
+
+  /** Gate row for [[bloomPrefilterPartitioned]]: identical derived
+    * guarantees as [[bloomGate]] — no false negatives (now a PER-BUCKET
+    * property: each key probes exactly the sketch it was inserted into)
+    * and a bounded false-positive fraction — over the 16-bucket family, so
+    * the scale path is held to the same bar as the single sketch it
+    * replaces at 10^10 keys.
+    */
+  val bloomGatePartitioned: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+      |       CAST(count(*) FILTER (WHERE NOT seen) AS BIGINT) AS n_new,
+      |       TRUE AS no_false_neg,
+      |       TRUE AS fp_ok
+      |FROM (
+      |  SELECT doc_id,
+      |         EXISTS (SELECT 1 FROM documents c
+      |                 WHERE c.source <> 'src0' AND md5(c.text) = b.content_hash) AS seen
+      |  FROM (SELECT doc_id, md5(text) AS content_hash FROM documents
+      |        WHERE source = 'src0') b) f""".stripMargin) { (spark, dir) =>
+    bloomGateFrame(spark, dir, bloomPrefilterPartitioned(spark, dir))
   }
 
   /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
@@ -981,6 +1091,7 @@ object Dedup {
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> exact,
     "q_bloom_prefilter" -> bloomGate,
+    "q_bloom_partitioned" -> bloomGatePartitioned,
     "q_dedup_edit_verify" -> editVerify,
     "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,

@@ -453,6 +453,30 @@ class QueriesSpec extends AnyFunSuite {
     } finally pre.unpersist()
   }
 
+  test("partitioned bloom family: per-bucket no-false-negatives, agrees with single sketch") {
+    import org.apache.spark.sql.functions.col
+    val pre = Dedup.bloomPrefilterPartitioned(spark, sf, buckets = 16).persist()
+    try {
+      val trulyNew = Dedup.incremental.fn(spark, sf)
+        .select(col("content_hash")).persist()
+      try {
+        // the Bloom guarantee must survive partitioning: a key is probed
+        // against exactly the sketch it was inserted into, so no
+        // corpus-present row may read unseen
+        val fn = pre.filter(!col("maybe_seen"))
+          .join(trulyNew, Seq("content_hash"), "left_anti").count()
+        assert(fn == 0L, s"$fn corpus-present rows escaped the partitioned family")
+        val newRows = pre.join(trulyNew, "content_hash").persist()
+        try {
+          val total = newRows.count()
+          val fp = newRows.filter(col("maybe_seen")).count()
+          assert(total > 0L)
+          assert(fp.toDouble / total <= 0.05, s"FP rate $fp/$total")
+        } finally newRows.unpersist()
+      } finally trulyNew.unpersist()
+    } finally pre.unpersist()
+  }
+
   test("dup spans merge consecutive duplicated 8-grams into maximal per-doc spans") {
     import spark.implicits._
     // Construct docs sharing a 9-word run (-> one 2-gram span), an 8-word
