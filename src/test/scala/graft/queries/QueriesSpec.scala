@@ -210,6 +210,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("centroid summarizer shape is bit-identical to the explode plan") {
+    // Both forms sum the same 1e-4 fixed-point longs and divide by the same
+    // BIGINTs, so every cell must match to the last IEEE bit — the property
+    // that lets either shape back the gate row interchangeably.
+    val a = Similarity.embedCentroids.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = Similarity.embedCentroidsTreeAgg(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(v == b(k), s"cell $k: $v != ${b(k)}") }
+  }
+
   test("stream dedup equals batch distinct on bounded input") {
     val stream = Events.streamDedup.fn(spark, sf)
     // The stream query restores the nanos-as-long flag on exit (ADVICE r6
