@@ -211,8 +211,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dup_ngrams pre-aggregates in two hash levels and takes an ordered head") {
     val p = plan("q_dup_ngrams")
-    // grams generated in-row, never a corpus-wide countDistinct
-    assert(p.contains("Generate explode"), p)
+    // grams generated in-row, never a corpus-wide countDistinct; since r9
+    // the gram expansion lives in the memoized shared frame, so a warm
+    // session reads it back as an InMemoryTableScan instead of showing the
+    // Generate inline
+    assert(p.contains("Generate explode") || p.contains("InMemoryTableScan"), p)
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
     // the top-k is per-partition heads + merge, not a global sort
