@@ -582,7 +582,9 @@ object Events {
           .select(
             col("c_event_id").as("click_id"),
             col("p_event_id").as("purchase_id"),
-            col("c_user_id").as("user_id"),
+            // coalesce is the identity for inner/left (c side never null);
+            // full-outer right-null rows carry the purchase's user
+            coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
             expr("(p_ts - c_ts) div 1000000000").as("lag_s"))
           .writeStream
           .outputMode("append")
@@ -656,6 +658,46 @@ object Events {
       |FROM j, wm
       |WHERE purchase_id IS NOT NULL OR c_ms + 3600000 < wm.wm_ms""".stripMargin) {
     (spark, dir) => runIntervalJoin(spark, dir, "left_outer", "graft_stream_join_outer")
+  }
+
+  /** FULL OUTER stream-stream interval join — completes the interval-join
+    * family (inner [[streamJoin]], left [[streamJoinOuter]]): both the
+    * clicks that never converted AND the purchases no click preceded emit
+    * null-extended rows at state-eviction time. The two sides evict under
+    * DIFFERENT rules because the join window `[c_tsw, c_tsw + 1h]` is
+    * asymmetric: a click's state can match future purchases until the
+    * watermark passes the END of its window (`c_ms + 3600000 < wm_ms`,
+    * strict — StreamOuterJoinSpec's left pin), while a purchase can match
+    * future clicks only while the watermark has not passed ITS OWN event
+    * time (`p_ms < wm_ms`, strict — pinned by the full-outer
+    * StreamOuterJoinSpec test at ms resolution). The oracle replays both
+    * rules against the final watermark, with the same NULL-guarded wm as
+    * the left-outer row (either side empty → watermark never advances →
+    * no null rows in either engine).
+    */
+  val streamJoinFull: QueryDef = QueryDef(
+    """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+      |              ELSE least(cm, pm) - 3600000 END AS wm_ms
+      |       FROM (SELECT (SELECT max(tns // 1000000) FROM c) AS cm,
+      |                    (SELECT max(tns // 1000000) FROM p) AS pm)),
+      |j AS (
+      |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |         coalesce(c.user_id, p.user_id) AS user_id,
+      |         (p.tns - c.tns) // 1000000000 AS lag_s,
+      |         c.tns // 1000000 AS c_ms,
+      |         p.tns // 1000000 AS p_ms
+      |  FROM c FULL JOIN p ON c.user_id = p.user_id
+      |    AND p.tns >= c.tns AND p.tns <= c.tns + 3600000000000)
+      |SELECT click_id, purchase_id, user_id, lag_s
+      |FROM j, wm
+      |WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+      |   OR (purchase_id IS NULL AND c_ms + 3600000 < wm.wm_ms)
+      |   OR (click_id IS NULL AND p_ms < wm.wm_ms)""".stripMargin) {
+    (spark, dir) => runIntervalJoin(spark, dir, "full_outer", "graft_stream_join_full")
   }
 
   /** JSON metadata extraction: pull a typed field out of the `props` JSON
@@ -811,6 +853,7 @@ object Events {
     "q_json_extract" -> jsonExtract,
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
+    "q_stream_join_full" -> streamJoinFull,
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,

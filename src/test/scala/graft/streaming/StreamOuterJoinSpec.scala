@@ -77,4 +77,56 @@ class StreamOuterJoinSpec extends AnyFunSuite {
         s"unexpected emission set: $out (watermark rule changed?)")
     } finally q.stop()
   }
+
+  test("full-outer interval join: right-side null emission is strict r_ts < watermark") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Long)]
+    val rights = MemoryStream[(Long, Long, Long)]
+    def side(s: MemoryStream[(Long, Long, Long)], pre: String) =
+      s.toDF().toDF("id", "user", "ms")
+        .select(col("id").as(s"${pre}_id"), col("user").as(s"${pre}_user"),
+          timestamp_millis(col("ms")).as(s"${pre}_ts"))
+        .withWatermark(s"${pre}_ts", "10 seconds")
+    val joined = side(lefts, "l").join(side(rights, "r"),
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 60 SECONDS"),
+      "full_outer")
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_full_outer_join_pin").start()
+    def emitted(): Set[(Option[Long], Option[Long])] =
+      spark.table("graft_full_outer_join_pin").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+    try {
+      // Batch 1 (watermark 0): five unmatched RIGHTS with event times
+      // 89 998…90 002 ms (a right can match any future left whose window
+      // covers it, so its eviction keys on its OWN event time vs the
+      // watermark), one matched pair on user 6.
+      rights.addData(
+        (11L, 1L, 89998L), (12L, 2L, 89999L), (13L, 3L, 90000L),
+        (14L, 4L, 90001L), (15L, 5L, 90002L), (16L, 6L, 31000L))
+      lefts.addData((6L, 6L, 30000L))
+      q.processAllAvailable()
+      assert(emitted() == Set((Some(6L), Some(16L))),
+        s"inner match should emit immediately, nulls not yet: ${emitted()}")
+      // Batch 2: both sides advance to 100 000 ms (disjoint users) → final
+      // watermark 90 000 ms on both nodes.
+      lefts.addData((7L, 99L, 100000L))
+      rights.addData((17L, 98L, 100000L))
+      q.processAllAvailable()
+      val out = emitted()
+      // PINNED: rights at 89 998/89 999 (strictly below wm=90000) evict and
+      // null-emit; 90 000 (== wm) and above stay buffered. The matched
+      // right (16), the matched left (6), and the fresh rows must not
+      // null-emit. The matched LEFT row's state (l=6, window ends 90 000)
+      // is NOT strictly below wm, so no left-side nulls yet either.
+      assert(out == Set((Some(6L), Some(16L)), (None, Some(11L)), (None, Some(12L))),
+        s"unexpected emission set: $out (right-side watermark rule changed?)")
+    } finally q.stop()
+  }
 }
