@@ -277,7 +277,52 @@ object TextOps {
       .limit(20)
   }
 
+  /** Count-min-sketch heavy hitters — completes the sketch-gate family
+    * (HLL `q_approx_distinct`, KLL-style `q_approx_quantiles`, Bloom
+    * `q_bloom_prefilter`/`q_bloom_partitioned`): the exact top-5 corpus
+    * tokens, each annotated with the CMS guarantees as derived booleans
+    * (the technique every probabilistic row here uses — the sketch has no
+    * bit-exact SQL oracle, so the gate pins the PROPERTIES):
+    * `cms_ge_exact` (a count-min estimate NEVER undercounts — the
+    * one-sided-error guarantee the sketch family is chosen for) and
+    * `cms_within_eps` (estimate <= exact + eps x total tokens with the
+    * configured eps=0.001/confidence=0.99 and a fixed seed, so the run is
+    * deterministic). Exact anchors `token`/`exact_count` keep the row
+    * pinned to the DuckDB oracle's counts.
+    *
+    * Scale shape: the sketch builds in ONE distributed pass (treeAggregate
+    * of mergeable CMS tables — counters, not keys, so size is fixed by
+    * (eps, confidence) regardless of corpus size: ~7x2000 longs here);
+    * the exact top-5 is the standard two-level aggregate +
+    * TakeOrderedAndProject. Probing k heavy hitters is driver-side by
+    * construction (k=5 strings — the 1-row-aggregate exception, like the
+    * bloom gate's sketch transit). In production the exact side is the
+    * expensive one and exists here only to gate the sketch; the pipeline
+    * ships just the sketch.
+    */
+  val cmsHeavyHitters: QueryDef = QueryDef(
+    """SELECT token, exact_count, TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+      |FROM (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY token ORDER BY exact_count DESC, token LIMIT 5) h""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val words = spark.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cms = words.stat.countMinSketch(col("token"), 0.001, 0.99, 42)
+      val band = math.ceil(0.001 * cms.totalCount()).toLong
+      val top = words.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("token")).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (tok, exact) =>
+        val est = cms.estimateCount(tok)
+        (tok, exact, est >= exact, est <= exact + band)
+      }.toDF("token", "exact_count", "cms_ge_exact", "cms_within_eps")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cms_heavy_hitters" -> cmsHeavyHitters,
     "q_lang_id" -> langId,
     "q_quality_score" -> quality,
     "q_token_count" -> tokenCount,
