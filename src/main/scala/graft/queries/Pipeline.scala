@@ -581,6 +581,107 @@ object Pipeline {
         conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("chunk_fp"))
   }
 
+  /** Distributed global row numbering — contiguous 0-based sequence ids over
+    * the corpus in (lang, doc_id) order, the "assign training-example ids /
+    * shard offsets" step that precedes sharded dataset writes. The naive
+    * Spark spelling (`row_number() OVER (ORDER BY ...)` with no PARTITION BY)
+    * collapses the whole corpus into ONE task — the classic global-sort
+    * bottleneck. This is the two-phase shape that scales instead:
+    *
+    *   1. `repartitionByRange` on the order key — each partition holds a
+    *      contiguous key range, ranges ascend with partition id (Spark's
+    *      RangePartitioner contract) — then `sortWithinPartitions`;
+    *   2. `monotonically_increasing_id` right after the sort — its
+    *      per-partition counter increments by one per row in partition
+    *      order, so `mid - min(mid over the partition)` IS the local rank
+    *      (the DataFrame zipWithIndex idiom). Crucially this needs NO
+    *      window: a `row_number() OVER (PARTITION BY pid)` here would
+    *      demand hash-clustering on pid that the range exchange cannot
+    *      prove, re-shuffling the whole corpus a second time (observed in
+    *      the first cut of this plan);
+    *   3. per-partition (count, min mid) — one tiny agg of #partitions
+    *      rows — prefix-summed into start offsets and broadcast back;
+    *   4. global_id = partition offset + (mid - partition base).
+    *
+    * The only data-sized movement is the range exchange itself; everything
+    * after is partition-local projection plus a broadcast of #partitions
+    * rows. The frame is persisted so phases 3 and 4 see the SAME partition
+    * assignment and mids (both `spark_partition_id` and the id generator
+    * are non-deterministic expressions, which also stops Catalyst from
+    * reordering them across the sort). The offsets prefix sum runs in a
+    * single-partition window over #partitions rows — bounded by cluster
+    * width, not data.
+    */
+  val globalIndex: QueryDef = QueryDef(
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+      |         AS global_id
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"))
+      .repartitionByRange(nPart, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .select(col("doc_id"), spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("mid"))
+      .persist()
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"), min(col("mid")).as("base"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("pid"), col("base"), col("offset"))
+    ranged
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"),
+        (col("offset") + (col("mid") - col("base"))).as("global_id"))
+  }
+
+  /** Per-document n-gram novelty — for each document, how many of its
+    * distinct 8-grams appear in NO earlier document (doc_id order standing
+    * in for ingestion order). The running-novelty curve is the standard
+    * "is new data still adding information" signal for corpus growth, and
+    * per-doc `n_first / n_grams` is a selection score (documents
+    * contributing no first-seen grams are redundant with the earlier
+    * corpus — the incremental flavor of what [[dupNgrams]] measures
+    * globally).
+    *
+    * Scale shape: reuses the shared memoized gram frame of
+    * [[dupNgrams]]/[[dupSpans]]; (gram, doc) pairs are distinct-ed with
+    * map-side partial aggregation, the per-gram min(doc_id) aggregates on
+    * the SAME gram key the distinct just shuffled on (colocated — no
+    * second wide exchange for that side), the gram-keyed join is
+    * shuffle-hash on already-partitioned inputs, and the final per-doc
+    * rollup is one map-side-combinable shuffle on doc_id. Two data-sized
+    * shuffles total (gram, then doc_id) — the honest cost; production
+    * narrows the gram shuffle by hashing grams to fixed-width longs.
+    */
+  val gramNovelty: QueryDef = QueryDef(
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(
+       |             range(1, len(words) - ${DupNGram - 2}),
+       |             i -> array_to_string(words[i:i+${DupNGram - 1}], ' '))) AS gram
+       |    FROM w WHERE len(words) >= $DupNGram) x),
+       |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_first
+       |FROM g JOIN f USING (gram)
+       |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val gd = posGrams(spark, dir).select(col("gram"), col("doc_id")).distinct()
+    val first = gd.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    gd.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_first"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_doc_chunks" -> docChunks,
     "q_decontaminate" -> decontaminate,
@@ -593,5 +694,7 @@ object Pipeline {
     "q_dsir_weight" -> dsirWeight,
     "q_dup_ngrams" -> dupNgrams,
     "q_dup_spans" -> dupSpans,
-    "q_dup_spans_fine" -> dupSpansFine)
+    "q_dup_spans_fine" -> dupSpansFine,
+    "q_global_index" -> globalIndex,
+    "q_gram_novelty" -> gramNovelty)
 }

@@ -249,4 +249,27 @@ class PlanSpec extends AnyFunSuite {
     // column pruning reaches the scan: only the key pair + timestamp read
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"), p)
   }
+
+  test("q_global_index moves the corpus once: range exchange, ids in-place") {
+    val p = plan("q_global_index")
+    // the corpus moves exactly once — the range exchange behind the cached
+    // frame; local ranks come from the monotonic id, NOT a row_number
+    // window (which would re-shuffle everything a second time on pid)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("row_number()"), p)
+    // the only hash exchange is the tiny per-pid counts aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // the offsets come back as a broadcast, never a data-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_gram_novelty reuses the shared gram frame and combines map-side") {
+    val p = plan("q_gram_novelty")
+    // the memoized positional-gram frame backs this row (same cache as
+    // q_dup_ngrams/q_dup_spans — one scan+explode per session, not three)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+    // all three aggregations stay hash-based (partial/final combinable)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }

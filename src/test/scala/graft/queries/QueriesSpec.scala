@@ -188,6 +188,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(fine == Set((0L, 1L, 4L), (0L, 9L, 4L), (1L, 3L, 4L), (2L, 1L, 4L)))
   }
 
+  test("global index is the exact (lang, doc_id) rank with contiguous ids") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val expected = docs.sorted.zipWithIndex
+      .map { case ((_, docId), i) => docId -> i.toLong }.toMap
+    val got = Pipeline.globalIndex.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected) // permutation of 0..n-1 in (lang, doc_id) order
+  }
+
+  test("gram novelty counts distinct 8-grams first seen in each document") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    // doc 0: 9 words -> 2 distinct 8-grams, both first-seen.
+    // doc 1: identical text -> same 2 grams, zero first-seen.
+    // doc 2: repeats its own leading 8-gram at pos 9 -> 9 positional grams
+    //        but 8 DISTINCT ones (within-doc dups collapse), all first-seen.
+    // doc 3: 7 words -> below gram width, no output row.
+    Seq(
+      (0L, "a b c d e f g h i"),
+      (1L, "a b c d e f g h i"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+      (3L, "s1 s2 s3 s4 s5 s6 s7"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.gramNovelty.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((2L, 0L)), 2L -> ((8L, 8L))))
+  }
+
   test("embedding centroids: exact fixed-point mean incl. a .5-boundary cell") {
     import spark.implicits._
     // The cell engineered here is exactly the class that broke the r8 gate:
