@@ -221,6 +221,70 @@ object Similarity {
         (col("sum_fixed") / (lit(10000.0) * col("n"))).as("centroid"))
   }
 
+  /** Int8 scalar quantization of the embedding table — the compression step
+    * every large-scale vector store runs before indexing (4× smaller than
+    * float32, and the working set an IVF/HNSW index actually scans). Codes
+    * use the per-dimension global min/max affine map
+    * `code = floor((v - mn) / (mx - mn) * 255 + 0.5)`; the row emits
+    * per-(label, dim) integer summaries — value count, code sum, and the
+    * reconstruction-error sum in 1e-7 fixed point — i.e. the quantizer's
+    * quality report, gated exactly.
+    *
+    * Cross-engine exactness (the [[embedCentroids]] lessons, applied from
+    * the start): every float is cast to DOUBLE explicitly before
+    * arithmetic; both engines evaluate the SAME IEEE expression tree
+    * `((v - mn) / (mx - mn)) * 255.0 + 0.5` (min/max are order-independent
+    * so the stats are bit-identical, and identical double inputs through
+    * identical ops give bit-identical codes); every emitted aggregate is an
+    * integer — the error fold encodes to 1e-7 fixed point per row BEFORE
+    * summing, so partition order cannot move a bit. Constant dimensions
+    * (mx = mn) quantize to code 0 in both engines rather than dividing by
+    * zero.
+    *
+    * Scale shape: global min/max quantization is inherently two-pass — pass
+    * 1 reduces the corpus to D (dim, mn, mx) rows via a map-side-combinable
+    * aggregation (the shuffle carries one row per dim per partition), pass
+    * 2 re-scans with the D-row stats BROADCAST and folds straight into the
+    * per-(label, dim) aggregation — one wide map-side-combinable shuffle,
+    * no row ever carries more than its own cell. Nothing is collected to
+    * the driver and no state grows with corpus size.
+    */
+  val embedQuantize: QueryDef = QueryDef(
+    """WITH c AS (
+      |  SELECT label, u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+      |  FROM (SELECT label,
+      |               unnest([{'i': i, 'v': embedding[i]}
+      |                       for i in range(1, len(embedding) + 1)]) AS u
+      |        FROM embeddings) e),
+      |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM c GROUP BY dim),
+      |q AS (SELECT label, c.dim AS dim, v, mn, mx,
+      |             CASE WHEN mx = mn THEN 0
+      |                  ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5) END AS code
+      |      FROM c JOIN s USING (dim))
+      |SELECT label, dim,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS sum_code,
+      |       CAST(sum(CAST(floor(
+      |              abs(v - (mn + code / 255.0 * (mx - mn))) * 10000000.0 + 0.5)
+      |            AS BIGINT)) AS BIGINT) AS sum_err_fp7
+      |FROM q GROUP BY label, dim""".stripMargin) { (spark, dir) =>
+    val cells = spark.read.parquet(t(dir, "embeddings"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("label"), col("dim"), col("raw").cast("double").as("v"))
+    val stats = cells.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5))
+    val recon = col("mn") + col("code") / 255.0 * (col("mx") - col("mn"))
+    cells.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", code)
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("code")).as("sum_code"),
+        sum(floor(abs(col("v") - recon) * 10000000.0 + 0.5).cast("long"))
+          .as("sum_err_fp7"))
+  }
+
   /** The MLlib-Summarizer-shaped alternative to [[embedCentroids]]: one
     * fixed-point sum ARRAY per (partition, label) accumulated imperatively,
     * merged via `aggregateByKey` — per-partition traffic is `labels × D`
@@ -272,5 +336,6 @@ object Similarity {
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_wide" -> annLshWide,
-    "q_embed_centroids" -> embedCentroids)
+    "q_embed_centroids" -> embedCentroids,
+    "q_embed_quantize" -> embedQuantize)
 }

@@ -242,6 +242,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("int8 quantization: exact codes, error fold, and constant-dim guard") {
+    import spark.implicits._
+    // dim 0 spans [0,1]: 0.0 -> code 0 (err 0), 1.0 -> 255 (err 0),
+    // 0.5 -> floor(127.5 + 0.5) = 128, recon 128/255 = 0.50196...,
+    // err_fp7 = floor(0.0019607843 * 1e7 + 0.5) = 19608.
+    // dim 1 is CONSTANT: mx = mn must quantize to 0, not divide by zero.
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Seq(
+      (0L, Array(0.0f, 5.0f), 0),
+      (1L, Array(1.0f, 5.0f), 0),
+      (2L, Array(0.5f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embedQuantize.fn(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got((0, 0)) == ((2L, 255L, 0L)))
+    assert(got((0, 1)) == ((2L, 0L, 0L)))
+    assert(got((1, 0)) == ((1L, 128L, 19608L)))
+    assert(got((1, 1)) == ((1L, 0L, 0L)))
+    assert(got.size == 4)
+  }
+
   test("centroid summarizer shape is bit-identical to the explode plan") {
     // Both forms sum the same 1e-4 fixed-point longs and divide by the same
     // BIGINTs, so every cell must match to the last IEEE bit — the property
