@@ -321,8 +321,49 @@ object TextOps {
       }.toDF("token", "exact_count", "cms_ge_exact", "cms_within_eps")
   }
 
+  /** Per-language top-5 tokens — the group-wise top-k pattern (per-domain /
+    * per-source / per-language "what dominates this slice" reporting, and
+    * the vocabulary-head view a per-language stopword or blocklist curator
+    * reads). Deterministic: integer counts, ties broken by token.
+    *
+    * Scale shape — why the window comes AFTER the aggregation: ranking raw
+    * tokens directly would sort corpus-sized data per language (and one
+    * giant language is a straggler). Here the token counts collapse
+    * map-side first (the shuffle is vocabulary-bounded, not corpus-bounded),
+    * the window ranks the REDUCED (lang, token, cnt) set, and the
+    * `rank <= k` filter compiles to Spark's partial+final WindowGroupLimit
+    * — every partition keeps only its own top-5 per language BEFORE the
+    * lang exchange, so the window's input is <= 5 x partitions rows per
+    * language no matter how skewed the corpus (PlanSpec pins the
+    * WindowGroupLimit, the same guard as q_sample_stratified).
+    */
+  val topkTermsPerLang: QueryDef = QueryDef(
+    """WITH tc AS (
+      |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents) t
+      |  WHERE token <> ''
+      |  GROUP BY lang, token)
+      |SELECT lang, token, cnt, rank FROM (
+      |  SELECT lang, token, cnt,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY cnt DESC, token) AS rank
+      |  FROM tc) r
+      |WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q_topk_terms_per_lang" -> topkTermsPerLang,
     "q_lang_id" -> langId,
     "q_quality_score" -> quality,
     "q_token_count" -> tokenCount,

@@ -263,6 +263,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_topk_terms_per_lang prunes to per-partition heads before the lang exchange") {
+    val p = plan("q_topk_terms_per_lang")
+    // the rank filter must push down as partial+final WindowGroupLimit so
+    // a skewed language never ships more than 5 rows per partition
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    // counts collapse map-side first: hash aggregation, never sort-based
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
+
   test("q_gram_novelty reuses the shared gram frame and combines map-side") {
     val p = plan("q_gram_novelty")
     // the memoized positional-gram frame backs this row (same cache as

@@ -242,6 +242,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("top-k terms per language ranks by count with token tie-break") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topkterms").toString
+    Seq(
+      (0L, "a a a b b c", "en"),
+      (1L, "c b a", "en"),
+      (2L, "x y x", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.topkTermsPerLang.fn(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // en: a=4, b=3, c=2; de: x=2, y=1 (tie-break never needed here except
+    // proving rank order is (cnt desc, token asc))
+    assert(got(("en", 1)) == (("a", 4L)))
+    assert(got(("en", 2)) == (("b", 3L)))
+    assert(got(("en", 3)) == (("c", 2L)))
+    assert(got(("de", 1)) == (("x", 2L)))
+    assert(got(("de", 2)) == (("y", 1L)))
+    assert(got.size == 5)
+  }
+
   test("int8 quantization: exact codes, error fold, and constant-dim guard") {
     import spark.implicits._
     // dim 0 spans [0,1]: 0.0 -> code 0 (err 0), 1.0 -> 255 (err 0),
