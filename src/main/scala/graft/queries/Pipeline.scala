@@ -581,6 +581,90 @@ object Pipeline {
         conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("chunk_fp"))
   }
 
+  /** Duplicated-span SCRUBBING — the step [[dupSpans]] mines for: actually
+    * remove every cross-document duplicated span (>= 8 words, the Lee et
+    * al. boilerplate signal, arXiv:2107.06499 §4) from the corpus and emit
+    * per-document kept/removed counts plus a fingerprint of the scrubbed
+    * text, closing the mine → extract → scrub chain. A word at position p
+    * is removed iff some marked gram position m (an 8-gram occurring in
+    * >= 2 distinct documents) covers it, i.e. m <= p <= m + 7 — exactly the
+    * union of the spans [[dupSpans]] reports.
+    *
+    * Coverage is computed WITHOUT expanding each gram to its 8 positions:
+    * a RANGE window `max(marked) OVER (PARTITION BY doc ORDER BY pos RANGE
+    * 7 PRECEDING)` turns the marked-position flags into the covered mask in
+    * one pass — no 8× row blowup, no self-join against span intervals. The
+    * scrubbed text is reassembled order-safely (collect_list is partition-
+    * order-dependent, so the (pos, word) structs are array_sort-ed before
+    * joining — the q_pack_sequences rule) and fingerprinted with the shared
+    * md5-prefix hash; fully-scrubbed documents hash the empty string in
+    * both engines rather than NULL.
+    *
+    * Scale shape: the gram-frequency shuffle comes from the shared memoized
+    * frame ([[posGrams]] — one scan+explode per session across the four
+    * dup-mining rows); the word-position frame joins marked flags on
+    * (doc_id, pos) — one shuffle of corpus tokens, the honest cost of
+    * per-token editing; the mask window and the rebuild aggregation both
+    * run on doc_id partitioning, and per-group state is one document's
+    * tokens (the packing rows' bound, not corpus-sized).
+    */
+  val scrubSpans: QueryDef = QueryDef(
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |g AS (
+       |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |    SELECT doc_id,
+       |           unnest([{'pos': i,
+       |                    'gram': array_to_string(words[i:i+${DupNGram - 1}], ' ')}
+       |                   for i in range(1, len(words) - ${DupNGram - 2})]) AS u
+       |    FROM w) x),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) gd
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+       |wp AS (
+       |  SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+       |    SELECT doc_id,
+       |           unnest([{'pos': i, 'word': words[i]}
+       |                   for i in range(1, len(words) + 1)]) AS u
+       |    FROM w) y),
+       |cov AS (
+       |  SELECT wp.doc_id AS doc_id, wp.pos AS pos, wp.word AS word,
+       |         max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY wp.doc_id ORDER BY wp.pos
+       |                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+       |  FROM wp LEFT JOIN m ON wp.doc_id = m.doc_id AND wp.pos = m.pos)
+       |SELECT doc_id,
+       |       CAST(sum(1 - c) AS BIGINT) AS n_kept,
+       |       CAST(sum(c) AS BIGINT) AS n_removed,
+       |       CAST('0x' || substr(md5(coalesce(
+       |              string_agg(CASE WHEN c = 0 THEN word END, ' ' ORDER BY pos),
+       |              '')), 1, 8) AS BIGINT) AS scrubbed_fp
+       |FROM cov GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = posGrams(spark, dir)
+    val dup = g.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val marked = g.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("flag"))
+    val wp = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("word"))
+    val covW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-7, 0)
+    val keptWords = transform(
+      array_sort(collect_list(when(col("c") === 0, struct(col("pos"), col("word"))))),
+      x => x.getField("word"))
+    wp.join(marked, Seq("doc_id", "pos"), "left")
+      .withColumn("c", coalesce(col("flag"), lit(0)))
+      .withColumn("c", max(col("c")).over(covW))
+      .groupBy(col("doc_id"))
+      .agg(sum(lit(1) - col("c")).as("n_kept"),
+        sum(col("c")).as("n_removed"),
+        conv(substring(md5(concat_ws(" ", keptWords)), 1, 8), 16, 10)
+          .cast("long").as("scrubbed_fp"))
+  }
+
   /** Distributed global row numbering — contiguous 0-based sequence ids over
     * the corpus in (lang, doc_id) order, the "assign training-example ids /
     * shard offsets" step that precedes sharded dataset writes. The naive
@@ -696,5 +780,6 @@ object Pipeline {
     "q_dup_spans" -> dupSpans,
     "q_dup_spans_fine" -> dupSpansFine,
     "q_global_index" -> globalIndex,
-    "q_gram_novelty" -> gramNovelty)
+    "q_gram_novelty" -> gramNovelty,
+    "q_scrub_spans" -> scrubSpans)
 }

@@ -188,6 +188,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(fine == Set((0L, 1L, 4L), (0L, 9L, 4L), (1L, 3L, 4L), (2L, 1L, 4L)))
   }
 
+  test("span scrubbing removes exactly the mined spans and refingerprints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    // docs 0 and 1 share the 8-gram f1..f8 (at pos 1 and pos 2); doc 2 is
+    // untouched. Scrubbing must remove exactly the 8-word spans dupSpans
+    // reports and keep the remainder in order.
+    Seq(
+      (0L, "f1 f2 f3 f4 f5 f6 f7 f8 tail0a tail0b"),
+      (1L, "pre1 f1 f2 f3 f4 f5 f6 f7 f8"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def fp(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val got = Pipeline.scrubSpans.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((2L, 8L, fp("tail0a tail0b"))))
+    assert(got(1L) == ((1L, 8L, fp("pre1"))))
+    assert(got(2L) == ((9L, 0L, fp("u1 u2 u3 u4 u5 u6 u7 u8 u9"))))
+    // consistency with the miner: per-doc removed = sum of reported span widths
+    val spans = Pipeline.dupSpans.fn(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(spans == Map(0L -> 8L, 1L -> 8L))
+  }
+
   test("global index is the exact (lang, doc_id) rank with contiguous ids") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
