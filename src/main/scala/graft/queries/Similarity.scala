@@ -285,6 +285,86 @@ object Similarity {
           .as("sum_err_fp7"))
   }
 
+  /** Top-k cosine search IN QUANTIZED SPACE — [[annTopk]]'s brute-force
+    * ranking run over [[embedQuantize]]'s int8 codes instead of the float32
+    * embeddings: the memory-bandwidth configuration a production scan
+    * actually uses (4× less data per vector moved and compared; recall loss
+    * vs float is the quantizer's error, which q_embed_quantize gates
+    * exactly). Queries are the same first-[[nQueries]] vectors, ranked per
+    * query with the same (cosine desc, neighbor_id) tie-break.
+    *
+    * Exactness: codes are small integers, so every dot product is a sum of
+    * at most 64 products bounded by 255² — integer-exact in doubles
+    * REGARDLESS of summation order (no fixed-point fold needed); the
+    * emitted cosine is the raw IEEE quotient (the [[embedCentroids]] rule —
+    * no decimal round anywhere). All-minimum vectors quantize to the zero
+    * vector, whose cosine is undefined — both engines filter norm2 = 0
+    * pairs rather than dividing by zero.
+    *
+    * Scale shape: pass 1 is [[embedQuantize]]'s D-row stats reduction; the
+    * code arrays rebuild IN-ROW per vector (array_sort over collected
+    * (dim, code) structs — per-group state is one vector); then exactly
+    * [[annTopk]]'s shape: queries broadcast, corpus scanned once, per-query
+    * top-k via window rank. The LSH/IVF rows remain the candidate-pruning
+    * scale path; this row pins the quantized-scoring semantics they would
+    * rerank with.
+    */
+  val annQuantized: QueryDef = QueryDef(
+    s"""WITH cel AS (
+       |  SELECT vec_id, u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+       |  FROM (SELECT vec_id,
+       |               unnest([{'i': i, 'v': embedding[i]}
+       |                       for i in range(1, len(embedding) + 1)]) AS u
+       |        FROM embeddings) e),
+       |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM cel GROUP BY dim),
+       |qc AS (SELECT vec_id, dim,
+       |              CAST(CASE WHEN mx = mn THEN 0
+       |                   ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5) END
+       |                 AS DOUBLE) AS code
+       |       FROM cel JOIN s USING (dim)),
+       |v AS (SELECT vec_id, list(code ORDER BY dim) AS codes FROM qc GROUP BY vec_id),
+       |e AS (SELECT vec_id, codes, list_dot_product(codes, codes) AS norm2 FROM v)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (
+       |           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           list_dot_product(q.codes, c.codes) / sqrt(q.norm2 * c.norm2)
+       |             AS cosine
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nQueries AND q.norm2 > 0 AND c.norm2 > 0) s0) r
+       |WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
+    val cells = spark.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("vec_id"), col("dim"), col("raw").cast("double").as("v"))
+    val stats = cells.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val codeExpr = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5))
+    val codesArr = transform(
+      array_sort(collect_list(struct(col("dim"), col("code")))),
+      x => x.getField("code").cast("double"))
+    val vecs = cells.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", codeExpr)
+      .groupBy(col("vec_id"))
+      .agg(codesArr.as("codes"))
+    val e = vecs.select(col("vec_id"), col("codes"),
+      dot("codes", "codes").as("norm2"))
+      .filter(col("norm2") > 0)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("norm2").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"),
+      col("norm2").as("nc"))
+    val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qc", "cc") / sqrt(col("nq") * col("nc"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** The MLlib-Summarizer-shaped alternative to [[embedCentroids]]: one
     * fixed-point sum ARRAY per (partition, label) accumulated imperatively,
     * merged via `aggregateByKey` — per-partition traffic is `labels × D`
@@ -337,5 +417,6 @@ object Similarity {
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_wide" -> annLshWide,
     "q_embed_centroids" -> embedCentroids,
-    "q_embed_quantize" -> embedQuantize)
+    "q_embed_quantize" -> embedQuantize,
+    "q_ann_quantized" -> annQuantized)
 }

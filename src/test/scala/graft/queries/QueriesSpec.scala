@@ -320,6 +320,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("quantized ANN keeps most of the float top-10 and full rank structure") {
+    val fl = Similarity.annTopk.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qn = Similarity.annQuantized.fn(spark, sf).collect()
+    // every query emits ranks 1..10 exactly once
+    val ranks = qn.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(3)).sorted.toSeq)
+    assert(ranks.values.forall(_ == (1 to 10)), ranks.toMap.toString)
+    // int8 codes lose some ordering on this near-uniform corpus (cosine
+    // margins are tiny) but must retain the bulk of the float top-10:
+    // measured 33/50 at sf0.001, floored conservatively
+    val overlap = qn.map(r => (r.getLong(0), r.getLong(1))).count(fl.contains)
+    assert(overlap >= 25, s"quantized/float top-10 overlap collapsed: $overlap/50")
+  }
+
   test("centroid summarizer shape is bit-identical to the explode plan") {
     // Both forms sum the same 1e-4 fixed-point longs and divide by the same
     // BIGINTs, so every cell must match to the last IEEE bit — the property
