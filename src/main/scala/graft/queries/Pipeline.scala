@@ -581,6 +581,50 @@ object Pipeline {
         conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("chunk_fp"))
   }
 
+  /** Content-addressed train/val/test split assignment — every document
+    * lands in a split by hashing its TEXT (poly_hash bucket mod 100:
+    * < 80 train, < 90 val, else test), never by position or random draw.
+    * This is the reproducibility idiom of the big public corpora: a doc's
+    * split is a pure function of its content, so re-runs, re-partitions,
+    * corpus grow/shrink, and independent teams all agree on the assignment,
+    * and a doc duplicated across dumps can never straddle train and test
+    * (the leakage mode row-position splits suffer). Emits the per-(split,
+    * lang) document and token accounting a mixture designer reads.
+    *
+    * Scale shape: the hash, bucket, and token count are all in-row map
+    * work fused into the scan; the only shuffle is the final
+    * map-side-combinable rollup to at most 3 × |langs| rows. Runs at scan
+    * speed at any corpus size.
+    */
+  val splitAssign: QueryDef = QueryDef(
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |         len(string_split(text, ' ')) AS n_tok,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                       list_transform(string_split(text, ''),
+       |                                      c -> CAST(ascii(c) AS BIGINT))),
+       |                     (a, b) -> (a * 31 + b) % ${PolyHash.P}) % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM f GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val bucket = PolyHash.polyHash(spark, "text") % 100
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Duplicated-span SCRUBBING — the step [[dupSpans]] mines for: actually
     * remove every cross-document duplicated span (>= 8 words, the Lee et
     * al. boilerplate signal, arXiv:2107.06499 §4) from the corpus and emit
@@ -781,5 +825,6 @@ object Pipeline {
     "q_dup_spans_fine" -> dupSpansFine,
     "q_global_index" -> globalIndex,
     "q_gram_novelty" -> gramNovelty,
-    "q_scrub_spans" -> scrubSpans)
+    "q_scrub_spans" -> scrubSpans,
+    "q_split_assign" -> splitAssign)
 }

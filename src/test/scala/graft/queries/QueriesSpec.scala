@@ -188,6 +188,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(fine == Set((0L, 1L, 4L), (0L, 9L, 4L), (1L, 3L, 4L), (2L, 1L, 4L)))
   }
 
+  test("split assignment is content-addressed: invariant to corpus changes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the defining property: a doc's split depends only on its own text,
+    // so doubling the corpus with new docs doubles counts per cell without
+    // ever moving an existing doc across splits
+    val dirA = java.nio.file.Files.createTempDirectory("graft-splitA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-splitB").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang")).limit(100).cache()
+    base.write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val shifted = base.withColumn("doc_id", col("doc_id") + 1000000L)
+    base.union(shifted).write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    def cells(d: String) = Pipeline.splitAssign.fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val a = cells(dirA); val b = cells(dirB)
+    assert(b == a.map { case (k, (d, t)) => k -> ((2 * d, 2 * t)) })
+    val total = a.values.map(_._1).sum
+    assert(total == 100 && a.keys.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("span scrubbing removes exactly the mined spans and refingerprints") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-scrub").toString
