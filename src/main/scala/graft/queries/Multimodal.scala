@@ -30,12 +30,16 @@ object Multimodal {
   /** Decode + feature extraction, projected to scalar columns for the gate
     * (the harness cannot sort array columns): payload size plus the 16
     * histogram-bin counts as integers. `src0` rows carry REAL binary PPM
-    * payloads and go through [[Media.decodePpm]] (actual header parse +
-    * raster read — VERDICT r8 #4); the oracle replays the payload
-    * arithmetic exactly: raster = content zero-padded to full 32-wide RGB
-    * rows (so h0 gains the padding count), n_bytes = header + raster where
-    * the header is `P6\n32 <H>\n255\n` = 11 + digits(H) bytes. Other
-    * sources keep the disclosed stub path with payload = the raw bytes.
+    * payloads through [[Media.decodePpm]] and `src1` rows REAL 24-bit BMP
+    * payloads through [[Media.decodeBmp]] (actual header parse + raster
+    * read — VERDICT r8 #4); the oracle replays the payload arithmetic
+    * exactly: both formats pack content as a raster zero-padded to full
+    * 32-wide RGB rows (so h0 gains the padding count — the BMP decoder's
+    * BGR→RGB flip permutes WITHIN pixels, which a byte histogram cannot
+    * see), and n_bytes is header + raster: `P6\n32 <H>\n255\n` =
+    * 11 + digits(H) bytes for PPM, the fixed 54-byte BMP headers plus the
+    * unpadded 96-byte-stride raster for BMP. Other sources keep the
+    * disclosed stub path with payload = the raw bytes.
     *
     * PRECONDITION (oracle only): the engine bins *bytes* (byte >> 4) while
     * the SQL oracle bins *characters* (ascii(c) // 16) — these agree iff
@@ -47,7 +51,8 @@ object Multimodal {
     * is not portable across engines.
     */
   val mediaFeatures: QueryDef = {
-    val pad = s"CASE WHEN source = '${Media.PpmSource}' THEN 96 * hh - nb ELSE 0 END"
+    val pad = s"CASE WHEN source IN ('${Media.PpmSource}', '${Media.BmpSource}') " +
+      "THEN 96 * hh - nb ELSE 0 END"
     val binsSql = (0 until 16)
       .map { j =>
         val extra = if (j == 0) s" + $pad" else ""
@@ -56,9 +61,13 @@ object Multimodal {
       .mkString(",\n      |       ")
     QueryDef(
       s"""SELECT doc_id,
-         |       CASE WHEN source = '${Media.PpmSource}' THEN 'ppm' ELSE source END AS format,
+         |       CASE WHEN source = '${Media.PpmSource}' THEN 'ppm'
+         |            WHEN source = '${Media.BmpSource}' THEN 'bmp'
+         |            ELSE source END AS format,
          |       CAST(CASE WHEN source = '${Media.PpmSource}'
          |            THEN 11 + len(CAST(hh AS VARCHAR)) + 96 * hh
+         |            WHEN source = '${Media.BmpSource}'
+         |            THEN 54 + 96 * hh
          |            ELSE nb END AS BIGINT) AS n_bytes,
          |       $binsSql
          |FROM (SELECT doc_id, source, text, nb,

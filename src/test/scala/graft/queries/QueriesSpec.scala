@@ -96,6 +96,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP codec: encode/decode round-trips content; malformed payloads throw") {
+    // round-trip: decoded raster = content zero-padded to full 32-pixel rows,
+    // surviving the bottom-up row order and the BGR<->RGB flips
+    val content = Array.tabulate[Byte](200)(i => (i * 7 % 251).toByte)
+    val img = Media.decodeBmp(Media.encodeBmp(content))
+    assert(img.width == Media.BmpWidth && img.height == 3) // ceil(ceil(200/3)/32)
+    assert(img.raster.length == 32 * 3 * 3)
+    assert(img.raster.take(200).toSeq == content.toSeq)
+    assert(img.raster.drop(200).forall(_ == 0))
+    // a foreign-producer header: general stride path (w=1 -> 4-byte stride
+    // with 1 pad byte per row), blue pixel over red pixel
+    val hand = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hand.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0).putInt(54)
+    hand.putInt(40).putInt(1).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    hand.put(Array[Byte](0, 0, -1, 0))    // bottom row: BGR red + pad
+    hand.put(Array[Byte](-1, 0, 0, 0))    // top row: BGR blue + pad
+    val two = Media.decodeBmp(hand.array())
+    assert(two.raster.toSeq == Seq[Byte](0, 0, -1, -1, 0, 0)) // RGB top-down
+    intercept[IllegalArgumentException] {
+      Media.decodeBmp("XX".getBytes("US-ASCII") ++ new Array[Byte](60)) // magic
+    }
+    intercept[IllegalArgumentException] {
+      val b = Media.encodeBmp(content); b(28) = 8 // 8-bit palette bpp
+      Media.decodeBmp(b)
+    }
+    intercept[IllegalArgumentException] {
+      Media.decodeBmp(Media.encodeBmp(content).dropRight(5)) // truncated raster
+    }
+  }
+
   test("media features pipeline preserves one row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = Media.features(spark, sf)
