@@ -14,11 +14,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); pinned at session
-      // construction so query bodies need no session-conf mutation
-      // (VERDICT r7 #3 — readEvents keeps a defensive set only for
-      // externally-built sessions).
+      // Event-read confs pinned at session construction so query bodies
+      // need no session-conf mutation (VERDICT r7 #3 — readEvents keeps a
+      // defensive set only for externally-built sessions): NANOS ts reads
+      // as raw longs, MICROS/MILLIS ts reads as TimestampType (not NTZ).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,9 +9,18 @@ import org.apache.spark.sql.functions._
   * sink), verified against the same DuckDB oracle — the streaming result
   * must equal the batch result on bounded input.
   *
-  * events.ts is parquet TIMESTAMP(NANOS); both engines bucket on integer
-  * nanosecond arithmetic (no timestamp-type coercion in the compared
-  * output).
+  * Timestamp basis: the physical encoding of `events.ts` is a GENERATOR
+  * DETAIL this library must not couple to (round 9 shipped 11 red rows
+  * when the testdata regenerated from TIMESTAMP(NANOS) to
+  * TIMESTAMP(MICROS)). [[readEvents]] normalizes every encoding — NANOS
+  * (read as raw longs via the legacy conf), MICROS/MILLIS (read as
+  * TimestampType), and TIMESTAMP_NTZ — to ONE canonical column `tus`:
+  * microseconds since epoch as BIGINT, equal to DuckDB's `epoch_us(ts)`
+  * bit for bit and independent of the session timezone. All window/join/
+  * session arithmetic runs on `tus`; nothing below this header mentions
+  * the physical type again. EventsReadSpec pins the normalization per
+  * encoding, so a future regeneration breaks one named unit test instead
+  * of the whole family.
   */
 object Events {
 
@@ -32,36 +41,97 @@ object Events {
        |  FROM events GROUP BY event_type, hour_bucket) w""".stripMargin
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val NtzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
-  /** Set-and-restore wrapper for the nanos-as-long parquet flag (ADVICE r6
-    * #4): used by the STREAMING queries, whose execution completes inside
-    * the body, so restoring cannot break anything downstream.
+  /** Defensive conf pins for reading events.parquet, valid for EVERY
+    * physical `ts` encoding the generator has shipped: NANOS columns read
+    * as raw longs (the legacy flag; without it Spark rejects the schema),
+    * and MICROS/MILLIS columns with isAdjustedToUTC=false read as
+    * TimestampType rather than TIMESTAMP_NTZ (`unix_micros` on that read
+    * returns the stored int64 verbatim — verified timezone-independent,
+    * Spark applies no zone shift to int64 parquet timestamps). Every
+    * session this library constructs pins both at construction (VERDICT
+    * r7 #3); this remains as a fallback for externally-built sessions.
     */
-  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
-    val prev = spark.conf.getOption(NanosKey)
+  private def pinEventReadConfs(spark: SparkSession): Unit = {
+    if (!spark.conf.getOption(NanosKey).contains("true")) spark.conf.set(NanosKey, "true")
+    if (!spark.conf.getOption(NtzKey).contains("false")) spark.conf.set(NtzKey, "false")
+  }
+
+  /** Set-and-restore wrapper for the event read confs (ADVICE r6 #4): used
+    * by the STREAMING queries, whose execution completes inside the body,
+    * so restoring cannot break anything downstream.
+    */
+  private def withEventReadConfs[T](spark: SparkSession)(body: => T): T = {
+    val prev = Seq(NanosKey, NtzKey).map(k => k -> spark.conf.getOption(k))
     spark.conf.set(NanosKey, "true")
+    spark.conf.set(NtzKey, "false")
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(NanosKey, v)
-      case None    => spark.conf.unset(NanosKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
-  /** Batch read of events.parquet (TIMESTAMP(NANOS) ts → long). Every
-    * session this library constructs (Verify, Bench children, the test
-    * harnesses) pins the flag at SESSION CONSTRUCTION (VERDICT r7 #3), so
-    * the set below is a no-op there; it remains only as a defensive
-    * fallback for externally-built sessions, and is deliberately NOT
-    * restored when it does fire: the returned frame is lazy, and the
-    * parquet scan re-reads this conf when the plan executes (file-source
-    * readers capture SQLConf at physical planning, i.e. action time), so a
-    * restore would make later execution of the returned frame fail on the
-    * nanos type. The fully-executed streaming queries use
-    * [[withNanosAsLong]] instead and leak nothing.
+  /** Schema-adaptive normalization of `ts` to the canonical `tus` column:
+    * microseconds since epoch as BIGINT, == DuckDB `epoch_us(ts)` exactly.
+    *   - LongType        → parquet TIMESTAMP(NANOS) read via nanosAsLong;
+    *                       `div 1000` truncates toward the micro, exactly
+    *                       as DuckDB truncates nanos parquet on read;
+    *   - TimestampType   → MICROS/MILLIS int64; `unix_micros` returns the
+    *                       stored value (no zone shift on int64 parquet);
+    *   - TimestampNTZType→ externally-read frames only (our readers pin
+    *                       [[NtzKey]] off); interpret the wall-clock as
+    *                       UTC, matching DuckDB's naive `epoch_us`. The
+    *                       cast to TIMESTAMP applies the session zone and
+    *                       `from_utc_timestamp(·, current_timezone())` is
+    *                       its exact inverse, so the composition is the
+    *                       wall-clock micros INDEPENDENT of session
+    *                       timezone (EventsReadSpec pins this under three
+    *                       zones).
+    * EventsReadSpec pins all branches against the same instants.
     */
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption(NanosKey).contains("true")) spark.conf.set(NanosKey, "true")
-    spark.read.parquet(t(dir, "events"))
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tus = df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType =>
+        unix_micros(from_utc_timestamp(col("ts").cast("timestamp"), current_timezone()))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected nanos-as-long " +
+          "BIGINT, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+    df.withColumn("tus", tus).drop("ts")
+  }
+
+  /** Batch read of events.parquet with `ts` normalized to `tus` (micros
+    * BIGINT). The conf pins are deliberately NOT restored when they fire:
+    * the returned frame is lazy, and the parquet scan re-reads conf when
+    * the plan executes (file-source readers capture SQLConf at physical
+    * planning, i.e. action time), so a restore would make later execution
+    * of the returned frame fail. The fully-executed streaming queries use
+    * [[withEventReadConfs]] instead and leak nothing.
+    */
+  private[graft] def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    pinEventReadConfs(spark)
+    normalizeTs(spark.read.parquet(t(dir, "events")))
+  }
+
+  /** File-source stream over events.parquet with the same `tus`
+    * normalization as [[readEvents]] — schema resolved under the pinned
+    * confs, one file per micro-batch. Callers run inside
+    * [[withEventReadConfs]].
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(t(dir, "events")).schema
+    // The file source wants a directory; a [t] character class turns the
+    // exact file path into a glob so basePath resolves to the parent dir.
+    normalizeTs(spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]"))
   }
 
   /** Streaming executions pin shuffle partitions (= state-store count) to a
@@ -82,7 +152,7 @@ object Events {
   }
 
   private def windowAgg(df: DataFrame): DataFrame =
-    df.select(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"), col("value"))
+    df.select(col("event_type"), expr("tus div 3600000000").as("hour_bucket"), col("value"))
       .groupBy(col("event_type"), col("hour_bucket"))
       .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
 
@@ -97,15 +167,8 @@ object Events {
     * On bounded input this must hash-match the batch oracle exactly.
     */
   val streamWindows: QueryDef = QueryDef(oracle) { (spark, dir) =>
-    withNanosAsLong(spark) {
-      val schema = spark.read.parquet(t(dir, "events")).schema
-      // The file source wants a directory; a [t] character class turns the
-      // exact file path into a glob so basePath resolves to the parent dir.
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
+    withEventReadConfs(spark) {
+      val stream = eventsStream(spark, dir)
       withStreamPartitions(spark, 4) {
         val q = windowAgg(stream).writeStream
           .outputMode("complete")
@@ -127,9 +190,8 @@ object Events {
     * against this result.
     */
   // Shared session CTE body (user_id, sid, n, start_us, end_us, sum_value):
-  // microsecond basis on both sides — DuckDB truncates parquet NANOS
-  // timestamps to micros on read, so nanos-exact Spark values would never
-  // hash-match; `ts div 1000` == epoch_us(ts) exactly.
+  // microsecond basis on both sides — the canonical `tus` column equals
+  // epoch_us(ts) exactly for every physical ts encoding (see normalizeTs).
   private val sessionCoreSql =
     s"""SELECT user_id, sid, count(*) AS n, min(tus) AS start_us, max(tus) AS end_us,
       |       $fixedSumSql AS sum_value
@@ -153,7 +215,7 @@ object Events {
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     readEvents(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"), col("tus"), col("value"))
       .withColumn("new_s",
         when(lag(col("tus"), 1).over(byTime).isNull ||
           col("tus") - lag(col("tus"), 1).over(byTime) > 1800000000L, 1).otherwise(0))
@@ -190,10 +252,10 @@ object Events {
       |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
       |WHERE g.sid < g.max_sid OR g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) {
     (spark, dir) =>
-    // withNanosAsLong wraps the whole execution: Sessionize.sessions sets
-    // the flag itself (for direct callers), but the wrapper's restore here
-    // means this query leaves no session-conf residue either way.
-    withNanosAsLong(spark) {
+    // withEventReadConfs wraps the whole execution: Sessionize.sessions
+    // pins the confs itself (for direct callers), but the wrapper's restore
+    // here means this query leaves no session-conf residue either way.
+    withEventReadConfs(spark) {
       withStreamPartitions(spark, 4) {
         val q = graft.streaming.Sessionize.sessions(spark, dir).writeStream
           .outputMode("append")
@@ -225,7 +287,7 @@ object Events {
        |  FROM events, (VALUES (0), (1)) t(o)
        |  GROUP BY w_start_us, event_type) w""".stripMargin) { (spark, dir) =>
     readEvents(spark, dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("tts"),
+      .select(timestamp_micros(col("tus")).as("tts"),
         col("event_type"), col("value"))
       .groupBy(window(col("tts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
@@ -251,13 +313,8 @@ object Events {
     */
   val streamDedup: QueryDef = QueryDef(
     "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
-    withNanosAsLong(spark) {
-      val schema = spark.read.parquet(t(dir, "events")).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
+    withEventReadConfs(spark) {
+      val stream = eventsStream(spark, dir)
       withStreamPartitions(spark, 4) {
         val q = stream.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
@@ -396,7 +453,7 @@ object Events {
     */
   private[graft] def wmChunkPrepFrame(spark: SparkSession, dir: String): DataFrame =
     readEvents(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("event_type"), col("tus"))
       .withColumn("chunk", expr(s"tus div $WmChunkUs"))
       .groupBy(col("user_id"), col("event_type"), col("chunk"))
       .agg(min(col("tus")).as("rep_tus"))
@@ -461,7 +518,7 @@ object Events {
     val ev = readEvents(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"), col("value"))
+        col("tus"), col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
       .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
     ev.withColumn("prev_id",
@@ -523,10 +580,9 @@ object Events {
     * late data), so the DuckDB batch join is a hash-exact oracle.
     *
     * Timestamp basis: the watermark/time-constraint columns are
-    * `timestamp_micros(ts div 1000)` — lossless here (event timestamps are
-    * microsecond-exact, verified against the generator) — while the
-    * emitted lag works on raw nanos longs, matching the oracle's
-    * `epoch_ns` arithmetic exactly.
+    * `timestamp_micros(tus)` and the emitted lag is micros arithmetic
+    * (`div 1000000`), equal to the oracle's `epoch_ns … // 1000000000`
+    * exactly (micros × 1000 = nanos, both floor-divide to whole seconds).
     */
   /** The interval-join pipeline shared by [[streamJoin]] (inner) and
     * [[streamJoinOuter]] (left outer): both sides of the same bounded file
@@ -538,7 +594,7 @@ object Events {
       dir: String,
       joinType: String,
       sinkName: String): DataFrame = {
-    withNanosAsLong(spark) {
+    withEventReadConfs(spark) {
       // Precondition (ADVICE r8): the eviction-replay oracles assume ALL
       // input arrives in ONE micro-batch, so only the final watermark's
       // eviction matters. With maxFilesPerTrigger=1, a multi-file events
@@ -557,19 +613,14 @@ object Events {
         s"stream interval-join oracles require a single-file events dataset " +
           s"(found $dataFiles data files in $dir/events.parquet); the batch " +
           "oracle cannot replay per-micro-batch watermark eviction")
-      val schema = spark.read.parquet(t(dir, "events")).schema
       def side(tpe: String, pre: String): DataFrame =
-        spark.readStream
-          .schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("basePath", dir)
-          .parquet(s"$dir/events.parque[t]")
+        eventsStream(spark, dir)
           .filter(col("event_type") === tpe)
           .select(
             col("event_id").as(s"${pre}_event_id"),
             col("user_id").as(s"${pre}_user_id"),
-            col("ts").as(s"${pre}_ts"),
-            timestamp_micros(expr("ts div 1000")).as(s"${pre}_tsw"))
+            col("tus").as(s"${pre}_tus"),
+            timestamp_micros(col("tus")).as(s"${pre}_tsw"))
           .withWatermark(s"${pre}_tsw", "1 hour")
       withStreamPartitions(spark, 4) {
         val joined = side("click", "c").join(
@@ -585,7 +636,7 @@ object Events {
             // coalesce is the identity for inner/left (c side never null);
             // full-outer right-null rows carry the purchase's user
             coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
-            expr("(p_ts - c_ts) div 1000000000").as("lag_s"))
+            expr("(p_tus - c_tus) div 1000000").as("lag_s"))
           .writeStream
           .outputMode("append")
           .format("memory")
@@ -753,16 +804,11 @@ object Events {
       |             max(value) AS max_value
       |      FROM events GROUP BY user_id) u
       |  ON e.user_id = u.user_id""".stripMargin) { (spark, dir) =>
-    withNanosAsLong(spark) {
+    withEventReadConfs(spark) {
       val users = readEvents(spark, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_user"), max(col("value")).as("max_value"))
-      val schema = spark.read.parquet(t(dir, "events")).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("basePath", dir)
-        .parquet(s"$dir/events.parque[t]")
+      val stream = eventsStream(spark, dir)
         .select(col("event_id"), col("user_id"), col("value"))
       withStreamPartitions(spark, 4) {
         val q = stream.join(broadcast(users), Seq("user_id"))

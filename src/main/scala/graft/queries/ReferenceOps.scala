@@ -121,13 +121,11 @@ object ReferenceOps {
       |         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
       |  FROM events) t WHERE prev_event_id IS NOT NULL""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads exact nanos via
-    // the legacy conf, but DuckDB truncates to micros on read — order on
-    // the microsecond value (ts div 1000) so both engines sort identically
-    // (event_id breaks sub-microsecond ties).
-    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(t(dir, "events"))
+    // Order on the canonical micros `tus` (Events.readEvents normalizes
+    // every physical ts encoding) so both engines sort identically
+    // (event_id breaks ties).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Events.readEvents(spark, dir)
       .select(col("user_id"), col("event_id"), lag(col("event_id"), 1).over(w).as("prev_event_id"))
       .filter(col("prev_event_id").isNotNull)
   }

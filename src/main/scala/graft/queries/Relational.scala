@@ -52,10 +52,10 @@ object Relational {
       |       round(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0, 4) AS sum_value
       |FROM (SELECT event_type, user_id % 4 AS cohort, value FROM events) e
       |GROUP BY CUBE(event_type, cohort)""".stripMargin) { (spark, dir) =>
-    // events.ts is parquet TIMESTAMP(NANOS); Spark refuses the schema
-    // without the legacy conf even though ts isn't referenced here.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(t(dir, "events"))
+    // Events.readEvents handles every physical ts encoding (ts itself
+    // isn't referenced here, but a NANOS schema is rejected unread
+    // without the conf pins it applies).
+    Events.readEvents(spark, dir)
       .select(col("event_type"), (col("user_id") % 4).as("cohort"),
         floor(col("value") * 10000 + 0.5).cast("long").as("v"))
       .cube(col("event_type"), col("cohort"))
@@ -167,13 +167,12 @@ object Relational {
        |${eventTypes.map(e => s"       count(*) FILTER (event_type = '$e') AS $e,").mkString("\n")}
        |       count(*) AS total
        |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Manual pivot as a two-level aggregate in ONE scan: (cohort, type)
     // counts, then conditional sums per declared type PLUS an all-rows
     // total — so `total` counts every event even if a new event_type
     // appears outside the declared value list (a .pivot()-derived total
     // would silently drop it).
-    val counts = spark.read.parquet(t(dir, "events"))
+    val counts = Events.readEvents(spark, dir)
       .select((col("user_id") % 10).as("cohort"), col("event_type"))
       .groupBy(col("cohort"), col("event_type"))
       .agg(count(lit(1)).as("n"))

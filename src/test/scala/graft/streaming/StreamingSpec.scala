@@ -17,6 +17,8 @@ class StreamingSpec extends AnyFunSuite {
     .appName("graft-streaming-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -68,16 +70,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.queries.Events.readEvents(spark, sf)
     val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .select(col("event_id").as("click_id"), col("user_id"), col("tus").as("cts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("pts"))
     val batch = c.join(p, "user_id")
-      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + 3600000000000L)
+      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + 3600000000L)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
-        expr("(pts - cts) div 1000000000").as("lag_s"))
+        expr("(pts - cts) div 1000000").as("lag_s"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
