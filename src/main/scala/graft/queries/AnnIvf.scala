@@ -52,11 +52,18 @@ object AnnIvf {
     * refitting per width. That is what makes the probe4-vs-probe2
     * monotonicity property gateable in a single plan (ADVICE r4 #4).
     */
-  private def ivfCandidates(
+  /** One KMeans fit + full-corpus cell assignment + per-query probe-cell
+    * selection — the coarse-quantizer machinery shared by the float scoring
+    * path ([[ivfCandidates]]) and the int8 scoring path
+    * ([[ivfQuantizedTopK]]). Returns
+    * (assigned: vec_id, embedding, norm2, cell;
+    *  probeDF: query_id, cell, rn) with rn <= maxProbe.
+    */
+  private def fitAssignProbe(
       spark: SparkSession,
       dir: String,
       p: IvfParams,
-      maxProbe: Int): DataFrame = {
+      maxProbe: Int): (DataFrame, DataFrame) = {
     import p._
     graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -110,7 +117,16 @@ object AnnIvf {
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= maxProbe)
       .select(col("query_id"), col("cell"), col("rn"))
+    (assigned, probeDF)
+  }
 
+  private def ivfCandidates(
+      spark: SparkSession,
+      dir: String,
+      p: IvfParams,
+      maxProbe: Int): DataFrame = {
+    import p._
+    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, maxProbe)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
       .join(probeDF, "query_id")
@@ -143,6 +159,72 @@ object AnnIvf {
   def ivfTopK(spark: SparkSession, dir: String, p: IvfParams = IvfParams()): DataFrame =
     topKOf(ivfCandidates(spark, dir, p, p.nProbe), p.topK)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+
+  /** IVF pruning composed with int8 scoring — the layout a production
+    * vector store actually scans at 10^9+ vectors (IVF + scalar quantizer):
+    * the coarse quantizer works in float (KMeans cells, centroid probe
+    * selection — [[fitAssignProbe]], tiny state), while the per-candidate
+    * work inside the probed cells runs over [[Similarity.quantizedVecs]]'
+    * int8 codes — 4× less data moved and compared per candidate than the
+    * float path, on top of the cell pruning's candidate reduction. Replaces
+    * nothing: `q_ann_quantized` stays as the full-scan pin of the scoring
+    * semantics; this row adds the pruned execution of the SAME scoring.
+    *
+    * Scale shape: codes join to cell assignments by vec_id (both corpus
+    * scans, co-partitionable), queries fan out by probed cell exactly as
+    * the float path; per-query cost is bounded by probed-cell size. The
+    * cosine is the same integer-exact double quotient as the brute-force
+    * row, so a candidate found by both paths scores identically — which is
+    * what makes the recall property below well-defined.
+    */
+  def ivfQuantizedTopK(
+      spark: SparkSession,
+      dir: String,
+      p: IvfParams = IvfParams()): DataFrame = {
+    import p._
+    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, nProbe)
+    val corpus = Similarity.quantizedVecs(spark, dir)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("norm2").as("nq"))
+      .join(probeDF.drop("rn"), "query_id")
+    val scored = q.join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("dot_product(qc, codes)") / sqrt(col("nq") * col("norm2"))).as("cosine"))
+      // a neighbor can appear via several probed cells — dedup before rank
+      .distinct()
+    topKOf(scored, topK)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Gate row for [[ivfQuantizedTopK]], same derived-property technique as
+    * [[annIvf]] (KMeans float-order sensitivity forbids a literal oracle):
+    * (a) exactly topK neighbors per query, (b) recall@k against the
+    * QUANTIZED brute-force ranking (`q_ann_quantized`, itself
+    * hash-verified) clears the same floor the float IVF row pins against
+    * its float baseline — isolating the cost of PRUNING from the cost of
+    * QUANTIZING, which q_embed_quantize/q_ann_quantized already gate.
+    */
+  val annIvfQuantized: QueryDef = {
+    val p = IvfParams()
+    QueryDef(
+      s"SELECT CAST(${p.nQueries} AS BIGINT) AS n_queries, true AS per_query_ok, " +
+        s"true AS recall_ge_${p.minRecallPct}pct") { (spark, dir) =>
+      val ivfq = ivfQuantizedTopK(spark, dir, p).select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.annQuantized.fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+      val hits = ivfq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val ex = exact.agg(count(lit(1)).as("n_exact"))
+      val shape = ivfq.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("k")) === p.topK && max(col("k")) === p.topK).as("per_query_ok"))
+      shape.crossJoin(hits).crossJoin(ex)
+        .select(col("n_queries"), col("per_query_ok"),
+          (col("n_hits") * 100 >= col("n_exact") * p.minRecallPct)
+            .as(s"recall_ge_${p.minRecallPct}pct"))
+    }
+  }
 
   /** Driver-gate form: KMeans centroids are float-order-sensitive, so the
     * raw top-k is not oracle-expressible — but its *properties* are. The
@@ -218,5 +300,6 @@ object AnnIvf {
 
   val defs: Map[String, QueryDef] = Map(
     "q_ann_ivf" -> annIvf,
-    "q_ann_ivf_probe4" -> annIvfProbe4)
+    "q_ann_ivf_probe4" -> annIvfProbe4,
+    "q_ann_ivf_quantized" -> annIvfQuantized)
 }

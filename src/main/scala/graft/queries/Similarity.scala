@@ -336,6 +336,30 @@ object Similarity {
        |    WHERE q.vec_id < $nQueries AND q.norm2 > 0 AND c.norm2 > 0) s0) r
        |WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    val e = quantizedVecs(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("norm2").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"),
+      col("norm2").as("nc"))
+    val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qc", "cc") / sqrt(col("nq") * col("nc"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  /** The int8-quantized vector table (vec_id, codes, norm2) —
+    * [[annQuantized]]'s build phase factored out so IVF pruning can compose
+    * with quantized scoring (AnnIvf.annIvfQuantized, the production
+    * IVF+scalar-quantizer layout). Codes are [[embedQuantize]]'s global
+    * per-dimension affine map rebuilt in-row (array_sort over collected
+    * (dim, code) structs — per-group state is one vector); zero-norm
+    * vectors are filtered here (cosine undefined) so every consumer shares
+    * the rule.
+    */
+  private[queries] def quantizedVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.VectorOps.register(spark)
     val cells = spark.read.parquet(t(dir, "embeddings"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "raw")))
@@ -347,22 +371,12 @@ object Similarity {
     val codesArr = transform(
       array_sort(collect_list(struct(col("dim"), col("code")))),
       x => x.getField("code").cast("double"))
-    val vecs = cells.join(broadcast(stats), Seq("dim"))
+    cells.join(broadcast(stats), Seq("dim"))
       .withColumn("code", codeExpr)
       .groupBy(col("vec_id"))
       .agg(codesArr.as("codes"))
-    val e = vecs.select(col("vec_id"), col("codes"),
-      dot("codes", "codes").as("norm2"))
+      .select(col("vec_id"), col("codes"), dot("codes", "codes").as("norm2"))
       .filter(col("norm2") > 0)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("norm2").as("nq"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"),
-      col("norm2").as("nc"))
-    val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot("qc", "cc") / sqrt(col("nq") * col("nc"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
   /** The MLlib-Summarizer-shaped alternative to [[embedCentroids]]: one

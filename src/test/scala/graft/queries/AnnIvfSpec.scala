@@ -46,6 +46,30 @@ class AnnIvfSpec extends AnyFunSuite {
     info(f"IVF probe4 recall@10 = $recall4%.2f")
   }
 
+  test("IVF+int8: quantized-space recall clears the floor vs the quantized brute force") {
+    spark.sparkContext.setLogLevel("WARN")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The baseline for the PRUNED quantized path is the FULL-SCAN quantized
+    // path (same scoring, superset candidates) — not the float ranking,
+    // whose delta is the quantizer's error and is gated elsewhere
+    // (q_embed_quantize / q_ann_quantized).
+    val exactQ = pairs(SparkEntry.queries("q_ann_quantized")(spark, sf))
+    val ivfQ = pairs(AnnIvf.ivfQuantizedTopK(spark, sf))
+    assert(exactQ.size == 50) // 5 queries x top-10
+    assert(ivfQ.nonEmpty)
+    val recall = (exactQ intersect ivfQ).size.toDouble / exactQ.size
+    // same 2-of-16-cells floor argument as the float IVF row
+    assert(recall >= 0.2, s"quantized IVF recall@10 = $recall")
+    info(f"IVF+int8 recall@10 = $recall%.2f")
+    val gate = SparkEntry.queries("q_ann_ivf_quantized")(spark, sf).collect()
+    assert(gate.length == 1)
+    assert(gate(0).getAs[Long]("n_queries") == 5L)
+    assert(gate(0).getAs[Boolean]("per_query_ok"))
+    assert(gate(0).getAs[Boolean]("recall_ge_20pct"))
+  }
+
   test("q_ann_ivf gate query asserts the shape + recall properties in-plan") {
     spark.sparkContext.setLogLevel("WARN")
     val row = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
