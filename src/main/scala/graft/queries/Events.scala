@@ -225,6 +225,38 @@ object Events {
         max(col("tus")).as("end_us"), fixedSum(col("value")).as("sum_value"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` operator
+    * — the built-in spelling of [[sessionize]] (which composes lag + running
+    * sum + groupBy). The split boundary is IDENTICAL to the lag row's
+    * strict rule — a session spans `[first_event, last_event + gap]` for
+    * merging purposes, and a new window whose start equals the current end
+    * still MERGES, so only `diff > gap` opens a new session (pinned
+    * empirically by the exact-gap-tie test in QueriesSpec — the `>=` guess
+    * is wrong). What DOES differ is the emitted end: `session_window.end`
+    * is last event + gap, so this row reports `end_gap_us` and the oracle
+    * is the shared session CTE with the gap added back.
+    *
+    * Scale shape: one shuffle on user_id (the grouping key beside the
+    * window), then Spark's MergingSessions aggregation walks each
+    * partition's time-sorted rows once — per-group state is one open
+    * session, not a buffered user history; the same operator is the
+    * streaming state-store form. This is the plan the lag-window spelling
+    * also produces (shuffle + in-partition window), so the rows pin the
+    * built-in operator's semantics, at the same cost.
+    */
+  val sessionWindow: QueryDef = QueryDef(
+    s"""SELECT user_id, start_us, end_us + 1800000000 AS end_gap_us, n, sum_value
+      |FROM ($sessionCoreSql) g""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("tus")).as("tts"), col("value"))
+      .groupBy(session_window(col("tts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_gap_us"),
+        col("n"), col("sum_value"))
+  }
+
   /** The stateful-streaming twin of [[sessionize]] as a driver-gate row:
     * graft.streaming.Sessionize (flatMapGroupsWithState, event-time
     * timeout) run to completion on the bounded events file. The stream
@@ -903,6 +935,7 @@ object Events {
     "q_window_sessions" -> windowSessions,
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,
+    "q_session_window" -> sessionWindow,
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,

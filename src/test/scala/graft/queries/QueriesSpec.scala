@@ -35,6 +35,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("native session_window merges an exact-gap tie and splits one microsecond past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, session_window, timestamp_micros}
+    // Empirical boundary pin for q_session_window's oracle: a new window
+    // whose start EQUALS the current end (last + gap) still merges — Spark
+    // splits only on diff > gap, the same strict rule as q_sessionize's
+    // lag spelling. If a Spark upgrade ever flips this to >=, the oracle
+    // replay goes stale and THIS named test breaks first.
+    def sessions(deltaUs: Long): Long = {
+      val t0 = 1704067200000000L
+      Seq((1L, t0), (1L, t0 + deltaUs)).toDF("user_id", "tus")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("tts"))
+        .groupBy(session_window(col("tts"), "30 minutes"), col("user_id"))
+        .count().count()
+    }
+    assert(sessions(1800000000L) == 1L, "exact-gap tie must merge (diff > gap splits)")
+    assert(sessions(1800000001L) == 2L, "one microsecond past the gap must split")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
