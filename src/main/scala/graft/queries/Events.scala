@@ -257,6 +257,52 @@ object Events {
         col("n"), col("sum_value"))
   }
 
+  /** The STREAMING form of [[sessionWindow]] — Spark's native session
+    * windows as a stateful streaming aggregation (the state-store-backed
+    * MergingSessions operator), run to completion on the bounded events
+    * file in append mode. Emission is entirely watermark-driven: a session
+    * reaches the sink iff the final watermark REACHED its window end —
+    * NON-STRICT (`end <= wm` emits; pinned empirically at exact equality
+    * by the StreamingSpec boundary test), which differs from
+    * flatMapGroupsWithState's strict EventTimeTimeout rule that
+    * [[sessionizeStream]] pins. The oracle is the shared session CTE,
+    * end shifted by the gap, filtered by that same predicate against the
+    * ms-floored final watermark.
+    *
+    * Scale shape: the same one-shuffle-on-user topology as the batch row,
+    * with per-key state = open sessions only and watermark eviction
+    * bounding it — the production unbounded-ingest configuration.
+    */
+  val sessionWindowStream: QueryDef = QueryDef(
+    s"""SELECT user_id, start_us, end_gap_us, n, sum_value
+      |FROM (SELECT user_id, start_us, end_us + 1800000000 AS end_gap_us, n, sum_value
+      |      FROM ($sessionCoreSql) g) s,
+      |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
+      |WHERE s.end_gap_us <= w.wm_ms * 1000""".stripMargin) { (spark, dir) =>
+    withEventReadConfs(spark) {
+      val stream = eventsStream(spark, dir)
+        .select(col("user_id"), timestamp_micros(col("tus")).as("tts"), col("value"))
+        .withWatermark("tts", "0 seconds")
+      withStreamPartitions(spark, 4) {
+        val q = stream
+          .groupBy(session_window(col("tts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_gap_us"),
+            col("n"), col("sum_value"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_session_window_stream")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_session_window_stream")
+  }
+
   /** The stateful-streaming twin of [[sessionize]] as a driver-gate row:
     * graft.streaming.Sessionize (flatMapGroupsWithState, event-time
     * timeout) run to completion on the bounded events file. The stream
@@ -936,6 +982,7 @@ object Events {
     "q_stream_windows" -> streamWindows,
     "q_sessionize" -> sessionize,
     "q_session_window" -> sessionWindow,
+    "q_session_window_stream" -> sessionWindowStream,
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,

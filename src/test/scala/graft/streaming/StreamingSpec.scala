@@ -88,6 +88,39 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming session_window emits exactly when the watermark REACHES window end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, session_window, timestamp_seconds}
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Boundary pin for q_session_window_stream's oracle: eviction is
+    // NON-STRICT (end <= watermark emits, verified at exact equality),
+    // unlike flatMapGroupsWithState's strict EventTimeTimeout that
+    // q_sessionize_stream replays. u1@1000s closes at 1000+1800=2800s.
+    val ev = MemoryStream[(Long, Long)]
+    val q = ev.toDF().toDF("user", "secs")
+      .select(col("user"), timestamp_seconds(col("secs")).as("tts"))
+      .withWatermark("tts", "0 seconds")
+      .groupBy(session_window(col("tts"), "30 minutes").as("sw"), col("user"))
+      .agg(count(col("user")).as("n"))
+      .select(col("user"), col("sw.end").cast("long").as("end_s"), col("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sw_boundary").start()
+    def emitted(): Set[(Long, Long, Long)] =
+      spark.table("graft_sw_boundary").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      ev.addData((1L, 1000L))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "nothing may emit while wm < window end")
+      ev.addData((3L, 2800L)) // wm -> exactly u1's window end
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 2800L, 1L)),
+        s"session must emit at wm == window end, got ${emitted()}")
+    } finally q.stop()
+  }
+
   test("interval-join watermarks evict both sides' buffered state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, expr, timestamp_seconds}
