@@ -361,7 +361,100 @@ object TextOps {
       .filter(col("rank") <= 5)
   }
 
+  /** Bigram-LM surprise scoring — the corpus-trained language-model quality
+    * filter (the CCNet recipe: score each document under an n-gram LM of
+    * the corpus, route high-perplexity documents to review/drop; Wenzek et
+    * al., arXiv:1911.00359). The LM is the corpus's own bigram MLE
+    * `P(w2|w1) = c(w1,w2) / c(w1,·)`, and per-document surprise is the sum
+    * of per-bigram `-log2 P` — log2-quantized in pure integer arithmetic
+    * (`bits = floor(log2(cp div cb)) = length(bin(cp div cb)) - 1`, the
+    * [[tfidf]] rule) so the gate is hash-exact across engines and cluster
+    * runs; `sum_bits / n_bigrams` is the perplexity proxy a filter
+    * thresholds on.
+    *
+    * Scale shape: bigrams generate IN-ROW (transform over an index
+    * sequence, no self-join); the model is two map-side-combinable
+    * aggregations — (w1,w2) counts, then prefix counts ON THE SAME
+    * SHUFFLED KEY PREFIX (the second agg re-shuffles only the already-
+    * reduced bigram table); scoring re-joins documents' bigrams to the
+    * model on (w1,w2) — the honest data-sized shuffle, exactly the DSIR
+    * row's topology one key wider; the final rollup shuffles reduced
+    * per-doc rows. Nothing collects to the driver; the model table is
+    * vocabulary², bounded far below corpus size.
+    */
+  val lmScore: QueryDef = QueryDef(
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+       |  SELECT doc_id,
+       |         unnest([{'w1': words[i], 'w2': words[i + 1]}
+       |                 for i in range(1, len(words))]) AS u
+       |  FROM w WHERE len(words) >= 2) x),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2),
+       |cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+       |s AS (SELECT w1, w2, len(bin(cp // cb)) - 1 AS bits
+       |      FROM cb JOIN cp USING (w1))
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(bits) AS BIGINT) AS sum_bits
+       |FROM b JOIN s USING (w1, w2)
+       |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val words = split(col("text"), " ")
+    val pairs = transform(
+      sequence(lit(1), size(col("words")) - 1),
+      i => struct(element_at(col("words"), i).as("w1"),
+        element_at(col("words"), i + 1).as("w2")))
+    val b = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    val bits = (length(bin(expr("cp div cb"))) - 1).cast("long")
+    val model = cb.join(cp, "w1").select(col("w1"), col("w2"), bits.as("bits"))
+    b.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+  }
+
+  /** Vocabulary construction — the "train the tokenizer / embedding table"
+    * prerequisite: the top-[[VocabSize]] corpus tokens by frequency, each
+    * assigned a contiguous id in (count desc, token) order — the
+    * deterministic tie-break that makes the id assignment reproducible
+    * across runs and partitionings (a vocab whose ids drift invalidates
+    * every downstream checkpoint).
+    *
+    * Scale shape: one map-side-combinable shuffle for token counts, then
+    * the budget cut compiles to TakeOrderedAndProject (per-partition
+    * heads + merge, never a global sort of the vocabulary); the id window
+    * runs AFTER the cut, over exactly VocabSize rows — the one place a
+    * single-partition window is the right plan, not a bottleneck.
+    */
+  private val VocabSize = 1024
+
+  val vocabBuild: QueryDef = QueryDef(
+    s"""SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+       |       token, n FROM (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  WHERE token <> ''
+       |  GROUP BY token
+       |  ORDER BY n DESC, token
+       |  LIMIT $VocabSize) c""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("n").desc, col("token"))
+    spark.read.parquet(t(dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(VocabSize)
+      .select((row_number().over(byFreq) - 1).cast("long").as("token_id"),
+        col("token"), col("n"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_vocab_build" -> vocabBuild,
+    "q_lm_score" -> lmScore,
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
     "q_topk_terms_per_lang" -> topkTermsPerLang,
     "q_lang_id" -> langId,
