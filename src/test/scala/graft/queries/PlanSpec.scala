@@ -277,6 +277,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
   }
 
+  test("q_vocab_build cuts the budget with per-partition heads, ids after the cut") {
+    val p = plan("q_vocab_build")
+    // the budget cut is TakeOrderedAndProject (per-partition heads +
+    // merge), never a global sort of the full vocabulary; counts stay
+    // hash-aggregated
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_lm_score keeps the model hash-aggregated and never goes cartesian") {
+    val p = plan("q_lm_score")
+    // bigrams generate in-row (no self-join), both model aggregations are
+    // partial/final hash aggregates, and the scoring join is a keyed join
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_gram_novelty reuses the shared gram frame and combines map-side") {
     val p = plan("q_gram_novelty")
     // the memoized positional-gram frame backs this row (same cache as
