@@ -348,6 +348,94 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** Coarse-to-fine ANN rerank — the truncated-embedding two-stage search
+    * (the Matryoshka/MRL deployment pattern: score EVERY candidate cheaply
+    * on a prefix of the embedding, keep a shortlist, re-score only the
+    * shortlist at full dimension). Stage 1 ranks all pairs by cosine over
+    * the first [[RerankDims]] dims (4× less data per candidate at 16/64,
+    * the same bandwidth argument as int8 codes but along the DIMENSION
+    * axis); stage 2 joins the per-query top-[[RerankShortlist]] back to
+    * the full vectors and emits the exact-cosine top-k of the shortlist.
+    *
+    * Unlike the LSH/IVF rows this composition is FULLY deterministic —
+    * slices, in-order dot products, IEEE division/sqrt are bit-identical
+    * in both engines — so the whole two-stage pipeline is hash-gated by a
+    * literal SQL oracle, no property gate needed. (Recall vs the full
+    * brute force is the truncation's loss, a data property, not gated.)
+    *
+    * Scale shape: stage 1 is [[annTopk]]'s broadcast-queries single scan
+    * reading 1/4 of each vector, with the per-query shortlist compiling to
+    * the same WindowGroupLimit pushdown; stage 2 touches only
+    * queries × shortlist rows — the broadcast-sized candidate set joins
+    * back to the corpus by id (semi-join-shaped; no second full-corpus
+    * scoring pass).
+    */
+  private val RerankDims = 16
+  private val RerankShortlist = 50
+
+  val annRerank: QueryDef = QueryDef(
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         list_dot_product(embedding, embedding) AS norm2,
+       |         embedding[1:$RerankDims] AS e16,
+       |         list_dot_product(embedding[1:$RerankDims],
+       |                          embedding[1:$RerankDims]) AS norm16
+       |  FROM embeddings),
+       |s1 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.e16, c.e16) / sqrt(q.norm16 * c.norm16) AS cos16
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries AND q.norm16 > 0 AND c.norm16 > 0),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (
+       |             PARTITION BY query_id ORDER BY cos16 DESC, neighbor_id) AS r16
+       |    FROM s1) r WHERE r16 <= $RerankShortlist),
+       |s2 AS (
+       |  SELECT s.query_id AS query_id, s.neighbor_id AS neighbor_id,
+       |         round(list_dot_product(q.embedding, c.embedding)
+       |               / sqrt(q.norm2 * c.norm2), 4) AS cosine
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e c ON c.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (
+       |           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM s2) r WHERE rank <= $topK""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
+    val e = spark.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        expr("dot_product(embedding, embedding)").as("norm2"),
+        slice(col("embedding"), 1, RerankDims).as("e16"))
+      .withColumn("norm16", expr("dot_product(e16, e16)"))
+      .filter(col("norm16") > 0)
+    val q16 = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e16").as("qe16"), col("norm16").as("nq16"))
+    val w16 = Window.partitionBy(col("query_id")).orderBy(col("cos16").desc, col("neighbor_id"))
+    val shortlist = broadcast(q16)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("e16").as("ce16"),
+        col("norm16").as("nc16")), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qe16, ce16)") / sqrt(col("nq16") * col("nc16"))).as("cos16"))
+      .withColumn("r16", row_number().over(w16))
+      .filter(col("r16") <= RerankShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(shortlist)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("norm2").as("nc")), Seq("neighbor_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("dot_product(qe, ce)") / sqrt(col("nq") * col("nc")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= topK)
+  }
+
   /** The int8-quantized vector table (vec_id, codes, norm2) —
     * [[annQuantized]]'s build phase factored out so IVF pruning can compose
     * with quantized scoring (AnnIvf.annIvfQuantized, the production
@@ -432,5 +520,6 @@ object Similarity {
     "q_ann_lsh_wide" -> annLshWide,
     "q_embed_centroids" -> embedCentroids,
     "q_embed_quantize" -> embedQuantize,
-    "q_ann_quantized" -> annQuantized)
+    "q_ann_quantized" -> annQuantized,
+    "q_ann_rerank" -> annRerank)
 }
