@@ -624,6 +624,40 @@ object Events {
       .agg(sum(col("pn")).as("n"), round(sum(col("psum")) / 10000.0, 2).as("sum_value"))
   }
 
+  /** Skew-salted JOIN — the join-side sibling of [[saltedAgg]]: when the
+    * dimension is too big to broadcast AND fact keys skew, a plain shuffle
+    * join sends every row of a hot key to ONE reducer. The manual cure
+    * (what AQE's skew-join split does adaptively, usable when AQE can't
+    * see the skew or the join must be deterministic-planned): replicate
+    * each dim row [[JoinSalt]]× with a salt column, salt the fact side by
+    * a key-independent hash, and join on (key, salt) — a hot key's rows
+    * now spread over JoinSalt reducers. Cost is bounded by |dim|×salt,
+    * the classic tradeoff. The join is pinned to a SHUFFLED hash join
+    * (`shuffle_hash` hint) because the whole point is the no-broadcast
+    * regime; the result is salt-invariant and the oracle is the plain
+    * unsalted join.
+    */
+  private val JoinSalt = 8
+
+  val saltedJoin: QueryDef = QueryDef(
+    """SELECT e.event_type AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(u.n_user) AS BIGINT) AS sum_n_user
+      |FROM events e
+      |JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_user
+      |      FROM events GROUP BY user_id) u
+      |  ON e.user_id = u.user_id
+      |GROUP BY e.event_type""".stripMargin) { (spark, dir) =>
+    val ev = readEvents(spark, dir)
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(JoinSalt - 1L))))
+    val fact = ev.select(col("event_type"), col("user_id"),
+      pmod(col("event_id"), lit(JoinSalt.toLong)).as("salt"))
+    fact.join(dim.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("n_user")).as("sum_n_user"))
+  }
+
   /** Exact quantiles per event type: Spark's `percentile` and DuckDB's
     * `quantile_cont` share the (n-1)*p linear-interpolation definition. At
     * scale this is the one deliberately sort-based aggregate in the surface
@@ -904,6 +938,50 @@ object Events {
     }
   }
 
+  /** Streaming PARQUET FILE SINK — the missing sink-side twin of the
+    * file-source rows: the bounded events stream writes to a parquet file
+    * sink with a checkpoint, and the gate re-reads the sink directory and
+    * aggregates it against the batch oracle. Equality pins EXACTLY-ONCE
+    * delivery end to end: the file sink's `_spark_metadata` transaction
+    * log commits each micro-batch's files atomically, and the read-back
+    * path lists COMMITTED files from that log (not the raw directory), so
+    * a duplicated or torn batch would break the hash. Integer count + id
+    * sum per event type make the comparison content-exact.
+    *
+    * Scale shape: this is the production landing topology for a 100 TB/day
+    * ingest (stream in, partitioned files out, downstream batch reads the
+    * manifest); the write parallelism follows the stream's partitioning,
+    * and the checkpoint makes restarts resume-not-replay. The write
+    * happens once per source fingerprint (FileSources.writeOnce — timed
+    * re-runs measure the sink contract, not repeated writes).
+    */
+  val streamFileSink: QueryDef = QueryDef(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("streamsink", dir, "events.parquet")
+    withEventReadConfs(spark) {
+      FileSources.writeOnce(out) { o =>
+        val stream = eventsStream(spark, dir).select(col("event_id"), col("event_type"))
+        withStreamPartitions(spark, 4) {
+          val q = stream.writeStream
+            .format("parquet")
+            .option("path", s"$o/data")
+            .option("checkpointLocation", s"$o/chk")
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+      }
+    }
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   /** Distinct-cardinality sketch: per-event-type exact distinct users next
     * to a HyperLogLog++ estimate (`approx_count_distinct`, rsd 1%), gated
     * on the DERIVED property that the sketch lands within 5% of truth —
@@ -986,8 +1064,10 @@ object Events {
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,
+    "q_stream_sink_files" -> streamFileSink,
     "q_window_sliding" -> windowSliding,
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,
+    "q_salted_join" -> saltedJoin,
     "q_quantiles" -> quantiles)
 }

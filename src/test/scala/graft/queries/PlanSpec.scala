@@ -277,6 +277,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
   }
 
+  test("q_salted_join stays a shuffled hash join with in-plan dim replication") {
+    val p = plan("q_salted_join")
+    // the row demonstrates the NO-broadcast regime: the salted join must
+    // plan as a shuffled hash join, and the dim replication is an in-plan
+    // explode, not a driver-side loop
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("q_vocab_build cuts the budget with per-partition heads, ids after the cut") {
     val p = plan("q_vocab_build")
     // the budget cut is TakeOrderedAndProject (per-partition heads +
