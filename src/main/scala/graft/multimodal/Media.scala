@@ -234,6 +234,70 @@ object Media {
     Array.tabulate(bins)(b => (0 until factor).map(k => hist(b * factor + k)).sum)
   }
 
+  /** REAL nearest-neighbor 2× downscale over a decoded raster: keep even
+    * rows and even columns (the nearest-neighbor kernel at scale 1/2), and
+    * report the output geometry plus the integer sum of kept RGB bytes —
+    * content-exact, and invariant to BMP's within-pixel BGR→RGB flip
+    * because the sum folds all 3 bytes of each kept pixel. (The histogram
+    * fold in [[resizeStub]] remains the stand-in for formats without a
+    * codec; THIS path operates on actually-decoded pixels.)
+    */
+  def halfResize(img: PpmImage): (Int, Int, Long) = {
+    val ow = (img.width + 1) / 2
+    val oh = (img.height + 1) / 2
+    var sum = 0L
+    var r = 0
+    while (r < img.height) {
+      if (r % 2 == 0) {
+        var c = 0
+        while (c < img.width) {
+          if (c % 2 == 0) {
+            val base = (r * img.width + c) * 3
+            sum += (img.raster(base) & 0xff) + (img.raster(base + 1) & 0xff) +
+              (img.raster(base + 2) & 0xff)
+          }
+          c += 1
+        }
+      }
+      r += 1
+    }
+    (ow, oh, sum)
+  }
+
+  /** Resized-image features: one row per real-codec document. */
+  final case class ResizeFeatures(
+      doc_id: Long,
+      format: String,
+      out_w: Int,
+      out_h: Int,
+      n_px_out: Long,
+      sum_rgb_out: Long)
+
+  /** Decode + 2× downscale for the REAL-codec sources only (PPM + BMP):
+    * encode the payload, decode it through the actual header-parse +
+    * raster-read path, then [[halfResize]] the decoded pixels. Same
+    * per-partition batch shape as [[features]].
+    */
+  def resizedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isin(PpmSource, BmpSource))
+      .select(col("doc_id"),
+        when(col("source") === PpmSource, lit("ppm")).otherwise(lit("bmp")).as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = r.format match {
+          case "ppm" => decodePpm(encodePpm(r.media)) // REAL decode
+          case _     => decodeBmp(encodeBmp(r.media)) // REAL decode
+        }
+        val (ow, oh, sum) = halfResize(img)
+        ResizeFeatures(r.doc_id, r.format, ow, oh, ow.toLong * oh, sum)
+      }
+    }.toDF()
+  }
+
   /** Frame-sampled features: one row per (doc, frame), bounded fan-out. */
   def frameFeatures(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame = {
     import spark.implicits._

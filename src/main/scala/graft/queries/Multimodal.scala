@@ -102,8 +102,41 @@ object Multimodal {
         .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("frame_bytes_total"))
   }
 
+  /** REAL image resize over the real-codec sources: nearest-neighbor 2×
+    * downscale of the actually-decoded rasters (even rows/columns kept).
+    * The oracle replays the byte-position arithmetic over the ASCII
+    * payload: content byte i lives in pixel i div 3, at raster position
+    * (row = px div 32, col = px mod 32) — zero padding contributes 0 to the
+    * kept-byte sum, and BMP's within-pixel BGR flip is sum-invariant, so
+    * `sum_rgb_out` is exact without the oracle decoding anything. Geometry:
+    * h = max(1, ceil(ceil(nb/3)/32)), out = (16, ceil(h/2)).
+    */
+  val mediaResize: QueryDef = QueryDef(
+    s"""WITH m AS (SELECT doc_id, source, string_split(text, '') AS chs
+       |           FROM documents
+       |           WHERE source IN ('${Media.PpmSource}', '${Media.BmpSource}')),
+       |g AS (SELECT doc_id, source, len(chs) AS nb,
+       |             unnest([{'i': i, 'b': ascii(chs[i])}
+       |                     for i in range(1, len(chs) + 1)]) AS u
+       |      FROM m),
+       |s AS (SELECT doc_id, any_value(source) AS source, any_value(nb) AS nb,
+       |             CAST(sum(CASE WHEN (((u.i - 1) // 3) // 32) % 2 = 0
+       |                            AND (((u.i - 1) // 3) % 32) % 2 = 0
+       |                           THEN u.b ELSE 0 END) AS BIGINT) AS sum_rgb_out
+       |      FROM g GROUP BY doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN source = '${Media.PpmSource}' THEN 'ppm' ELSE 'bmp' END AS format,
+       |       CAST(16 AS INT) AS out_w,
+       |       CAST((h + 1) // 2 AS INT) AS out_h,
+       |       CAST(16 * ((h + 1) // 2) AS BIGINT) AS n_px_out,
+       |       sum_rgb_out
+       |FROM (SELECT *, greatest(1, ((nb + 2) // 3 + 31) // 32) AS h FROM s) f""".stripMargin) {
+    (spark, dir) => Media.resizedFeatures(spark, dir)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,
-    "q_media_frames" -> mediaFrames)
+    "q_media_frames" -> mediaFrames,
+    "q_media_resize" -> mediaResize)
 }

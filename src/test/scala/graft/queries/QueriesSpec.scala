@@ -35,6 +35,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("halfResize keeps even rows/cols and sums kept RGB bytes (odd dims)") {
+    // 3x3 raster, bytes 0..26: kept pixels (r,c) in {0,2}x{0,2} have bases
+    // (r*3+c)*3 = 0, 6, 18, 24; each contributes base+(base+1)+(base+2).
+    val img = Media.PpmImage(3, 3, Array.tabulate(27)(_.toByte))
+    val (ow, oh, sum) = Media.halfResize(img)
+    assert(ow == 2 && oh == 2)
+    assert(sum == Seq(0, 6, 18, 24).map(b => 3 * b + 3).sum, s"sum=$sum")
+  }
+
   test("native session_window merges an exact-gap tie and splits one microsecond past it") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, session_window, timestamp_micros}
