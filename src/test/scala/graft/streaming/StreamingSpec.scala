@@ -121,6 +121,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup is state-backend-agnostic: RocksDB store matches batch") {
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.setLogLevel("WARN")
+    // The HDFS-backed in-memory store is the test default; production
+    // state that outgrows the heap runs on RocksDB. The gate semantics
+    // must be backend-invariant — run the exact streaming-dedup row under
+    // RocksDB and compare to the batch DISTINCT.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = graft.queries.Events.streamDedup.fn(spark, sf)
+      val batch = graft.queries.Events.readEvents(spark, sf)
+        .select(col("user_id"), col("event_type")).distinct()
+      assert(stream.count() == batch.count())
+      assert(stream.exceptAll(batch).count() == 0L &&
+        batch.exceptAll(stream).count() == 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("checkpointed file sink resumes exactly-once across a mid-stream restart") {
+    spark.sparkContext.setLogLevel("WARN")
+    // The 4-chunk prepared dataset streams one file per micro-batch into a
+    // checkpointed parquet sink; the query is STOPPED after the first
+    // committed batch and restarted from the same checkpoint. The final
+    // sink content must equal the full input exactly — the checkpoint
+    // offset log prevents replay (no duplicates) and the _spark_metadata
+    // commit log prevents loss (no torn batches).
+    val src = graft.queries.Events.prepareWmChunks(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_type STRING, ts TIMESTAMP")
+    def start() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .start()
+    val q1 = start()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.map(_.numInputRows).sum == 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "first run never committed a batch in 30s")
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val got = spark.read.parquet(s"$out/data").count()
+    val expect = spark.read.parquet(src).count()
+    assert(got == expect, s"sink has $got rows, input has $expect — lost or duplicated")
+  }
+
   test("interval-join watermarks evict both sides' buffered state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, expr, timestamp_seconds}
