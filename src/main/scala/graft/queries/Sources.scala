@@ -62,7 +62,37 @@ object Sources {
     graft.sources.Bucketed.bucketedJoinAgg(spark, dir)
   }
 
+  /** Schema-evolution union — the multi-drop ingestion reality: two batches
+    * of the "same" table whose column sets drifted (one carries `n_chars`,
+    * the other `source`) union by NAME with missing columns null-filled
+    * (`unionByName(allowMissingColumns = true)`; positional UNION would
+    * silently mis-align). The aggregate counts non-null presence per side,
+    * so a mis-filled column breaks the hash. DuckDB's `UNION ALL BY NAME`
+    * replays the semantics exactly.
+    *
+    * Scale shape: a union is plan-level concatenation — zero shuffle added;
+    * the null-fill is a projection. Only the final rollup shuffles.
+    */
+  val unionEvolved: QueryDef = QueryDef(
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(count(source) AS BIGINT) AS n_source
+      |FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, lang, source FROM documents) u
+      |GROUP BY lang""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchA = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val batchB = docs.select(col("doc_id"), col("lang"), col("source"))
+    batchA.unionByName(batchB, allowMissingColumns = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        count(col("source")).as("n_source"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_union_evolved" -> unionEvolved,
     "q_source_csv" -> csvRoundtrip,
     "q_source_json" -> jsonRoundtrip,
     "q_source_orc" -> orcRoundtrip,

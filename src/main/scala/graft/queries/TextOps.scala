@@ -452,7 +452,28 @@ object TextOps {
         col("token"), col("n"))
   }
 
+  /** Dataset-card rollup — the per-(lang, source) manifest every released
+    * corpus ships: document counts, character and token totals, and the
+    * exact-unique document count (via md5 — `n_docs - n_unique` is the
+    * exact-dup rate the dedup family then drills into). One scan; the
+    * distinct-count is the only second shuffle, and at 100 TB it swaps for
+    * the HLL sketch (`q_approx_distinct`'s shape) when ±1% is acceptable.
+    */
+  val corpusStats: QueryDef = QueryDef(
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      |FROM documents GROUP BY lang, source""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " "))).as("sum_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_corpus_stats" -> corpusStats,
     "q_vocab_build" -> vocabBuild,
     "q_lm_score" -> lmScore,
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
