@@ -624,6 +624,52 @@ object Events {
       .agg(sum(col("pn")).as("n"), round(sum(col("psum")) / 10000.0, 2).as("sum_value"))
   }
 
+  /** Typed COGROUP — the last KeyValueGroupedDataset primitive in the
+    * surface (mapGroups/flatMapGroupsWithState ship in the search core and
+    * Sessionize): both sides shuffle once on the key and each user's
+    * clicks and purchases arrive TOGETHER as iterators for arbitrary
+    * per-key merge logic. Here the merge computes per-user funnel counts —
+    * clicks, purchases, and purchases after the user's FIRST click — logic
+    * simple enough for SQL (which is what gives this row its exact
+    * oracle), standing in for merges that aren't (per-key sequence
+    * alignment, custom dedup, model-state reconciliation).
+    *
+    * Scale shape: one co-partitioned shuffle per side, per-group state =
+    * one user's events (the sessionization bound, not corpus-sized); the
+    * emitted aggregates are order-independent (counts + min), so the row
+    * is deterministic under any partitioning.
+    */
+  val cogroupFunnel: QueryDef = QueryDef(
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+      |                  min(epoch_us(ts)) AS min_c
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      |      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |v AS (SELECT e.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_conv
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.min_c
+      |      GROUP BY e.user_id)
+      |SELECT user_id,
+      |       coalesce(n_clicks, 0) AS n_clicks,
+      |       coalesce(n_purchases, 0) AS n_purchases,
+      |       coalesce(n_conv, 0) AS n_conv
+      |FROM c FULL JOIN p USING (user_id) LEFT JOIN v USING (user_id)""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+    def side(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("tus")).as[(Long, Long)]
+    side("click").groupByKey(_._1)
+      .cogroup(side("purchase").groupByKey(_._1)) { (uid, cs, ps) =>
+        val clicks = cs.map(_._2).toArray
+        val purchases = ps.map(_._2).toArray
+        val firstClick = if (clicks.isEmpty) Long.MaxValue else clicks.min
+        Iterator((uid, clicks.length.toLong, purchases.length.toLong,
+          purchases.count(_ > firstClick).toLong))
+      }
+      .toDF("user_id", "n_clicks", "n_purchases", "n_conv")
+  }
+
   /** Skew-salted JOIN — the join-side sibling of [[saltedAgg]]: when the
     * dimension is too big to broadcast AND fact keys skew, a plain shuffle
     * join sends every row of a hot key to ONE reducer. The manual cure
@@ -1069,5 +1115,6 @@ object Events {
     "q_asof_join" -> asofJoin,
     "q_salted_agg" -> saltedAgg,
     "q_salted_join" -> saltedJoin,
+    "q_cogroup_funnel" -> cogroupFunnel,
     "q_quantiles" -> quantiles)
 }
