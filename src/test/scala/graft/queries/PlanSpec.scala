@@ -277,6 +277,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
   }
 
+  test("q_union_evolved adds no shuffle beyond the final rollup") {
+    val p = plan("q_union_evolved")
+    // a by-name union is plan-level concatenation + a null-fill projection;
+    // the only exchange is the grouped rollup
+    assert(p.contains("Union"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("q_cogroup_funnel co-partitions both sides and never goes cartesian") {
+    val p = plan("q_cogroup_funnel")
+    assert(p.contains("CoGroup"), p)
+    // one exchange per side on the key, nothing corpus-squared
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_salted_join stays a shuffled hash join with in-plan dim replication") {
     val p = plan("q_salted_join")
     // the row demonstrates the NO-broadcast regime: the salted join must
