@@ -549,32 +549,142 @@ object Events {
         .repartition(col("chunk"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("chunk").parquet(raw)
-      val rawDir = new java.io.File(raw)
-      val chunkDirs = Option(rawDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-        .sortBy(_.getName.stripPrefix("chunk=").toLong)
-      require(chunkDirs.length >= 2, s"expected >=2 time chunks, got ${chunkDirs.length}")
-      new java.io.File(o).mkdirs()
-      val baseMtime = 1600000000000L // fixed -> byte-stable across rebuilds
-      chunkDirs.zipWithIndex.foreach { case (cd, i) =>
-        val part = cd.listFiles().filter(_.getName.endsWith(".parquet")) match {
-          case Array(single) => single
-          case parts => throw new IllegalStateException(
-            s"chunk ${cd.getName}: expected 1 part file, got ${parts.length}")
-        }
-        val dest = new java.io.File(o, f"chunk_$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // The stream source orders files by mtime; a silently-failed set
-        // would process chunks out of event-time order and corrupt the
-        // gate's eviction replay — fail loudly instead (ADVICE r7 #1).
-        require(dest.setLastModified(baseMtime + i * 60000L),
-          s"failed to set mtime on $dest — chunk order would be undefined")
-      }
-      FileSources.deleteRecursively(rawDir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+      flattenChunkDirs(new java.io.File(raw), o)
     }
     out
+  }
+
+  /** Flatten a `chunk=N` dynamic-partitioned write into ordered single
+    * files `chunk_000.parquet`, ... with deterministic, strictly
+    * increasing mtimes (the file stream source takes files oldest-first,
+    * so this fixes the micro-batch order). Shared by every
+    * multi-micro-batch input preparation.
+    */
+  private def flattenChunkDirs(rawDir: java.io.File, o: String): Unit = {
+    import graft.sources.FileSources
+    val chunkDirs = Option(rawDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .sortBy(_.getName.stripPrefix("chunk=").toLong)
+    require(chunkDirs.length >= 2, s"expected >=2 time chunks, got ${chunkDirs.length}")
+    new java.io.File(o).mkdirs()
+    val baseMtime = 1600000000000L // fixed -> byte-stable across rebuilds
+    chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+      val part = cd.listFiles().filter(_.getName.endsWith(".parquet")) match {
+        case Array(single) => single
+        case parts => throw new IllegalStateException(
+          s"chunk ${cd.getName}: expected 1 part file, got ${parts.length}")
+      }
+      val dest = new java.io.File(o, f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // The stream source orders files by mtime; a silently-failed set
+      // would process chunks out of event-time order and corrupt the
+      // gate's eviction replay — fail loudly instead (ADVICE r7 #1).
+      require(dest.setLastModified(baseMtime + i * 60000L),
+        s"failed to set mtime on $dest — chunk order would be undefined")
+    }
+    FileSources.deleteRecursively(rawDir)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+  }
+
+  /** Write-once preparation of the transformWithState input: the events
+    * projected to (user_id, value) and split into 4 parquet files by
+    * `event_id % 4`, so the file-source stream delivers 4 micro-batches
+    * and every user's totals genuinely accumulate ACROSS batches through
+    * the state store (a single-batch run would never read state back).
+    * The split key is content (event_id), not time — the processor's
+    * integer state is order-insensitive by design, and the gate asserts
+    * exactly that.
+    */
+  private[graft] def prepareTwsChunks(spark: SparkSession, dir: String): String = {
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("streamtws", dir, "events.parquet")
+    FileSources.writeOnce(out) { o =>
+      val raw = o + ".raw"
+      readEvents(spark, dir)
+        .select(col("user_id"), col("value"), pmod(col("event_id"), lit(4)).as("chunk"))
+        // one shuffle partition per chunk value -> exactly one data file
+        // under each chunk= directory of the dynamic-partitioned write
+        .repartition(col("chunk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("chunk").parquet(raw)
+      flattenChunkDirs(new java.io.File(raw), o)
+    }
+    out
+  }
+
+  /** Set-and-restore the state-store provider class for the duration of a
+    * fully-executed streaming query. `transformWithState` REQUIRES the
+    * RocksDB provider in OSS Spark (typed state handles ride its column
+    * families); the default HDFS-backed store stays in force for every
+    * other row, so this wrapper keeps the requirement local to the query
+    * that has it.
+    */
+  private def withStateStoreProvider[T](spark: SparkSession, cls: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, cls)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Cumulative per-user totals on Spark 4's `transformWithState` API —
+    * the arbitrary-state StatefulProcessor surface (typed ValueState in a
+    * RocksDB store, successor to flatMapGroupsWithState). Four micro-
+    * batches feed [[graft.streaming.RunningTotals]]; each batch emits the
+    * key's cumulative integer (n, sum_v4); the latest emission per key
+    * (largest n — n strictly increases, a key is only invoked on new
+    * input) is the final state and must equal the plain batch GROUP BY,
+    * which is exactly what the oracle computes. Update-mode memory sink:
+    * the sink table holds one row per (key, batch-with-input), so the
+    * final selection is a max(struct) per key — a reporting step over the
+    * tiny sink table, not part of the streaming computation.
+    *
+    * Scale shape: one shuffle on user_id into the stateful operator;
+    * state is per-key integers in RocksDB (bounded by keyspace, spillable
+    * to disk), exactly the shape a 100 TB keyed-aggregation stream runs.
+    * The 1e-4 fixed-point basis matches every other `value` sum in this
+    * file — double accumulation across micro-batch boundaries would make
+    * the final bits depend on the chunking.
+    */
+  val transformState: QueryDef = QueryDef(
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n, $fixedSumSql AS sum_value
+       |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    val out = prepareTwsChunks(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, value DOUBLE")
+    withStreamPartitions(spark, 4) {
+      withStateStoreProvider(spark,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        import spark.implicits._
+        val src = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(out)
+          .select(col("user_id"), floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+          .as[(Long, Long)]
+        val q = src.groupByKey(_._1)
+          .transformWithState(new graft.streaming.RunningTotals,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "sum_v4")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName("graft_transform_state")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_transform_state")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("sum_v4"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n"),
+        round(col("m.sum_v4") / 10000.0, 2).as("sum_value"))
   }
 
   /** As-of join: each click matched to the user's most recent earlier
@@ -1110,6 +1220,7 @@ object Events {
     "q_sessionize_stream" -> sessionizeStream,
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,
+    "q_transform_state" -> transformState,
     "q_stream_sink_files" -> streamFileSink,
     "q_window_sliding" -> windowSliding,
     "q_asof_join" -> asofJoin,

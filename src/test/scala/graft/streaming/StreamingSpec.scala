@@ -228,4 +228,47 @@ class StreamingSpec extends AnyFunSuite {
         s"join state not evicted: $stateRows rows buffered of 7 fed")
     } finally q.stop()
   }
+
+  test("transformWithState accumulates integer state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // The StatefulProcessor API requires the RocksDB provider; three
+    // hand-fed micro-batches pin that (a) state persists across batches
+    // (cumulative n/sum, not per-batch), (b) only keys with input emit,
+    // and (c) earlier emissions stay in the update-mode sink unchanged —
+    // the exact semantics the q_transform_state gate's max(struct)
+    // final-state selection relies on.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "sum_v4")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("graft_tws_unit").start()
+      def rows() = spark.table("graft_tws_unit")
+        .as[(Long, Long, Long)].collect().toSet
+      try {
+        mem.addData((1L, 10L), (1L, 5L), (2L, 7L))
+        q.processAllAvailable()
+        assert(rows() == Set((1L, 2L, 15L), (2L, 1L, 7L)))
+        mem.addData((1L, 1L))
+        q.processAllAvailable()
+        assert(rows() == Set((1L, 2L, 15L), (2L, 1L, 7L), (1L, 3L, 16L)),
+          "key 2 had no input in batch 2 and must not re-emit")
+        mem.addData((3L, -4L), (2L, 2L))
+        q.processAllAvailable()
+        assert(rows().contains((2L, 2L, 9L)) && rows().contains((3L, 1L, -4L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
