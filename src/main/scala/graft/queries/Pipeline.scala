@@ -676,6 +676,57 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Corpus snapshot diff — the incremental-crawl operator: two corpus
+    * versions compared by content fingerprint, emitting each document
+    * whose status changed (`added` / `removed` / `changed`); `unchanged`
+    * rows (the overwhelming majority at 100 TB) are filtered out so the
+    * output is bounded by CHURN, not corpus size. The versions here are
+    * deterministic slices of the one documents table (v1 drops
+    * doc_id % 7 = 3, v2 drops doc_id % 5 = 4 and rewrites doc_id % 11 = 0
+    * by appending ' rev2') — in production they are two crawl snapshots,
+    * which changes nothing structural.
+    *
+    * Scale shape: each side reduces to (doc_id, fingerprint) BEFORE the
+    * full-outer join — 16 bytes per row through the shuffle, never the
+    * document text; the join key is doc_id, so snapshots stored
+    * partitioned by id co-locate and the exchange disappears entirely
+    * (the q_bucketed_join technique). The fingerprint is the codegen'd
+    * poly_hash; the oracle replays the identical fold on both sides.
+    */
+  val snapshotDiff: QueryDef = QueryDef(
+    s"""WITH v1 AS (
+       |  SELECT doc_id, ${ghashSql("text")} AS fp1
+       |  FROM documents WHERE doc_id % 7 <> 3),
+       |v2 AS (
+       |  SELECT doc_id,
+       |         ${ghashSql("CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END")} AS fp2
+       |  FROM documents WHERE doc_id % 5 <> 4)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |            WHEN v2.doc_id IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS status
+       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+       |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp1 <> v2.fp2""".stripMargin) {
+    (spark, dir) =>
+    PolyHash.register(spark)
+    val docs = spark.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id").as("id1"), expr("poly_hash(text)").as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id").as("id2"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text2"))
+      .select(col("id2"), expr("poly_hash(text2)").as("fp2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+        when(col("id1").isNull, lit("added"))
+          .when(col("id2").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp1"), col("fp2"))
+      .filter(col("fp1").isNull || col("fp2").isNull || col("fp1") =!= col("fp2"))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Duplicated-span SCRUBBING — the step [[dupSpans]] mines for: actually
     * remove every cross-document duplicated span (>= 8 words, the Lee et
     * al. boilerplate signal, arXiv:2107.06499 §4) from the corpus and emit
@@ -885,5 +936,6 @@ object Pipeline {
     "q_global_index" -> globalIndex,
     "q_gram_novelty" -> gramNovelty,
     "q_scrub_spans" -> scrubSpans,
-    "q_split_assign" -> splitAssign)
+    "q_split_assign" -> splitAssign,
+    "q_snapshot_diff" -> snapshotDiff)
 }

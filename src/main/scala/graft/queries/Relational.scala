@@ -182,11 +182,63 @@ object Relational {
       .agg(perType.head, perType.tail :+ sum(col("n")).as("total"): _*)
   }
 
+  /** GROUPING SETS — the general form ROLLUP/CUBE specialize: exactly the
+    * requested marginals ((lang, source), (lang), ()) in one pass, none of
+    * CUBE's unwanted (source)-only set. Spark's native `groupingSets`
+    * expands to a single expand+aggregate — one scan, one shuffle — not a
+    * UNION of per-set scans (which at 100 TB would read the corpus once
+    * per set).
+    */
+  val groupingSets: QueryDef = QueryDef(
+    """SELECT lang, source, GROUPING(lang, source) AS gid,
+      |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), col("source"), col("n_chars"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"))
+  }
+
+  /** UNPIVOT (melt): the per-language dataset-card metrics rotated from
+    * one wide row per language to (lang, metric, value) long form — the
+    * reporting/export shape. The unpivot is a zero-shuffle in-row expand
+    * over the already-aggregated frame (3 rows out per input row); the
+    * only exchange is the upstream groupBy(lang).
+    */
+  val unpivot: QueryDef = QueryDef(
+    """WITH wide AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+      |UNION ALL SELECT lang, 'sum_chars', sum_chars FROM wide
+      |UNION ALL SELECT lang, 'sum_tokens', sum_tokens FROM wide""".stripMargin) {
+    (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .unpivot(Array(col("lang")),
+        Array(col("n_docs"), col("sum_chars"), col("sum_tokens")),
+        "metric", "value")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_rollup" -> rollup,
     "q_cube" -> cube_,
     "q_window_frame" -> windowFrame,
     "q_range_join" -> rangeJoin,
     "q_set_ops" -> setOps,
-    "q_pivot" -> pivot)
+    "q_pivot" -> pivot,
+    "q_grouping_sets" -> groupingSets,
+    "q_unpivot" -> unpivot)
 }

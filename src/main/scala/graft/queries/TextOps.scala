@@ -277,6 +277,43 @@ object TextOps {
       .limit(20)
   }
 
+  /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
+    * TRAINING (Sennrich et al., arXiv:1508.07909): the corpus-wide
+    * frequency of every adjacent symbol pair inside words, at the initial
+    * character vocabulary (i.e. the counts that decide the first merge).
+    * Emitted: the top-20 pairs under the (count desc, pair) total order.
+    * Iterating merges re-runs this count on the re-segmented corpus; the
+    * count step is the distributed work, the argmax/merge-table update is
+    * driver-side by construction (one row).
+    *
+    * Scale shape: pair generation is IN-ROW (nested `transform` over the
+    * word array — no per-character explode of documents); the exploded
+    * pair stream hits a two-level hash aggregate whose map side collapses
+    * to the PAIR VOCABULARY (bounded by alphabet², ~1k rows here — never
+    * corpus-sized), so the one shuffle moves a few hundred counters per
+    * partition; the top-20 is TakeOrderedAndProject (per-partition heads,
+    * no global sort).
+    */
+  val bpePairs: QueryDef = QueryDef(
+    """SELECT pair, n FROM (
+      |  SELECT pair, count(*) AS n FROM (
+      |    SELECT unnest(flatten(list_transform(
+      |             list_filter(string_split(text, ' '), w -> length(w) >= 2),
+      |             w -> list_transform(range(1, length(w)), i -> w[i:i+1])))) AS pair
+      |    FROM documents) p
+      |  GROUP BY pair) t
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (spark, dir) =>
+    val words2 = filter(split(col("text"), " "), w => length(w) >= 2)
+    val pairs = flatten(transform(words2, w =>
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))))
+    spark.read.parquet(t(dir, "documents"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Count-min-sketch heavy hitters — completes the sketch-gate family
     * (HLL `q_approx_distinct`, KLL-style `q_approx_quantiles`, Bloom
     * `q_bloom_prefilter`/`q_bloom_partitioned`): the exact top-5 corpus
@@ -484,5 +521,6 @@ object TextOps {
     "q_token_hist" -> tokenHist,
     "q_fingerprint" -> fingerprint,
     "q_tfidf" -> tfidf,
-    "q_bigram" -> bigram)
+    "q_bigram" -> bigram,
+    "q_bpe_pairs" -> bpePairs)
 }
