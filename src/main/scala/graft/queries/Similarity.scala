@@ -514,7 +514,40 @@ object Similarity {
       .toDF("label", "dim", "centroid")
   }
 
+  /** Higher-order array functions over the embedding column — the in-row
+    * vector-feature toolkit (`transform`/`filter`/`aggregate`, all
+    * whole-stage-codegen'd): per vector its dimensionality, positive-
+    * component count, large-component count (|x| > 0.5 — the clip-rate
+    * monitor), and the 1e-6-quantized L1 norm. These are the embedding
+    * health-check statistics a pipeline computes alongside ANN ingest
+    * (zero vectors, saturated dimensions, norm drift).
+    *
+    * Scale shape: ZERO shuffles — every statistic folds inside the row
+    * (PlanSpec-pinnable scan-speed class); float→double widening is exact
+    * and the L1 fold is floor-quantized per ELEMENT before the integer
+    * sum, so the result is associativity-independent and both engines
+    * fold identically.
+    */
+  val arrayOps: QueryDef = QueryDef(
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS INT) AS dim,
+      |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos,
+      |       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.5)) AS BIGINT) AS n_big,
+      |       CAST(list_aggregate(list_transform(embedding,
+      |              x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000) AS BIGINT)),
+      |            'sum') AS BIGINT) AS l1_q6
+      |FROM embeddings""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => x.cast("double") > 0)).cast("long").as("n_pos"),
+        size(filter(col("embedding"), x => abs(x.cast("double")) > 0.5)).cast("long").as("n_big"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => acc + floor(abs(x.cast("double")) * 1000000).cast("long")).as("l1_q6"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_array_ops" -> arrayOps,
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_wide" -> annLshWide,

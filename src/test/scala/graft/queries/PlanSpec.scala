@@ -331,4 +331,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("q_array_ops is a single scan with zero exchanges") {
+    val p = plan("q_array_ops")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), s"array stats must fold in-row:\n$p")
+  }
+
+  test("q_bpe_pairs aggregates two-level and heads with TakeOrderedAndProject") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // map-side partial collapse to the pair vocabulary before the shuffle
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("q_snapshot_diff joins fingerprints, not text") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("poly_hash"), p)
+    // both sides hash to (id, fp) before the join: the exchanges carry
+    // 16-byte rows, never the document text
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).hasNext,
+      s"document text must not enter a shuffle:\n$p")
+  }
+
+  test("q_grouping_sets is one Expand + hash aggregate, not a union of scans") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"grouping sets must not rescan per set:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_unpivot expands in-row after one aggregation exchange") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+  }
 }
