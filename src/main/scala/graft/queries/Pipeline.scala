@@ -676,6 +676,42 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Curriculum difficulty binning: each document assigned its per-language
+    * length quartile (`ntile(4)` over token count — bin 1 = shortest) plus
+    * the dense rank of its exact length — the standard curriculum /
+    * difficulty-bucketing step before staged pretraining (short-to-long
+    * schedules). The (n_tok, doc_id) order is total, so every rank and
+    * bin is deterministic and both engines agree exactly.
+    *
+    * Scale shape: one shuffle on lang, then one in-partition sort shared
+    * by all three window functions (same WINDOW clause). The per-language
+    * sort is the honest cost of exact quantiles — at 100 TB one first
+    * bins by an approx-quantile cut (q_approx_quantiles' sketch) and only
+    * rank-sorts within bins when exactness matters.
+    */
+  val curriculumBins: QueryDef = QueryDef(
+    """SELECT doc_id, lang, n_tok,
+      |       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS INT) AS bin,
+      |       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_tok) AS BIGINT) AS len_rank
+      |FROM (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |      FROM documents) d""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // ntile needs the TOTAL (n_tok, doc_id) order — tied lengths would
+    // otherwise land in engine-dependent tiles; dense_rank is tie-stable
+    // by definition and ranks the length alone. Same partition key and a
+    // prefix-compatible sort, so both windows share one shuffle+sort.
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+    val wLen = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ntile(4).over(w).as("bin"),
+        dense_rank().over(wLen).cast("long").as("len_rank"))
+  }
+
   /** Corpus snapshot diff — the incremental-crawl operator: two corpus
     * versions compared by content fingerprint, emitting each document
     * whose status changed (`added` / `removed` / `changed`); `unchanged`
@@ -937,5 +973,6 @@ object Pipeline {
     "q_gram_novelty" -> gramNovelty,
     "q_scrub_spans" -> scrubSpans,
     "q_split_assign" -> splitAssign,
-    "q_snapshot_diff" -> snapshotDiff)
+    "q_snapshot_diff" -> snapshotDiff,
+    "q_curriculum_bins" -> curriculumBins)
 }
