@@ -38,6 +38,13 @@ object Sources {
         sum(length(col("text"))).as("total_len"))
   }
 
+  val textRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    FileSources.documentsViaText(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_len"))
+  }
+
   /** Partition-pruned scan: only the lang=en directory is read (the plan's
     * PartitionFilters prove it — see PlanSpec); oracle filters the flat
     * parquet the ordinary way.
@@ -96,6 +103,7 @@ object Sources {
     "q_source_csv" -> csvRoundtrip,
     "q_source_json" -> jsonRoundtrip,
     "q_source_orc" -> orcRoundtrip,
+    "q_source_text" -> textRoundtrip,
     "q_partitioned_scan" -> partitionedScan,
     "q_bucketed_join" -> bucketedJoin)
 }

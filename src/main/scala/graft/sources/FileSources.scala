@@ -107,6 +107,32 @@ object FileSources {
     spark.read.orc(out)
   }
 
+  /** documents -> line-oriented text (one -delimited record per
+    * line) -> parsed back in-plan. Exercises the `text` source/sink — the
+    * shape raw corpus drops actually arrive in (one document per line,
+    * fields split in the ingest query, schema applied by the pipeline,
+    * not the format). Safe here because the corpus text is single-line
+    * and delimiter-free; a production ingest uses the same plan with an
+    * escaped encoding.
+    */
+  def documentsViaText(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("text", dir)
+    writeOnce(out) { o =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat_ws("", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")).as("value"))
+        .coalesce(2)
+        .write.mode(SaveMode.Overwrite).text(o)
+    }
+    val f = split(col("value"), "")
+    spark.read.text(out)
+      .select(element_at(f, 1).cast("long").as("doc_id"),
+        element_at(f, 2).as("lang"),
+        element_at(f, 3).as("source"),
+        element_at(f, 4).cast("long").as("n_chars"),
+        element_at(f, 5).as("text"))
+  }
+
   /** documents re-laid-out as a lang-partitioned parquet dataset: the
     * directory layout (lang=en/...) is what lets Catalyst prune entire
     * partitions from a scan (`PartitionFilters` in the plan) — the primary
