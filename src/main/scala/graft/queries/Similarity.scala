@@ -546,8 +546,42 @@ object Similarity {
           (acc, x) => acc + floor(abs(x.cast("double")) * 1000000).cast("long")).as("l1_q6"))
   }
 
+  /** Per-DIMENSION corpus statistics over the embedding column — the
+    * normalization pass (mean-centering / whitening / PCA prep) computed
+    * before indexing: for each of the 64 dimensions, the count and the
+    * 1e-6-quantized sum/min/max across every vector. Complements
+    * [[arrayOps]] (per-VECTOR stats): this one reduces ACROSS the corpus
+    * per component.
+    *
+    * Scale shape: `posexplode` multiplies rows by the dimensionality, but
+    * the partial aggregate collapses each map partition to at most
+    * 64 counter rows before the one shuffle — the exchange moves
+    * (dims × partitions) counters, never (rows × dims) elements. The
+    * same plan at 100 TB is one scan plus a 64-row result.
+    */
+  val dimStats: QueryDef = QueryDef(
+    """SELECT dim, count(*) AS n,
+      |       CAST(sum(q6) AS BIGINT) AS sum_q6,
+      |       CAST(min(q6) AS BIGINT) AS min_q6,
+      |       CAST(max(q6) AS BIGINT) AS max_q6
+      |FROM (
+      |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+      |         unnest(list_transform(embedding,
+      |                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q6
+      |  FROM embeddings) e
+      |GROUP BY dim""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select((col("p0") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q6"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q6")).as("sum_q6"),
+        min(col("q6")).as("min_q6"), max(col("q6")).as("max_q6"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_array_ops" -> arrayOps,
+    "q_dim_stats" -> dimStats,
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_wide" -> annLshWide,
