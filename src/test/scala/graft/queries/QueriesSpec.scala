@@ -802,4 +802,90 @@ class QueriesSpec extends AnyFunSuite {
       assert(recomputed == got, "recompute after unpersist diverged")
     } finally spark.conf.unset("graft.cc.checkpointDir")
   }
+
+  test("snapshot diff statuses follow exactly from the version slices") {
+    spark.sparkContext.setLogLevel("WARN")
+    // v1 = doc_id % 7 <> 3; v2 = doc_id % 5 <> 4 (with % 11 == 0 edited).
+    // Membership and the edit are pure modular arithmetic on doc_id, so
+    // the expected per-doc status is computable without touching text —
+    // an independent derivation the full-outer-join + fingerprint path
+    // must reproduce (a hash collision between text and text||' rev2'
+    // would surface here as a missing 'changed' row).
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.flatMap { id =>
+      val in1 = id % 7 != 3
+      val in2 = id % 5 != 4
+      if (!in1 && in2) Some(id -> "added")
+      else if (in1 && !in2) Some(id -> "removed")
+      else if (in1 && in2 && id % 11 == 0) Some(id -> "changed")
+      else None
+    }
+    val got = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == expected)
+  }
+
+  test("bpe pair counts match a plain-Scala recount of the corpus") {
+    spark.sparkContext.setLogLevel("WARN")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ", -1) if w.length >= 2; i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("q_bpe_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("curriculum bins quarter each language evenly and rank lengths densely") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.queries("q_curriculum_bins")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // ntile: tile sizes differ by at most 1 and bins are contiguous in
+      // the (n_tok, doc_id) total order
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4), s"$lang: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      val ordered = rs.sortBy(t => (t._3, t._2))
+      assert(ordered.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"$lang: bin not monotone in length order")
+      // dense_rank == index of n_tok among the language's distinct lengths
+      val denseOf = rs.map(_._3).distinct.sorted.zipWithIndex
+        .map { case (v, i) => v -> (i + 1L) }.toMap
+      assert(rs.forall(t => t._5 == denseOf(t._3)), s"$lang: dense rank mismatch")
+    }
+  }
+
+  test("embedding array/dimension stats match a driver-side recompute") {
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def q6(x: Float): Long = math.floor(math.abs(x.toDouble) * 1000000).toLong
+    // per-vector
+    val expVec = vecs.map { case (id, e) =>
+      (id, e.length, e.count(_.toDouble > 0).toLong,
+        e.count(x => math.abs(x.toDouble) > 0.5).toLong, e.map(q6).sum)
+    }.toSet
+    val gotVec = SparkEntry.queries("q_array_ops")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotVec == expVec)
+    // per-dimension stats quantize the RAW value (sign preserved) — the
+    // centering pass needs signed sums, unlike the L1 fold above
+    def q6s(x: Float): Long = math.floor(x.toDouble * 1000000).toLong
+    val dims = vecs.head._2.indices
+    val expDim = dims.map { d =>
+      val xs = vecs.map(_._2(d)).map(q6s)
+      (d + 1L, vecs.length.toLong, xs.sum, xs.min, xs.max)
+    }.toSet
+    val gotDim = SparkEntry.queries("q_dim_stats")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotDim == expDim)
+  }
 }
