@@ -138,7 +138,8 @@ object Bench {
   private def groupOf(name: String): String =
     if (name == EntryBenchName) "e2e"
     else if (name.startsWith("q_ann")) "ml"
-    else if (name.startsWith("q_stream") || name.endsWith("_stream")) "stream"
+    else if (name.startsWith("q_stream") || name.endsWith("_stream") ||
+      name == "q_transform_state") "stream"
     else if (name.startsWith("q_dedup") || name == "q_embed_neardup") "dedup"
     else "core"
 
