@@ -587,6 +587,38 @@ object Events {
     java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
   }
 
+  /** Data-quality audit — the constraint gate a pipeline runs before
+    * letting a drop into the corpus (dbt-test / Deequ style): one summary
+    * row counting rows, null payloads, out-of-range values, unknown
+    * categorical codes, and distinct ids (id-uniqueness check:
+    * n_distinct_ids == n_rows). Thresholds on these counts decide
+    * accept/quarantine; the counts themselves are the verifiable part.
+    *
+    * Scale shape: every CASE-count folds map-side in ONE scan; the only
+    * shuffle is the two-level distinct-count rewrite for the id check
+    * (partial distinct per partition, then a short-key exchange). At
+    * 100 TB the id check can swap to approx_count_distinct in the same
+    * plan when exactness isn't contractual (`q_approx_distinct` pins
+    * that sketch's guarantees separately).
+    */
+  private val KnownTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val qualityAudit: QueryDef = QueryDef(
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS n_null_props,
+       |       CAST(count(CASE WHEN value < 0 OR value >= 100 THEN 1 END) AS BIGINT) AS n_value_oob,
+       |       CAST(count(CASE WHEN event_type NOT IN (${KnownTypes.map("'" + _ + "'").mkString(", ")})
+       |                       THEN 1 END) AS BIGINT) AS n_unknown_type,
+       |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+       |FROM events""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("props").isNull, 1)).as("n_null_props"),
+        count(when(col("value") < 0 || col("value") >= 100, 1)).as("n_value_oob"),
+        count(when(!col("event_type").isin(KnownTypes: _*), 1)).as("n_unknown_type"),
+        count_distinct(col("event_id")).as("n_distinct_ids"))
+  }
+
   /** Write-once preparation of the transformWithState input: the events
     * projected to (user_id, value) and split into 4 parquet files by
     * `event_id % 4`, so the file-source stream delivers 4 micro-batches
@@ -1221,6 +1253,7 @@ object Events {
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_transform_state" -> transformState,
+    "q_quality_audit" -> qualityAudit,
     "q_stream_sink_files" -> streamFileSink,
     "q_window_sliding" -> windowSliding,
     "q_asof_join" -> asofJoin,

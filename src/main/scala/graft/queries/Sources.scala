@@ -45,6 +45,17 @@ object Sources {
         sum(length(col("text"))).as("total_len"))
   }
 
+  /** Small-file compaction round-trip: the same loss-free aggregate over
+    * the compacted copy (see FileSources.compactedDocuments); QueriesSpec
+    * asserts the file count actually dropped 16 -> 2.
+    */
+  val compactRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    FileSources.compactedDocuments(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_len"))
+  }
+
   /** Partition-pruned scan: only the lang=en directory is read (the plan's
     * PartitionFilters prove it — see PlanSpec); oracle filters the flat
     * parquet the ordinary way.
@@ -104,6 +115,7 @@ object Sources {
     "q_source_json" -> jsonRoundtrip,
     "q_source_orc" -> orcRoundtrip,
     "q_source_text" -> textRoundtrip,
+    "q_compact_files" -> compactRoundtrip,
     "q_partitioned_scan" -> partitionedScan,
     "q_bucketed_join" -> bucketedJoin)
 }

@@ -133,6 +133,41 @@ object FileSources {
         element_at(f, 5).as("text"))
   }
 
+  /** Small-file compaction — the table-maintenance operator every 100 TB
+    * lake runs continuously: a 16-way fragmented copy of documents (the
+    * shape streaming ingest and over-parallel writers leave behind) is
+    * compacted to 2 right-sized files. Compaction uses `coalesce`, not
+    * `repartition`: coalesce merges read-side partitions WITHOUT a
+    * shuffle (each output task chains several input files), which is the
+    * correct plan when the goal is fewer files, not a new distribution.
+    * Returns the compacted read; [[compactionLayout]] exposes the before/
+    * after file counts so the gate can assert the maintenance actually
+    * happened, while the row's aggregate proves zero data loss.
+    */
+  def compactedDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("compact", dir)
+    writeOnce(out) { o =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(16) // fragment: the problem state being fixed
+        .write.mode(SaveMode.Overwrite).parquet(s"$o/small")
+      spark.read.parquet(s"$o/small")
+        .coalesce(2)
+        .write.mode(SaveMode.Overwrite).parquet(s"$o/compacted")
+    }
+    spark.read.parquet(s"$out/compacted")
+  }
+
+  /** (small, compacted) parquet file counts of [[compactedDocuments]]'
+    * layout — for the spec assertion that compaction reduced file count.
+    */
+  private[graft] def compactionLayout(spark: SparkSession, dir: String): (Int, Int) = {
+    compactedDocuments(spark, dir) // ensure written
+    val out = roundtripDir("compact", dir)
+    def n(sub: String) = Option(new java.io.File(s"$out/$sub").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    (n("small"), n("compacted"))
+  }
+
   /** documents re-laid-out as a lang-partitioned parquet dataset: the
     * directory layout (lang=en/...) is what lets Catalyst prune entire
     * partitions from a scan (`PartitionFilters` in the plan) — the primary

@@ -803,6 +803,16 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.cc.checkpointDir")
   }
 
+  test("compaction reduces the file count without losing rows") {
+    spark.sparkContext.setLogLevel("WARN")
+    val (small, compacted) = graft.sources.FileSources.compactionLayout(spark, sf)
+    assert(small == 16, s"expected the fragmented state to be 16 files, got $small")
+    assert(compacted <= 2, s"compaction left $compacted files")
+    val n = graft.sources.FileSources.compactedDocuments(spark, sf).count()
+    val exp = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(n == exp, s"compaction lost rows: $n != $exp")
+  }
+
   test("snapshot diff statuses follow exactly from the version slices") {
     spark.sparkContext.setLogLevel("WARN")
     // v1 = doc_id % 7 <> 3; v2 = doc_id % 5 <> 4 (with % 11 == 0 edited).
