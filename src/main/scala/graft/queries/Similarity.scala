@@ -221,6 +221,83 @@ object Similarity {
         (col("sum_fixed") / (lit(10000.0) * col("n"))).as("centroid"))
   }
 
+  /** Nearest-centroid classification — the prototype-assignment operator
+    * (auto-tagging / cluster assignment / label propagation to unlabeled
+    * drops): every vector is assigned the label of its closest per-label
+    * mean embedding, and the row emits the (label, predicted) confusion
+    * matrix. The centroids are the exact fixed-point means the
+    * [[embedCentroids]] row gates; distances are an IN-ROW left fold in
+    * dimension order, so every double on both engines goes through the
+    * identical IEEE expression tree — comparisons, and therefore the
+    * argmin, agree exactly (ties break on label).
+    *
+    * Scale shape: the model is L x D doubles — legitimately driver-side
+    * state, like a fitted KMeansModel's centers — built by one
+    * map-side-combinable aggregation, then BROADCAST; classification is
+    * one corpus scan with an in-row fold per label; the only other
+    * shuffle is the L² confusion rollup. No per-vector join, no
+    * explode-by-dimension exchange.
+    */
+  val nnClassify: QueryDef = QueryDef(
+    """WITH cent AS (
+      |  SELECT label AS clabel, u.i AS dim,
+      |         sum(CAST(floor(CAST(u.v AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+      |           / (10000.0 * count(*)) AS c
+      |  FROM (SELECT label,
+      |               unnest([{'i': i, 'v': embedding[i]}
+      |                       for i in range(1, len(embedding) + 1)]) AS u
+      |        FROM embeddings) e
+      |  GROUP BY label, u.i),
+      |cl AS (SELECT clabel, list(c ORDER BY dim) AS cvec FROM cent GROUP BY clabel),
+      |scored AS (
+      |  SELECT v.vec_id, v.label, cl.clabel,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, len(v.embedding) + 1),
+      |             i -> (CAST(v.embedding[i] AS DOUBLE) - cl.cvec[i])
+      |                  * (CAST(v.embedding[i] AS DOUBLE) - cl.cvec[i]))),
+      |           (a, b) -> a + b) AS dist
+      |  FROM embeddings v, cl),
+      |best AS (
+      |  SELECT vec_id, label, clabel AS predicted,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      |  FROM scored)
+      |SELECT label, predicted, count(*) AS n
+      |FROM best WHERE rn = 1 GROUP BY label, predicted""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cent = spark.read.parquet(t(dir, "embeddings"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 10000 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s") / (lit(10000.0) * col("n"))).as("c"))
+    // L x D model state to the driver (like KMeansModel.clusterCenters),
+    // re-assembled into dimension-ordered arrays and broadcast back.
+    val centArrays = cent.collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }
+      .toSeq.sortBy(_._1)
+    val centDF = centArrays.toDF("clabel", "cvec")
+    val dist = aggregate(
+      zip_with(col("embedding"), col("cvec"), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (a, b) => a + b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    spark.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(centDF))
+      .select(col("vec_id"), col("label"), col("clabel"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Int8 scalar quantization of the embedding table — the compression step
     * every large-scale vector store runs before indexing (4× smaller than
     * float32, and the working set an IVF/HNSW index actually scans). Codes
@@ -582,6 +659,7 @@ object Similarity {
   val defs: Map[String, QueryDef] = Map(
     "q_array_ops" -> arrayOps,
     "q_dim_stats" -> dimStats,
+    "q_nn_classify" -> nnClassify,
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
     "q_ann_lsh_wide" -> annLshWide,
