@@ -314,6 +314,45 @@ object TextOps {
       .limit(20)
   }
 
+  /** Mergeable HLL sketch rollup (Spark's native DataSketches surface):
+    * per-language token-vocabulary sketches built with `hll_sketch_agg`,
+    * then re-aggregated to the corpus estimate with `hll_union_agg` —
+    * WITHOUT rescanning the corpus. This is the cube-of-sketches pattern
+    * every OLAP serving layer runs at 100 TB: materialize small mergeable
+    * sketches per cell once, answer any rollup by merging cells. The gate
+    * pins the derived properties (same technique as the HLL/KLL/CMS/Bloom
+    * rows): the merged estimate brackets between the largest single-cell
+    * estimate and the sum of cells, and lands within 5% of the exact
+    * distinct count (the synthetic vocabulary is far below lgK=12 sparse
+    * capacity, so the estimate is in fact exact); `n_exact` anchors the
+    * row to the DuckDB oracle.
+    *
+    * Scale shape: sketches build map-side and merge associatively through
+    * the shuffle (bytes per group = sketch size, fixed by lgK — never
+    * keyspace); the union re-aggregation touches L sketch rows. The exact
+    * anchor is the standard two-level distinct — at 100 TB the anchor is
+    * dropped and the sketch IS the answer, which is the point.
+    */
+  val hllUnion: QueryDef = QueryDef(
+    """SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact,
+      |       true AS within_5pct, true AS merged_bounded
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t""".stripMargin) {
+    (spark, dir) =>
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val perLang = toks.groupBy(col("lang")).agg(hll_sketch_agg(col("w")).as("sk"))
+    val merged = perLang.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+      max(hll_sketch_estimate(col("sk"))).as("max_cell"),
+      sum(hll_sketch_estimate(col("sk"))).as("sum_cells"))
+    val exact = toks.agg(count_distinct(col("w")).as("n_exact"))
+    exact.crossJoin(merged)
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact")).as("within_5pct"),
+        (col("est") >= col("max_cell") && col("est") <= col("sum_cells"))
+          .as("merged_bounded"))
+  }
+
   /** Count-min-sketch heavy hitters — completes the sketch-gate family
     * (HLL `q_approx_distinct`, KLL-style `q_approx_quantiles`, Bloom
     * `q_bloom_prefilter`/`q_bloom_partitioned`): the exact top-5 corpus
@@ -522,5 +561,6 @@ object TextOps {
     "q_fingerprint" -> fingerprint,
     "q_tfidf" -> tfidf,
     "q_bigram" -> bigram,
-    "q_bpe_pairs" -> bpePairs)
+    "q_bpe_pairs" -> bpePairs,
+    "q_hll_union" -> hllUnion)
 }
