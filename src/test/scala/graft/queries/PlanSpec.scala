@@ -370,4 +370,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p)
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
   }
+
+  test("q_quality_audit folds every CASE count in one scan") {
+    val p = plan("q_quality_audit")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // the id-uniqueness check rides the standard two-level distinct
+    // rewrite; the CASE counts merge through the same aggregates
+    assert("Exchange".r.findAllIn(p).size == 2, s"expected the distinct rewrite only:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_nn_classify broadcasts the prototype model and pushes the top-1 down") {
+    val p = plan("q_nn_classify")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"), s"argmin must prune below the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // scoring side: one corpus scan feeding the broadcast cross join
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_dim_stats collapses to dimension counters before its one exchange") {
+    val p = plan("q_dim_stats")
+    assert(p.contains("Generate posexplode"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("q_curriculum_bins shares one shuffle+sort across both windows") {
+    val p = plan("q_curriculum_bins")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size == 1,
+      s"the two windows must share one prefix-compatible sort:\n$p")
+  }
 }
