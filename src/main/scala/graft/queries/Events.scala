@@ -314,21 +314,26 @@ object Events {
     * session SQL filtered by that same predicate, so this row hash-pins
     * streaming-vs-batch equality INCLUDING the watermark-eviction edge.
     */
-  val sessionizeStream: QueryDef = QueryDef(
-    // A session reaches the sink two ways: (a) GAP-CLOSED — a later
-    // same-user event arrived beyond the gap, emitted unconditionally when
-    // that event is processed (on bounded input run to completion, that is
-    // every session but the user's last, i.e. sid < max(sid) per user);
-    // (b) TIMED OUT — the final watermark strictly passed end + gap. The
-    // oracle is their union. Filtering by (b) alone (round 3) was a latent
-    // data-dependent flap: a successor event that exceeds the gap while
-    // end_ms + gap == wm_ms is emitted by the stream but was excluded by
-    // the watermark predicate (ADVICE r3 #1).
+  // A session reaches the sink two ways: (a) GAP-CLOSED — a later
+  // same-user event arrived beyond the gap, emitted unconditionally when
+  // that event is processed (on bounded input run to completion, that is
+  // every session but the user's last, i.e. sid < max(sid) per user);
+  // (b) TIMED OUT — the final watermark strictly passed end + gap. The
+  // oracle is their union. Filtering by (b) alone (round 3) was a latent
+  // data-dependent flap: a successor event that exceeds the gap while
+  // end_ms + gap == wm_ms is emitted by the stream but was excluded by
+  // the watermark predicate (ADVICE r3 #1). Shared verbatim by BOTH
+  // stateful-API gate rows (q_sessionize_stream on flatMapGroupsWithState,
+  // q_sessionize_tws on transformWithState): the two state APIs must
+  // produce the identical session set.
+  private def sessionizeStreamOracle: String =
     s"""SELECT user_id, n, start_us, end_us, sum_value
       |FROM (SELECT g.*, max(sid) OVER (PARTITION BY user_id) AS max_sid
       |      FROM ($sessionCoreSql) g) g,
       |     (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM events) w
-      |WHERE g.sid < g.max_sid OR g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin) {
+      |WHERE g.sid < g.max_sid OR g.end_us // 1000 + 1800000 < w.wm_ms""".stripMargin
+
+  val sessionizeStream: QueryDef = QueryDef(sessionizeStreamOracle) {
     (spark, dir) =>
     // withEventReadConfs wraps the whole execution: Sessionize.sessions
     // pins the confs itself (for direct callers), but the wrapper's restore
@@ -345,6 +350,34 @@ object Events {
       }
     }
     spark.table("graft_sessionize_stream")
+      .select(col("user_id"), col("n"), col("start_us"), col("end_us"),
+        round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
+  }
+
+  /** Gap sessionization on the `transformWithState` API with event-time
+    * TIMERS — [[sessionizeStream]]'s twin on the new StatefulProcessor
+    * surface (graft.streaming.SessionizeTws): typed ValueState for the
+    * open session plus an explicit per-key timer at `end + gap`, under
+    * the RocksDB provider the API requires. Hashes against the SAME
+    * oracle as the flatMapGroupsWithState row — API migration must not
+    * move a single session boundary.
+    */
+  val sessionizeTws: QueryDef = QueryDef(sessionizeStreamOracle) { (spark, dir) =>
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          val q = graft.streaming.SessionizeTws.sessions(spark, dir).writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("graft_sessionize_tws")
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+      }
+    }
+    spark.table("graft_sessionize_tws")
       .select(col("user_id"), col("n"), col("start_us"), col("end_us"),
         round(col("sum_fixed") / 10000.0, 2).as("sum_value"))
   }
@@ -1250,6 +1283,7 @@ object Events {
     "q_session_window" -> sessionWindow,
     "q_session_window_stream" -> sessionWindowStream,
     "q_sessionize_stream" -> sessionizeStream,
+    "q_sessionize_tws" -> sessionizeTws,
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_transform_state" -> transformState,

@@ -229,6 +229,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // Three hand-fed micro-batches pin the timer machinery: (batch 1) an
+    // open session registers a timer at end + gap; (batch 2) a same-user
+    // event WITHIN the gap extends the session — the stale timer is
+    // replaced, nothing emits; (batch 3) another user's far-future event
+    // advances the watermark past the close and the timer fires, emitting
+    // the session with the batch-2 extension included. A per-batch
+    // (instead of cross-batch) implementation would emit two sessions.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)] // (user_id, tus)
+      val q = mem.toDS()
+        .select(col("_1").as("user_id"), col("_2").as("tus"),
+          lit(1.0).as("value"), timestamp_micros(col("_2")).as("event_time"))
+        .withWatermark("event_time", "0 seconds")
+        .as[Sessionize.Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionizeTws, TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws_sessions").start()
+      def rows() = spark.table("graft_tws_sessions")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      try {
+        // Timestamps sit one day above epoch: an event_time equal to the
+        // initial watermark (0) would be dropped as late by design.
+        val d = 86400000000L
+        mem.addData((1L, d), (1L, d + 10000000L)) // +0s, +10s
+        q.processAllAvailable()
+        assert(rows().isEmpty, s"no close yet, got ${rows()}")
+        mem.addData((1L, d + 1200000000L)) // +20min: within the 30min gap
+        q.processAllAvailable()
+        assert(rows().isEmpty, s"extension must not emit, got ${rows()}")
+        mem.addData((2L, d + 7200000000L)) // user 2 at +2h: wm passes close
+        q.processAllAvailable()
+        assert(rows() == Set((1L, d, d + 1200000000L, 3L, 30000L)),
+          s"timer must close the extended session exactly once: ${rows()}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState accumulates integer state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
