@@ -357,4 +357,151 @@ object Media {
       }
     }.toDF()
   }
+
+  /** The source whose payloads are stored as REAL audio: `src2` as 8-bit
+    * unsigned PCM mono in a RIFF/WAVE container through [[decodeWav]] — a
+    * third genuinely different container layout (chunked RIFF with
+    * even-byte chunk padding and arbitrary chunk order) beside PPM and BMP.
+    */
+  val WavSource = "src2"
+
+  /** Sample rate stamped into synthesized WAV payloads. Any rate decodes;
+    * this one makes duration arithmetic oracle-replayable. */
+  val WavSampleRate = 8000
+
+  /** A decoded PCM clip: 8-bit unsigned mono samples at `sampleRate` Hz. */
+  final case class WavAudio(sampleRate: Int, samples: Array[Byte])
+
+  /** Encode arbitrary content bytes as a valid RIFF/WAVE file: canonical
+    * 44-byte header (`RIFF` size `WAVE`, `fmt ` 16-byte PCM block, `data`
+    * chunk) + the content as 8-bit unsigned mono samples, with the RIFF
+    * even-byte pad when the payload length is odd. Deterministic and
+    * invertible, so oracles can replay the sample arithmetic from the
+    * content bytes.
+    */
+  def encodeWav(content: Array[Byte]): Array[Byte] = {
+    val n = content.length
+    val padded = n + (n & 1) // RIFF chunks are padded to even byte counts
+    val out = java.nio.ByteBuffer.allocate(44 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + padded).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavSampleRate)
+      .putInt(WavSampleRate) // byte rate = rate * channels * bytes/sample
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    out.put("data".getBytes).putInt(n).put(content)
+    out.array()
+  }
+
+  /** REAL decoder #3: parse a RIFF/WAVE payload — RIFF/WAVE magic, then a
+    * chunk walk (id + little-endian size, advancing over the even-byte
+    * pad) that tolerates unknown chunks in any order, requires `fmt `
+    * before `data`, and validates PCM / mono / 8-bit. Same loud-failure
+    * contract as the image decoders: malformed payloads throw so a
+    * pipeline can quarantine the row.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 12, s"truncated RIFF header: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(fourcc(0) == "RIFF", s"not a RIFF payload: magic '${fourcc(0)}'")
+    require(fourcc(8) == "WAVE", s"not a WAVE form: '${fourcc(8)}'")
+    var i = 12
+    var sampleRate = -1
+    var samples: Array[Byte] = null
+    while (i + 8 <= bytes.length) {
+      val id = fourcc(i)
+      val size = buf.getInt(i + 4)
+      require(size >= 0 && i + 8 + size <= bytes.length,
+        s"truncated '$id' chunk: declared $size bytes at offset $i")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk: $size bytes")
+          require(buf.getShort(i + 8) == 1,
+            s"unsupported WAV format tag ${buf.getShort(i + 8)} (only PCM)")
+          require(buf.getShort(i + 10) == 1,
+            s"unsupported WAV channels ${buf.getShort(i + 10)} (only mono)")
+          sampleRate = buf.getInt(i + 12)
+          require(sampleRate > 0, s"bad WAV sample rate $sampleRate")
+          require(buf.getShort(i + 22) == 8,
+            s"unsupported WAV bits/sample ${buf.getShort(i + 22)} (only 8-bit)")
+        case "data" =>
+          require(sampleRate > 0, "WAV data chunk before fmt chunk")
+          samples = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + size)
+        case _ => // unknown chunk (LIST, fact, ...): skip
+      }
+      i += 8 + size + (size & 1) // chunks are even-byte aligned
+    }
+    require(samples != null, "WAV payload has no data chunk")
+    WavAudio(sampleRate, samples)
+  }
+
+  /** Audio features: fixed-width, integer-exact (oracle-replayable). The
+    * centered moments remove the DC offset first — standard practice
+    * before zero-crossing/energy analysis — with the integer mean
+    * `mu = floor(sum/n)` so both engines compute the identical center.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      energy: Long,
+      zero_crossings: Long)
+
+  /** Decode + feature-extract for the REAL-audio source: encode the
+    * content as a genuine RIFF/WAVE payload, decode it through the actual
+    * chunk-walk + PCM validation path, then compute integer-exact clip
+    * features: sample count, duration at the container's sample rate,
+    * DC-removed energy `sum((s-mu)^2)`, and zero-crossing count about the
+    * integer mean (`sign(s[i-1]-mu) * sign(s[i]-mu) == -1`). Same
+    * per-partition batch shape as [[features]]; payloads never leave the
+    * executor.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === WavSource && length(col("text")) > 0)
+      .select(col("doc_id"), lit("wav").as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val clip = decodeWav(encodeWav(r.media)) // REAL decode
+        val (n, energy, crossings) = audioStats(clip.samples)
+        AudioFeatures(r.doc_id, n, n * 1000L / clip.sampleRate,
+          energy, crossings)
+      }
+    }.toDF()
+  }
+
+  /** Integer-exact clip statistics over 8-bit unsigned samples: count,
+    * DC-removed energy `sum((s-mu)^2)` with `mu = floor(sum/n)`, and
+    * zero-crossing count about `mu` under the strict adjacent-pair rule —
+    * a zero (exactly-at-mean) sample breaks the pair on BOTH sides, the
+    * form a SQL oracle replays exactly.
+    */
+  def audioStats(s: Array[Byte]): (Long, Long, Long) = {
+    val n = s.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (s(i) & 0xff); i += 1 }
+    val mu = if (n == 0) 0L else sum / n
+    var energy = 0L
+    var crossings = 0L
+    var prevSign = 0L
+    i = 0
+    while (i < n) {
+      val d = (s(i) & 0xff) - mu
+      energy += d * d
+      val sg = java.lang.Long.signum(d)
+      if (i > 0 && sg * prevSign == -1L) crossings += 1
+      prevSign = sg
+      i += 1
+    }
+    (n.toLong, energy, crossings)
+  }
 }

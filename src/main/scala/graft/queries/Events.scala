@@ -1269,7 +1269,72 @@ object Events {
         col("p99_a").between(col("p99_lo"), col("p99_hi")).as("p99_ok"))
   }
 
+  /** CDC change-log compaction to current state (SCD-1 / materialized-view
+    * maintenance): the event log is an upsert stream keyed by `user_id` —
+    * each event sets the key's latest (type, value), `error` events are
+    * tombstones — and the query materializes the final table: last
+    * surviving row per key under the total order (tus, event_id), keys
+    * whose last entry is a tombstone absent, plus the per-key change count
+    * (the compaction-ratio observability a CDC pipeline tracks).
+    *
+    * Scale shape: ONE map-side-combinable aggregation — `max_by` over the
+    * (tus, event_id) struct combines partially inside each input partition
+    * before the only shuffle (key cardinality, not log cardinality,
+    * crosses the wire), which is the 100 TB-correct plan; the obvious
+    * `row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1` form
+    * (what the oracle runs) ships the whole log through a sort-based
+    * window instead. A tombstoned key costs one filtered output row, never
+    * a join.
+    */
+  val cdcApply: QueryDef = QueryDef(
+    """SELECT user_id, last_type, last_tus, last_value, n_changes FROM (
+      |  SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_tus,
+      |         value AS last_value,
+      |         count(*) OVER (PARTITION BY user_id) AS n_changes,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) w
+      |WHERE rn = 1 AND last_type <> 'error'""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_type"), col("tus"), col("value")),
+          struct(col("tus"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_type").as("last_type"),
+        col("last.tus").as("last_tus"), col("last.value").as("last_value"),
+        col("n_changes"))
+  }
+
+  /** Shuffle-key skew diagnostics: the per-key count distribution summary
+    * you compute BEFORE choosing a salting factor or trusting AQE's skew
+    * threshold — key cardinality, row total, min/max per-key counts, and
+    * the hottest key's traffic share in ppm (integer-exact). Two-level
+    * aggregate: the per-key count is map-side combinable (key-cardinality
+    * shuffle), the summary is a scalar fold; nothing about it gets harder
+    * at 100 TB.
+    */
+  val skewMetrics: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       CAST(min(c) AS BIGINT) AS min_cnt,
+      |       CAST(max(c) AS BIGINT) AS max_cnt,
+      |       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS max_share_ppm
+      |FROM (SELECT count(*) AS c FROM events GROUP BY user_id) k""".stripMargin) {
+    (spark, dir) =>
+      readEvents(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          min(col("c")).as("min_cnt"), max(col("c")).as("max_cnt"))
+        // `div`, not `/`: Column `/` on BIGINTs is DOUBLE division; the
+        // oracle's `//` is integer floor — they must match bit for bit
+        .withColumn("max_share_ppm", expr("max_cnt * 1000000 div n_rows"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cdc_apply" -> cdcApply,
+    "q_skew_metrics" -> skewMetrics,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,
     "q_approx_distinct" -> approxDistinct,

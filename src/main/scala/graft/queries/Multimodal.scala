@@ -134,9 +134,37 @@ object Multimodal {
     (spark, dir) => Media.resizedFeatures(spark, dir)
   }
 
+  /** REAL audio decode over the WAV source: payloads are genuine RIFF/WAVE
+    * 8-bit PCM files decoded through the actual chunk-walk parser
+    * ([[Media.decodeWav]]), features integer-exact so the oracle replays
+    * the sample arithmetic from the text bytes (pure-ASCII precondition,
+    * same as [[mediaFeatures]]): samples are the payload bytes, the DC
+    * offset is the integer mean, energy is the centered square sum, and
+    * zero crossings use the strict adjacent-pair rule
+    * `sign(s[i-1]-mu) * sign(s[i]-mu) = -1`.
+    */
+  val mediaAudio: QueryDef = QueryDef(
+    s"""WITH m AS (SELECT doc_id,
+       |                  list_transform(string_split(text, ''),
+       |                                 c -> CAST(ascii(c) AS BIGINT)) AS s
+       |           FROM documents WHERE source = '${Media.WavSource}'),
+       |b AS (SELECT doc_id, s, len(s) AS n,
+       |             list_aggregate(s, 'sum') // len(s) AS mu
+       |      FROM m WHERE len(s) > 0)
+       |SELECT doc_id,
+       |       CAST(n AS BIGINT) AS n_samples,
+       |       CAST(n * 1000 // ${Media.WavSampleRate} AS BIGINT) AS duration_ms,
+       |       CAST(list_aggregate(list_transform(s, v -> (v - mu) * (v - mu)),
+       |                           'sum') AS BIGINT) AS energy,
+       |       CAST(len(list_filter(range(2, n + 1),
+       |                 i -> sign(s[i - 1] - mu) * sign(s[i] - mu) = -1))
+       |            AS BIGINT) AS zero_crossings
+       |FROM b""".stripMargin) { (spark, dir) => Media.audioFeatures(spark, dir) }
+
   val defs: Map[String, QueryDef] = Map(
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,
     "q_media_frames" -> mediaFrames,
-    "q_media_resize" -> mediaResize)
+    "q_media_resize" -> mediaResize,
+    "q_media_audio" -> mediaAudio)
 }

@@ -956,7 +956,63 @@ object Pipeline {
           .as("n_first"))
   }
 
+  /** Per-domain document caps — the web-curation step that stops a handful
+    * of mega-domains from dominating the training mix (C4 and its
+    * descendants cap pages per domain; `source` stands in for the
+    * registrable domain here): keep at most [[DomainCap]] documents per
+    * source, selected in content-addressed (fingerprint, doc_id) order so
+    * re-runs and re-partitions keep the SAME documents, and report the
+    * before/after doc and char totals per domain — the down-weighting
+    * report a curation audit wants.
+    *
+    * Scale shape: totals are one map-side-combinable aggregate; the kept
+    * set is rank-within-group with `rn <= k`, which compiles to the
+    * partial+final WindowGroupLimit (k rows per group survive each map
+    * partition — never a full per-domain sort, which is what makes the cap
+    * viable on a domain with 10^8 pages); the two 1-row-per-domain frames
+    * broadcast-join at the end.
+    */
+  private val DomainCap = 15
+
+  val domainCaps: QueryDef = QueryDef(
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                     (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept FROM (
+       |    SELECT source, n_chars,
+       |           row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn
+       |    FROM f) r
+       |  WHERE rn <= $DomainCap GROUP BY source),
+       |tot AS (
+       |  SELECT source, count(*) AS n_total, sum(n_chars) AS chars_total
+       |  FROM documents GROUP BY source)
+       |SELECT tot.source AS source,
+       |       CAST(n_total AS BIGINT) AS n_total,
+       |       CAST(chars_total AS BIGINT) AS chars_total,
+       |       CAST(n_kept AS BIGINT) AS n_kept,
+       |       CAST(chars_kept AS BIGINT) AS chars_kept
+       |FROM tot JOIN k ON tot.source = k.source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(t(dir, "documents"))
+    val w = Window.partitionBy(col("source")).orderBy(col("fp"), col("doc_id"))
+    val kept = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        PolyHash.polyHash(spark, "text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DomainCap) // -> WindowGroupLimit
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("n_chars")).as("chars_total"))
+      .join(broadcast(kept), "source")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_domain_caps" -> domainCaps,
     "q_doc_chunks" -> docChunks,
     "q_decontaminate" -> decontaminate,
     "q_sample_stratified" -> sampleStratified,

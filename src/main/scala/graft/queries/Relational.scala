@@ -232,7 +232,65 @@ object Relational {
         "metric", "value")
   }
 
+  /** Z-order (Morton-curve) clustering assignment + the zone maps it buys
+    * — the data-layout pass behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+    * quantize two columns to 8 bits each against their corpus min/max,
+    * interleave the bits into a 16-bit Morton code, and roll up each
+    * 256-code bucket's row count and PER-COLUMN min/max. The output IS the
+    * zone map: because the curve preserves 2-D locality, every bucket
+    * covers a narrow range of BOTH columns, so a predicate on EITHER
+    * column prunes most buckets — which a single-column sort gives you for
+    * one column only.
+    *
+    * Scale shape: the code assignment is pure in-row arithmetic at scan
+    * speed (the min/max bounds are a broadcast 1-row frame); the rollup is
+    * a map-side-combinable aggregate on a 256-value key. At 100 TB the
+    * real OPTIMIZE would range-partition by the full z-code to write
+    * files; everything measured here is that job minus the write.
+    *
+    * Bit arithmetic is expressed as `(x div 2^k) % 2` and `* 2^m` —
+    * integer-exact and identical in both engines, no reliance on shift
+    * operators — and compiles into one whole-stage-codegen projection.
+    */
+  val zorderLayout: QueryDef = {
+    def zExpr(xq: String, yq: String, idiv: String): String =
+      (0 until 8).map { k =>
+        val p = 1L << k
+        s"(($xq $idiv $p) % 2) * ${1L << (2 * k)} + (($yq $idiv $p) % 2) * ${1L << (2 * k + 1)}"
+      }.mkString(" + ")
+    QueryDef(
+      s"""WITH bounds AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+         |                       min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+         |                FROM lineitem),
+         |q AS (SELECT l_partkey, l_suppkey,
+         |             (l_partkey - xmin) * 256 // (xmax - xmin + 1) AS xq,
+         |             (l_suppkey - ymin) * 256 // (ymax - ymin + 1) AS yq
+         |      FROM lineitem, bounds)
+         |SELECT (${zExpr("xq", "yq", "//")}) // 256 AS zbucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(l_partkey) AS BIGINT) AS min_pk,
+         |       CAST(max(l_partkey) AS BIGINT) AS max_pk,
+         |       CAST(min(l_suppkey) AS BIGINT) AS min_sk,
+         |       CAST(max(l_suppkey) AS BIGINT) AS max_sk
+         |FROM q GROUP BY zbucket""".stripMargin) { (spark, dir) =>
+      val li = spark.read.parquet(t(dir, "lineitem"))
+        .select(col("l_partkey"), col("l_suppkey"))
+      val bounds = li.agg(
+        min(col("l_partkey")).as("xmin"), max(col("l_partkey")).as("xmax"),
+        min(col("l_suppkey")).as("ymin"), max(col("l_suppkey")).as("ymax"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("xq", expr("(l_partkey - xmin) * 256 div (xmax - xmin + 1)"))
+        .withColumn("yq", expr("(l_suppkey - ymin) * 256 div (ymax - ymin + 1)"))
+        .withColumn("zbucket", expr(s"(${zExpr("xq", "yq", "div")}) div 256"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_zorder_layout" -> zorderLayout,
     "q_rollup" -> rollup,
     "q_cube" -> cube_,
     "q_window_frame" -> windowFrame,

@@ -402,4 +402,40 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort \\[".r.findAllIn(p).size == 1,
       s"the two windows must share one prefix-compatible sort:\n$p")
   }
+
+  test("q_cdc_apply combines map-side before one key-cardinality exchange") {
+    val p = plan("q_cdc_apply")
+    // the struct-valued max_by buffer makes Catalyst pick the sort-based
+    // aggregate (local, spillable sorts); what must hold at scale is that
+    // the PARTIAL max_by runs below the single exchange — key cardinality,
+    // not log cardinality, crosses the wire — and no Window sorts the log
+    assert(p.contains("partial_max_by"), p)
+    assert(p.indexOf("partial_max_by") > p.indexOf("Exchange"),
+      s"partial agg must sit below the exchange:\n$p")
+    assert(!p.contains("Window"), s"LWW must be max_by, not row_number:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("q_domain_caps prunes the cap below the shuffle as WindowGroupLimit") {
+    val p = plan("q_domain_caps")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"cap must run partial+final so mega-domains never fully sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_zorder_layout: in-row code assignment, broadcast bounds, one rollup exchange") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // exchanges: the 1-row bounds broadcast side's scalar agg + the bucket
+    // rollup — the z-assignment itself must add none (scan-speed projection)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash exchange (the 256-bucket rollup):\n$p")
+  }
+
+  test("q_skew_metrics is two hash aggregates, one key-cardinality exchange") {
+    val p = plan("q_skew_metrics")
+    assert(!p.contains("SortAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -158,6 +158,92 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec: encode/decode round-trips samples; chunk walk; malformed throw") {
+    // round-trip: samples = content exactly (the RIFF even-byte pad is
+    // container-only, never a sample), rate as stamped
+    val content = Array.tabulate[Byte](201)(i => (i * 13 % 251).toByte) // odd length
+    val clip = Media.decodeWav(Media.encodeWav(content))
+    assert(clip.sampleRate == Media.WavSampleRate)
+    assert(clip.samples.toSeq == content.toSeq)
+    assert(Media.encodeWav(content).length == 44 + 202) // padded container
+    val empty = Media.decodeWav(Media.encodeWav(Array.emptyByteArray))
+    assert(empty.samples.isEmpty)
+    // a foreign-producer file: unknown odd-sized chunk between fmt and data
+    // is skipped with the even-byte advance
+    val hand = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 3 + 1 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hand.put("RIFF".getBytes).putInt(40 + 8).put("WAVE".getBytes)
+    hand.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(44100).putShort(1).putShort(8)
+    hand.put("junk".getBytes).putInt(3).put(Array[Byte](9, 9, 9, 0)) // 3 + pad
+    hand.put("data".getBytes).putInt(4).put(Array[Byte](1, 2, 3, 4))
+    val foreign = Media.decodeWav(hand.array())
+    assert(foreign.sampleRate == 44100)
+    assert(foreign.samples.toSeq == Seq[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException] {
+      Media.decodeWav("RIFX".getBytes ++ new Array[Byte](40)) // magic
+    }
+    intercept[IllegalArgumentException] {
+      val b = Media.encodeWav(content); b(22) = 2 // stereo
+      Media.decodeWav(b)
+    }
+    intercept[IllegalArgumentException] {
+      val b = Media.encodeWav(content); b(34) = 16 // 16-bit
+      Media.decodeWav(b)
+    }
+    intercept[IllegalArgumentException] {
+      Media.decodeWav(Media.encodeWav(content).dropRight(9)) // truncated data
+    }
+    intercept[IllegalArgumentException] { // data before fmt: rate unknown
+      val b = java.nio.ByteBuffer.allocate(12 + 8 + 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(10).put("WAVE".getBytes)
+      b.put("data".getBytes).putInt(2).put(Array[Byte](5, 6))
+      Media.decodeWav(b.array())
+    }
+  }
+
+  test("audioStats: integer mean centering, energy, strict-pair crossings") {
+    // samples 100,200,100,200: mu = 150, energy = 4*2500, signs -,+,-,+
+    val (n1, e1, c1) = Media.audioStats(Array[Byte](100, 200.toByte, 100, 200.toByte))
+    assert((n1, e1, c1) == (4L, 10000L, 3L))
+    // an exactly-at-mean sample breaks the pair on both sides:
+    // 100,150,200 -> mu=150, signs -,0,+ -> 0 crossings
+    val (_, _, c2) = Media.audioStats(Array[Byte](100, 150.toByte, 200.toByte))
+    assert(c2 == 0L)
+    // floor-mean: 1,2,2 -> mu = 5/3 = 1; devs 0,1,1 -> energy 2, 0 crossings
+    val (_, e3, c3) = Media.audioStats(Array[Byte](1, 2, 2))
+    assert((e3, c3) == (2L, 0L))
+    assert(Media.audioStats(Array.emptyByteArray) == ((0L, 0L, 0L)))
+  }
+
+  test("cdc_apply: tombstoned keys absent, last-writer-wins by (tus, event_id)") {
+    import org.apache.spark.sql.functions._
+    // replay the semantics on a handcrafted log through the same plan
+    import spark.implicits._
+    val log = Seq(
+      // user 1: two upserts -> survives with the later value
+      (1L, 1L, 100L, "view", 1.0), (2L, 1L, 200L, "purchase", 2.0),
+      // user 2: upsert then tombstone -> absent
+      (3L, 2L, 100L, "view", 3.0), (4L, 2L, 300L, "error", 0.0),
+      // user 3: tombstone then upsert -> survives (tombstone not last)
+      (5L, 3L, 100L, "error", 0.0), (6L, 3L, 150L, "click", 4.0),
+      // user 4: same tus tie -> higher event_id wins
+      (7L, 4L, 500L, "view", 5.0), (8L, 4L, 500L, "signup", 6.0))
+      .toDF("event_id", "user_id", "tus", "event_type", "value")
+    val out = log.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("tus"), col("value")),
+        struct(col("tus"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_type").as("t"),
+        col("last.value").as("v"), col("n_changes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "purchase", 2.0, 2L), (3L, "click", 4.0, 2L),
+      (4L, "signup", 6.0, 2L)))
+  }
+
   test("media features pipeline preserves one row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = Media.features(spark, sf)
