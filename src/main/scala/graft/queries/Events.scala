@@ -1286,7 +1286,7 @@ object Events {
     * window instead. A tombstoned key costs one filtered output row, never
     * a join.
     */
-  val cdcApply: QueryDef = QueryDef(
+  private val cdcOracle =
     """SELECT user_id, last_type, last_tus, last_value, n_changes FROM (
       |  SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_tus,
       |         value AS last_value,
@@ -1294,7 +1294,9 @@ object Events {
       |         row_number() OVER (PARTITION BY user_id
       |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events) w
-      |WHERE rn = 1 AND last_type <> 'error'""".stripMargin) { (spark, dir) =>
+      |WHERE rn = 1 AND last_type <> 'error'""".stripMargin
+
+  val cdcApply: QueryDef = QueryDef(cdcOracle) { (spark, dir) =>
     readEvents(spark, dir)
       .groupBy(col("user_id"))
       .agg(
@@ -1305,6 +1307,85 @@ object Events {
       .select(col("user_id"), col("last.event_type").as("last_type"),
         col("last.tus").as("last_tus"), col("last.value").as("last_value"),
         col("n_changes"))
+  }
+
+  /** Chunked change-log for the streaming CDC twin: the full event row
+    * set (key, order columns, payload) split into 4 single-file chunks by
+    * `event_id mod 4` so `maxFilesPerTrigger=1` yields 4 deterministic
+    * micro-batches. Same fingerprint-keyed write-once cache as
+    * [[prepareTwsChunks]].
+    */
+  private[graft] def prepareCdcChunks(spark: SparkSession, dir: String): String = {
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("streamcdc", dir, "events.parquet")
+    FileSources.writeOnce(out) { o =>
+      val raw = o + ".raw"
+      readEvents(spark, dir)
+        .select(col("user_id"), col("tus"), col("event_id"), col("event_type"),
+          col("value"), pmod(col("event_id"), lit(4)).as("chunk"))
+        .repartition(col("chunk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("chunk").parquet(raw)
+      flattenChunkDirs(new java.io.File(raw), o)
+    }
+    out
+  }
+
+  /** Streaming CDC materialized-view maintenance — the live twin of
+    * [[cdcApply]], same oracle: the change log arrives as 4 micro-batches,
+    * [[graft.streaming.CdcState]] holds each key's last-writer-wins row +
+    * change count in a typed ValueState (RocksDB), and the final view must
+    * equal the batch compaction exactly on bounded input. Tombstones are
+    * filtered AFTER the stateful operator (a tombstoned key keeps state so
+    * a later upsert resurrects it — dropping the key's state instead would
+    * also forget n_changes). The memory-sink max(struct) per key is the
+    * Update-mode reporting step, not part of the streaming computation
+    * (n_changes strictly increases; [[transformState]] rule).
+    *
+    * Scale shape: state is one fixed-width row per live key (key
+    * cardinality, never log cardinality), exactly the footprint of the
+    * batch form's aggregation buffer — this IS the operator a 100 TB
+    * pipeline keeps running so the batch compaction never has to rescan
+    * the log.
+    */
+  val cdcApplyStream: QueryDef = QueryDef(cdcOracle) { (spark, dir) =>
+    val out = prepareCdcChunks(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, tus LONG, event_id LONG, event_type STRING, value DOUBLE")
+    withStreamPartitions(spark, 4) {
+      withStateStoreProvider(spark,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        import spark.implicits._
+        val src = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(out)
+          .select(col("user_id"), col("tus"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[(Long, Long, Long, String, Double)]
+        val q = src.groupByKey(_._1)
+          .transformWithState(new graft.streaming.CdcState,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "last_tus", "last_eid", "last_type", "last_value",
+            "n_changes")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName("graft_cdc_stream")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_cdc_stream")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_changes"), col("last_tus"), col("last_eid"),
+        col("last_type"), col("last_value"))).as("m"))
+      .filter(col("m.last_type") =!= "error")
+      .select(col("user_id"), col("m.last_type").as("last_type"),
+        col("m.last_tus").as("last_tus"), col("m.last_value").as("last_value"),
+        col("m.n_changes").as("n_changes"))
   }
 
   /** Shuffle-key skew diagnostics: the per-key count distribution summary
@@ -1334,6 +1415,7 @@ object Events {
 
   val defs: Map[String, QueryDef] = Map(
     "q_cdc_apply" -> cdcApply,
+    "q_cdc_apply_stream" -> cdcApplyStream,
     "q_skew_metrics" -> skewMetrics,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,

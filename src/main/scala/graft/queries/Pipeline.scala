@@ -1011,7 +1011,78 @@ object Pipeline {
       .join(broadcast(kept), "source")
   }
 
+  /** Weighted systematic PPS sampling (probability proportional to size):
+    * walk the corpus in content-addressed (fingerprint, doc_id) order,
+    * accumulate document weights (n_chars), and draw the document covering
+    * every multiple of `stride = total_weight div K` — the classical
+    * systematic PPS design: inclusion probability ∝ weight, exactly K
+    * draws, fully deterministic (re-runs and re-partitions select the SAME
+    * documents). A document heavier than the stride can cover several
+    * boundaries; `n_draws` is that multiplicity, which unbiased PPS
+    * estimators need. Complements [[sampleStratified]] (per-group quotas)
+    * and [[sampleTokenBudget]] (per-group budgets) with the corpus-global
+    * weighted design.
+    *
+    * Scale shape: the global weighted prefix sum is TWO-PHASE — range-
+    * partition by the order key, partition-local running sums under a
+    * per-partition window, then a broadcast join of per-partition offsets
+    * (nPart rows; the only global window runs over THAT, never the data)
+    * — the [[globalIndex]] technique with sum instead of count. No
+    * single-partition window, no global sort; one range exchange is the
+    * honest cost.
+    */
+  private val PpsDraws = 25
+
+  val samplePps: QueryDef = QueryDef(
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars AS w,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                     (a, b) -> (a * 31 + b) % ${PolyHash.P}) AS fp
+       |  FROM documents),
+       |c AS (SELECT doc_id, w, fp,
+       |             sum(w) OVER (ORDER BY fp, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM f),
+       |s AS (SELECT doc_id, w, cum,
+       |             (SELECT sum(n_chars) // $PpsDraws FROM documents) AS stride
+       |      FROM c)
+       |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
+       |       CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_draws
+       |FROM s
+       |WHERE cum // stride > (cum - w) // stride""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val f = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("n_chars").as("w"),
+        PolyHash.polyHash(spark, "text").as("fp"))
+    val ranged = f.repartitionByRange(nPart, col("fp"), col("doc_id"))
+      .sortWithinPartitions(col("fp"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .withColumn("offset", coalesce(sum(col("pw")).over(offW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    // `div`, not `/`: Column `/` is double division (q_skew_metrics rule)
+    val stride = f.agg(sum(col("w")).as("sw"))
+      .select(expr(s"sw div $PpsDraws").as("stride"))
+    ranged
+      .withColumn("lcum", sum(col("w")).over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("offset") + col("lcum"))
+      .crossJoin(broadcast(stride))
+      .filter(expr("cum div stride > (cum - w) div stride"))
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        col("cum").cast("long").as("cum"),
+        expr("cum div stride - (cum - w) div stride").as("n_draws"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sample_pps" -> samplePps,
     "q_domain_caps" -> domainCaps,
     "q_doc_chunks" -> docChunks,
     "q_decontaminate" -> decontaminate,

@@ -656,7 +656,65 @@ object Similarity {
         min(col("q6")).as("min_q6"), max(col("q6")).as("max_q6"))
   }
 
+  /** Covariance moments of the leading embedding dimensions — the
+    * whitening/PCA preparation pass before indexing (mean-centering uses
+    * [[dimStats]]; covariance needs the cross-moments): for each dimension
+    * pair (i, j), i <= j <= 8, the exact fixed-point sums n, s_i, s_j,
+    * s_ij from which cov(i,j) = s_ij/n - (s_i/n)(s_j/n) follows. Products
+    * run in 1e-4 fixed point (q_i * q_j stays far inside Int64 for unit-
+    * scale embeddings), so the gate is hash-exact under any partitioning.
+    *
+    * Scale shape: the outer product is an IN-ROW fold — the 36 pair
+    * products are computed inside one whole-stage-codegen'd projection,
+    * never via a posexplode self-join (which would be n·d² rows through a
+    * shuffle) — and the only aggregation is a scalar fold of 36 columns
+    * (map-side partial, single-row result). At d=64 full-matrix scale the
+    * same plan carries d(d+1)/2 = 2080 packed columns or one array column
+    * folded with zip_with; the leading-8 block keeps the gate readable.
+    */
+  val embedCovariance: QueryDef = {
+    val pairs = for { i <- 1 to 8; j <- i to 8 } yield (i, j)
+    QueryDef(
+      """WITH e AS (SELECT list_transform(embedding[1:8],
+        |                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |p AS (SELECT i, j, q[i] AS qi, q[j] AS qj
+        |      FROM e, range(1, 9) r1(i), range(1, 9) r2(j)
+        |      WHERE j >= i)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(qi) AS BIGINT) AS s_i,
+        |       CAST(sum(qj) AS BIGINT) AS s_j,
+        |       CAST(sum(qi * qj) AS BIGINT) AS s_ij
+        |FROM p GROUP BY i, j""".stripMargin) { (spark, dir) =>
+      val q = (1 to 8).map(i =>
+        floor(element_at(col("embedding"), i).cast("double") * 10000 + 0.5)
+          .cast("long").as(s"q$i"))
+      val moments = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(q: _*)
+        .agg(count(lit(1)).as("n"),
+          (1 to 8).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+            pairs.map { case (i, j) =>
+              sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j")
+            }: _*)
+      // unpivot the single moment row to the (i, j) grid via a tiny
+      // literal frame — broadcast, no extra pass over the data
+      import spark.implicits._
+      val grid = pairs.toDF("i", "j")
+      moments.crossJoin(broadcast(grid))
+        .select(col("i").cast("long"), col("j").cast("long"), col("n"),
+          (1 to 8).map(i => when(col("i") === i, col(s"s$i")))
+            .reduceRight((w, e) => w.otherwise(e)).as("s_i"),
+          (1 to 8).map(j => when(col("j") === j, col(s"s$j")))
+            .reduceRight((w, e) => w.otherwise(e)).as("s_j"),
+          pairs.map { case (i, j) =>
+            when(col("i") === i && col("j") === j, col(s"p${i}_$j"))
+          }.reduceRight((w, e) => w.otherwise(e)).as("s_ij"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_embed_covariance" -> embedCovariance,
     "q_array_ops" -> arrayOps,
     "q_dim_stats" -> dimStats,
     "q_nn_classify" -> nnClassify,

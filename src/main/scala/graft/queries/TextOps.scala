@@ -314,6 +314,137 @@ object TextOps {
       .limit(20)
   }
 
+  /** Iterative BPE merge training — [[bpePairs]] closed into the full
+    * tokenizer-training loop (Sennrich et al., arXiv:1508.07909): starting
+    * from the character vocabulary over the DISTINCT-WORD table, run
+    * [[BpeRounds]] rounds of (count adjacent symbol pairs weighted by word
+    * frequency) → (argmax under the (count desc, left, right) total order)
+    * → (apply the merge greedily left-to-right). The gate emits the merge
+    * table — (round, a, b, cnt) — which pins every pair count and every
+    * argmax across all rounds, i.e. the whole iterative computation.
+    *
+    * Greedy semantics are made relational: merge positions are the
+    * (word, pos) where (sym, next sym) = (a, b); within a RUN of
+    * consecutive match positions (only possible when a = b, e.g. "aaa")
+    * keep even offsets — the island-parity rule — then drop each kept
+    * position's successor, concatenate, and renumber. The DuckDB oracle
+    * replays the identical algebra round by round (materialized CTEs;
+    * without materialization the per-round self-references inline
+    * exponentially).
+    *
+    * Scale shape: the ONLY corpus-sized work is the initial word count;
+    * every round operates on the distinct-word symbol table (vocabulary-
+    * sized — the reason real tokenizer trainers are feasible at all), with
+    * the pair count collapsing map-side to the pair vocabulary and the
+    * argmax a 1-row driver collect per round (k=1 driver aggregate —
+    * justified, it IS the merge-table entry). Each round's symbol table is
+    * persisted and all intermediates are unpersisted before returning;
+    * the returned merge table is a literal frame with no lineage.
+    */
+  private val BpeRounds = 5
+
+  val bpeTrain: QueryDef = {
+    val oracle = {
+      val head =
+        """w AS MATERIALIZED (
+          |  SELECT token AS word, CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+          |  WHERE token <> '' GROUP BY 1),
+          |syms0 AS MATERIALIZED (
+          |  SELECT word, freq, i AS pos, word[i] AS sym
+          |  FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM w) t(word, freq, i))""".stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""pairs$r AS MATERIALIZED (
+           |  SELECT s1.sym AS a, s2.sym AS b, sum(s1.freq) AS cnt
+           |  FROM syms${r - 1} s1 JOIN syms${r - 1} s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+           |  GROUP BY 1, 2),
+           |best$r AS MATERIALIZED (SELECT a, b, cnt FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT s1.word, s1.pos, row_number() OVER (PARTITION BY s1.word ORDER BY s1.pos) AS rn
+           |  FROM syms${r - 1} s1 JOIN syms${r - 1} s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+           |  CROSS JOIN best$r WHERE s1.sym = best$r.a AND s2.sym = best$r.b),
+           |keep$r AS MATERIALIZED (
+           |  SELECT word, pos FROM (
+           |    SELECT word, pos, row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
+           |    FROM m$r) i
+           |  WHERE off % 2 = 0),
+           |syms$r AS MATERIALIZED (
+           |  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM (
+           |    SELECT s.word, s.freq, s.pos,
+           |           CASE WHEN k.pos IS NOT NULL THEN s.sym || best$r.b ELSE s.sym END AS sym
+           |    FROM syms${r - 1} s
+           |    CROSS JOIN best$r
+           |    LEFT JOIN keep$r k ON s.word = k.word AND s.pos = k.pos
+           |    LEFT JOIN keep$r k2 ON s.word = k2.word AND s.pos = k2.pos + 1
+           |    WHERE k2.pos IS NULL) z)""".stripMargin
+      }
+      val union = (1 to BpeRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM best$r")
+        .mkString("\nUNION ALL\n")
+      "WITH " + (head +: rounds).mkString(",\n") + "\n" + union
+    }
+    QueryDef(oracle) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val words = spark.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var syms = words
+        .select(col("word"), col("freq"),
+          explode(expr("sequence(1, length(word))")).as("pos"))
+        .withColumn("sym", expr("substring(word, pos, 1)"))
+        .persist()
+      val cachedFrames = scala.collection.mutable.ArrayBuffer(syms)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val nxt = syms.select(col("word"), (col("pos") - 1).as("pos"),
+          col("sym").as("b"))
+        val adj = syms
+          .select(col("word"), col("pos"), col("freq"), col("sym").as("a"))
+          .join(nxt, Seq("word", "pos"))
+        val bestRows = adj.groupBy(col("a"), col("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect() // 1-row driver aggregate: the merge-table entry
+        if (bestRows.nonEmpty) {
+          val best = bestRows(0)
+          val (a, b, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((r.toLong, a, b, cnt))
+          val m = adj.filter(col("a") === a && col("b") === b)
+            .select(col("word"), col("pos"))
+          val rn = row_number().over(
+            Window.partitionBy(col("word")).orderBy(col("pos")))
+          val keep = m.withColumn("rn", rn)
+            .withColumn("off", row_number().over(
+              Window.partitionBy(col("word"), col("pos") - col("rn"))
+                .orderBy(col("pos"))) - 1)
+            .filter(col("off") % 2 === 0)
+            .select(col("word"), col("pos"))
+          val next = syms
+            .join(keep.withColumn("mergeme", lit(1)), Seq("word", "pos"), "left")
+            .join(keep.select(col("word"), (col("pos") + 1).as("pos"))
+              .withColumn("dropme", lit(1)), Seq("word", "pos"), "left")
+            .filter(col("dropme").isNull)
+            .withColumn("sym",
+              when(col("mergeme") === 1, concat(col("sym"), lit(b)))
+                .otherwise(col("sym")))
+            .withColumn("pos", row_number().over(
+              Window.partitionBy(col("word")).orderBy(col("pos"))))
+            .select(col("word"), col("freq"), col("pos"), col("sym"))
+            .persist()
+          cachedFrames += next
+          syms = next
+        }
+      }
+      val out = merges.toSeq.toDF("round", "a", "b", "cnt")
+      out.count() // materialize the literal frame, then drop the scaffolding
+      cachedFrames.foreach(_.unpersist(false))
+      out
+    }
+  }
+
   /** Mergeable HLL sketch rollup (Spark's native DataSketches surface):
     * per-language token-vocabulary sketches built with `hll_sketch_agg`,
     * then re-aggregated to the corpus estimate with `hll_union_agg` —
@@ -562,5 +693,6 @@ object TextOps {
     "q_tfidf" -> tfidf,
     "q_bigram" -> bigram,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_train" -> bpeTrain,
     "q_hll_union" -> hllUnion)
 }

@@ -438,4 +438,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q_sample_pps: two-phase prefix sum — range exchange + pid-local window") {
+    val p = plan("q_sample_pps")
+    assert(p.contains("rangepartitioning"), s"order must come from a range exchange:\n$p")
+    // the data-sized running sum must be partitioned by pid (local), never
+    // a single-partition window over the documents
+    assert(p.contains("windowspecdefinition(pid"), s"local cumsum missing:\n$p")
+  }
+
+  test("q_embed_covariance: in-row outer product, no explode, no wide exchange") {
+    val p = plan("q_embed_covariance")
+    assert(!p.contains("Generate"), s"covariance must not posexplode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scalar moment fold must not shuffle by key:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }

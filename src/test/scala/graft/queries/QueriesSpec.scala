@@ -244,6 +244,50 @@ class QueriesSpec extends AnyFunSuite {
       (4L, "signup", 6.0, 2L)))
   }
 
+  test("q_sample_pps draws exactly K with PPS multiplicity") {
+    val rows = SparkEntry.queries("q_sample_pps")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_draws")).sum == 25L)
+    assert(rows.forall(_.getAs[Long]("n_draws") >= 1L))
+    // every selected document's interval (cum-w, cum] covers >= 1 stride
+    // boundary by construction; spot the determinism by re-running
+    val again = SparkEntry.queries("q_sample_pps")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("q_embed_covariance: 36 pairs, nonnegative variance on the diagonal") {
+    val rows = SparkEntry.queries("q_embed_covariance")(spark, sf).collect()
+    assert(rows.length == 36)
+    rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j")).foreach { r =>
+      val n = r.getAs[Long]("n"); val s = r.getAs[Long]("s_i")
+      val sii = r.getAs[Long]("s_ij")
+      assert(n * sii - s * s >= 0L, s"negative variance at dim ${r.getAs[Long]("i")}")
+      assert(s == r.getAs[Long]("s_j"))
+    }
+  }
+
+  test("q_bpe_train: greedy runs, lexicographic ties, early exhaustion") {
+    import spark.implicits._
+    // toy corpus: words abab (freq 2), aaa (freq 1)
+    //   r1: (a,b) cnt 4 -> abab = [ab, ab]
+    //   r2: tie (ab,ab)=2 vs (a,a)=2 -> lexicographic argmax picks (a,a);
+    //       aaa = [aa, a] (greedy leftmost on the run)
+    //   r3: (ab,ab) 2 -> abab = [abab]
+    //   r4: (aa,a) 1 -> aaa = [aaa]
+    //   r5: no pairs left -> no row (the exhaustion guard)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((0L, "abab abab aaa", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", 4L), (2L, "a", "a", 2L),
+      (3L, "ab", "ab", 2L), (4L, "aa", "a", 1L)))
+  }
+
   test("media features pipeline preserves one row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = Media.features(spark, sf)

@@ -46,6 +46,12 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            for name, msg in sorted(json.load(f).items()):
+                print(f"FAIL(query-err)    {name}: {msg[:140]}")
+                n_fail += 1
     for q in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, q)
         if not os.path.isdir(qdir):
