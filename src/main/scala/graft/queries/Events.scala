@@ -1388,6 +1388,42 @@ object Events {
         col("m.n_changes").as("n_changes"))
   }
 
+  /** SCD type-2 history intervals — the warehouse-history complement of
+    * [[cdcApply]]'s SCD-1 current state: every change-log entry becomes a
+    * versioned row with its validity interval [valid_from, valid_to)
+    * under the (tus, event_id) total order; the key's last version is
+    * open-ended (valid_to = -1 sentinel — the gate cannot hash NULLs
+    * portably) and is flagged `is_current` unless it is a tombstone.
+    * Point-in-time queries (`AS OF t`) become a range predicate on the
+    * interval columns.
+    *
+    * Scale shape: one shuffle on the key plus a per-key sort for the
+    * single `lead` window — the honest minimum for interval construction;
+    * output is exactly one row per log entry (no fan-out). At 100 TB this
+    * runs partitioned by key exactly as written.
+    */
+  val scd2Intervals: QueryDef = QueryDef(
+    """SELECT event_id, user_id, valid_from,
+      |       coalesce(valid_to, -1) AS valid_to,
+      |       CAST(CASE WHEN valid_to IS NULL AND event_type <> 'error'
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS valid_from,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                  ORDER BY epoch_us(ts), event_id) AS valid_to
+      |  FROM events) v""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("tus").as("valid_from"))
+      .withColumn("valid_to_raw", lead(col("valid_from"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("valid_from"),
+        coalesce(col("valid_to_raw"), lit(-1L)).as("valid_to"),
+        when(col("valid_to_raw").isNull && col("event_type") =!= "error", 1L)
+          .otherwise(0L).as("is_current"))
+  }
+
   /** Shuffle-key skew diagnostics: the per-key count distribution summary
     * you compute BEFORE choosing a salting factor or trusting AQE's skew
     * threshold — key cardinality, row total, min/max per-key counts, and
@@ -1416,6 +1452,7 @@ object Events {
   val defs: Map[String, QueryDef] = Map(
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
+    "q_scd2_intervals" -> scd2Intervals,
     "q_skew_metrics" -> skewMetrics,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,

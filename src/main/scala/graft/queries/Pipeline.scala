@@ -1081,7 +1081,69 @@ object Pipeline {
         expr("cum div stride - (cum - w) div stride").as("n_draws"))
   }
 
+  /** Gopher-style quality rule panel (Rae et al., arXiv:2112.11446, the
+    * repetition/quality filters every web-corpus pipeline runs): per-rule
+    * corpus violation counts plus the all-rules kept count, in ONE scan.
+    * Rules, all integer-exact: word count in [40, 100000]; mean word
+    * length in [3, 10] (as 3n <= Σlen <= 10n — no division); at least 2
+    * distinct stopwords present (the ellipsis/symbol rules have no signal
+    * in this ASCII corpus, the stopword rule is the representative
+    * containment check); top word frequency <= 20% of tokens (the
+    * duplicate-word rule, 5·max_cnt <= n).
+    *
+    * Scale shape: every rule evaluates IN-ROW over the split word array —
+    * including the per-doc top-frequency via a transform-over-distinct
+    * fold, O(n·distinct) per document but never an explode — so the whole
+    * panel is a scan + one scalar aggregate: zero wide exchanges, the
+    * audit-report companion to [[blocklistFilter]]/[[piiScrub]].
+    */
+  val gopherRules: QueryDef = QueryDef(
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(ws) AS n,
+      |         coalesce(list_aggregate(list_transform(ws, w -> len(w)), 'sum'), 0)
+      |           AS sum_len,
+      |         len(list_distinct(list_filter(ws,
+      |               w -> w IN ('the','a','of','to','and')))) AS n_stop,
+      |         (SELECT max(c) FROM (SELECT count(*) AS c
+      |                              FROM unnest(ws) AS t(w) GROUP BY w)) AS max_cnt
+      |  FROM d)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n BETWEEN 40 AND 100000 THEN 0 ELSE 1 END) AS BIGINT) AS fail_wc,
+      |       CAST(sum(CASE WHEN 3*n <= sum_len AND sum_len <= 10*n THEN 0 ELSE 1 END) AS BIGINT) AS fail_mwl,
+      |       CAST(sum(CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop,
+      |       CAST(sum(CASE WHEN 5*max_cnt <= n THEN 0 ELSE 1 END) AS BIGINT) AS fail_dupw,
+      |       CAST(sum(CASE WHEN n BETWEEN 40 AND 100000 AND 3*n <= sum_len
+      |                      AND sum_len <= 10*n AND n_stop >= 2
+      |                      AND 5*max_cnt <= n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM m""".stripMargin) { (spark, dir) =>
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    spark.read.parquet(t(dir, "documents"))
+      .select(ws.as("ws"))
+      .select(size(col("ws")).cast("long").as("n"),
+        expr("aggregate(transform(ws, w -> length(w)), 0L, (a, x) -> a + x)")
+          .as("sum_len"),
+        expr("size(array_distinct(filter(ws, " +
+          "w -> w IN ('the','a','of','to','and'))))").cast("long").as("n_stop"),
+        expr("array_max(transform(array_distinct(ws), " +
+          "w -> size(filter(ws, x -> x = w))))").cast("long").as("max_cnt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n").between(40, 100000), 0L).otherwise(1L)).as("fail_wc"),
+        sum(when(lit(3) * col("n") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n"), 0L).otherwise(1L)).as("fail_mwl"),
+        sum(when(col("n_stop") >= 2, 0L).otherwise(1L)).as("fail_stop"),
+        sum(when(lit(5) * col("max_cnt") <= col("n"), 0L).otherwise(1L)).as("fail_dupw"),
+        sum(when(col("n").between(40, 100000) &&
+          lit(3) * col("n") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n") &&
+          col("n_stop") >= 2 && lit(5) * col("max_cnt") <= col("n"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_gopher_rules" -> gopherRules,
     "q_sample_pps" -> samplePps,
     "q_domain_caps" -> domainCaps,
     "q_doc_chunks" -> docChunks,

@@ -386,16 +386,30 @@ object TextOps {
     QueryDef(oracle) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       import spark.implicits._
+      // The whole loop executes inside this body (one collect per round),
+      // so a set-and-restore of the shuffle width is safe — and necessary:
+      // every post-wordcount frame is VOCABULARY-sized (a few hundred
+      // rows), where 32-partition shuffles are pure scheduling overhead.
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      try {
       val words = spark.read.parquet(t(dir, "documents"))
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // localCheckpoint (eager), not persist: each round's plan references
+      // the previous round's twice through joins and three window specs,
+      // so the LOGICAL plan grows multiplicatively with rounds and
+      // Catalyst re-analysis dominates wall time by round 4-5 (the CC
+      // pointer-jumping lesson — iterative loops must truncate lineage,
+      // not just cache data). Checkpointing makes every round's plan
+      // shallow and constant-size.
       var syms = words
         .select(col("word"), col("freq"),
           explode(expr("sequence(1, length(word))")).as("pos"))
         .withColumn("sym", expr("substring(word, pos, 1)"))
-        .persist()
-      val cachedFrames = scala.collection.mutable.ArrayBuffer(syms)
+        .localCheckpoint(true)
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (r <- 1 to BpeRounds) {
         val nxt = syms.select(col("word"), (col("pos") - 1).as("pos"),
@@ -433,15 +447,14 @@ object TextOps {
             .withColumn("pos", row_number().over(
               Window.partitionBy(col("word")).orderBy(col("pos"))))
             .select(col("word"), col("freq"), col("pos"), col("sym"))
-            .persist()
-          cachedFrames += next
+            .localCheckpoint(true)
           syms = next
         }
       }
-      val out = merges.toSeq.toDF("round", "a", "b", "cnt")
-      out.count() // materialize the literal frame, then drop the scaffolding
-      cachedFrames.foreach(_.unpersist(false))
-      out
+      // the returned merge table is a literal frame with no lineage into
+      // the checkpointed scaffolding
+      merges.toSeq.toDF("round", "a", "b", "cnt")
+      } finally spark.conf.set(spKey, spPrev)
     }
   }
 
