@@ -1424,6 +1424,36 @@ object Events {
           .otherwise(0L).as("is_current"))
   }
 
+  /** Cohort retention matrix — the standard product-analytics rollup: users
+    * cohorted by first-active day, cells = distinct users active at each
+    * day offset from their cohort day. Day arithmetic is integer on the
+    * canonical micros (`tus div 86_400_000_000`), so the gate is exact.
+    *
+    * Scale shape: the (user, day) DISTINCT collapses map-side before its
+    * shuffle (activity cardinality, not event cardinality); the cohort
+    * min() re-aggregates user-keyed; the user-keyed join feeds a
+    * cells-sized final aggregate. Three key-bounded shuffles, no
+    * event-sized wide exchange — the honest minimum for a retention
+    * matrix, and exactly how it is run over years of 100 TB event logs.
+    */
+  val retention: QueryDef = QueryDef(
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+      |SELECT c.cohort AS cohort_day, ud.day - c.cohort AS day_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM ud JOIN c ON ud.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val ud = readEvents(spark, dir)
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+      .distinct()
+    val cohorts = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ud.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort").as("cohort_day"),
+        (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Shuffle-key skew diagnostics: the per-key count distribution summary
     * you compute BEFORE choosing a salting factor or trusting AQE's skew
     * threshold — key cardinality, row total, min/max per-key counts, and
@@ -1453,6 +1483,7 @@ object Events {
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,
+    "q_retention" -> retention,
     "q_skew_metrics" -> skewMetrics,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,

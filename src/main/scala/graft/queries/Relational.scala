@@ -289,7 +289,70 @@ object Relational {
     }
   }
 
+  /** The data-skipping READ path that [[zorderLayout]]'s layout buys —
+    * the full OPTIMIZE → stats → prune loop, end to end: lineitem is
+    * physically rewritten partitioned by its Morton bucket (write-once,
+    * fingerprint-cached), the per-bucket zone map (min/max l_partkey) is
+    * consulted on the driver exactly as an Iceberg/Delta planner consults
+    * manifests (a 256-row collect — that IS the planning step), and the
+    * query scans ONLY the qualifying buckets: static partition pruning,
+    * visible as `PartitionFilters` in the plan (PlanSpec-pinned). The
+    * oracle answers the same predicate from the flat table, so a pruning
+    * bug that drops rows goes red — correctness of skipping, not just
+    * speed, is what the gate checks.
+    *
+    * The predicate targets the bottom 1/16th of the l_partkey range;
+    * because the curve interleaves 8 bits of each key, only buckets whose
+    * x-quantile prefix matches survive — a single-column predicate
+    * pruning a two-column layout, which is the property a plain sort
+    * cannot give both columns.
+    */
+  val zorderPrune: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(l_suppkey) AS BIGINT) AS sum_sk
+      |FROM lineitem
+      |WHERE l_partkey <= (SELECT min(l_partkey) +
+      |                           (max(l_partkey) - min(l_partkey)) // 16
+      |                    FROM lineitem)""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    def zExpr(xq: String, yq: String): String =
+      (0 until 8).map { k =>
+        val p = 1L << k
+        s"(($xq div $p) % 2) * ${1L << (2 * k)} + (($yq div $p) % 2) * ${1L << (2 * k + 1)}"
+      }.mkString(" + ")
+    val li = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_partkey"), col("l_suppkey"))
+    val Array(b) = li.agg(
+      min(col("l_partkey")).as("xmin"), max(col("l_partkey")).as("xmax"),
+      min(col("l_suppkey")).as("ymin"), max(col("l_suppkey")).as("ymax"))
+      .collect()
+    val (xmin, xmax, ymin, ymax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val hi = xmin + (xmax - xmin) / 16 // the planning predicate bound
+    val out = FileSources.cacheDir("zorder", dir, "lineitem.parquet")
+    FileSources.writeOnce(out) { o =>
+      li.withColumn("xq", expr(s"(l_partkey - $xmin) * 256 div ${xmax - xmin + 1}"))
+        .withColumn("yq", expr(s"(l_suppkey - $ymin) * 256 div ${ymax - ymin + 1}"))
+        .withColumn("zbucket", expr(s"(${zExpr("xq", "yq")}) div 256"))
+        .drop("xq", "yq")
+        .repartition(col("zbucket"))
+        .write.partitionBy("zbucket")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
+    }
+    val clustered = spark.read.option("basePath", out).parquet(out)
+    // zone-map consult = the planner step: 256 rows to the driver
+    val zones = clustered.groupBy(col("zbucket"))
+      .agg(min(col("l_partkey")).as("min_pk"))
+      .collect()
+    val qualifying = zones.filter(_.getAs[Long]("min_pk") <= hi)
+      .map(_.getAs[Int]("zbucket")).toSeq
+    clustered
+      .filter(col("zbucket").isin(qualifying: _*) && col("l_partkey") <= hi)
+      .agg(count(lit(1)).as("n"), sum(col("l_suppkey")).as("sum_sk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_zorder_prune" -> zorderPrune,
     "q_zorder_layout" -> zorderLayout,
     "q_rollup" -> rollup,
     "q_cube" -> cube_,

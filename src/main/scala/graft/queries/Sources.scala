@@ -109,7 +109,42 @@ object Sources {
         count(col("source")).as("n_source"))
   }
 
+  /** In-flight pipeline observability via `Dataset.observe` — Spark's
+    * CollectMetrics operator: a filtered export pass writes parquet while
+    * the observe() aggregates (row count, char totals, length bounds)
+    * accumulate DURING THE SAME SCAN — zero extra passes, which is the
+    * whole point at 100 TB: the write job IS the metrics job (the batch
+    * analog of the streaming progress listener). The gate row returns the
+    * observed metrics; the oracle recomputes them the ordinary way, so a
+    * metric that drifted from the data it rode along with goes red.
+    */
+  val observeMetrics: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents WHERE n_chars >= 100""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // Observation registers a QueryExecutionListener and blocks in get()
+    // until the action that executed THIS plan reports its metrics — the
+    // supported batch retrieval path (reading queryExecution.observedMetrics
+    // off the unexecuted frame yields the empty default row).
+    val obs = new org.apache.spark.sql.Observation("graft_export_metrics")
+    val pass = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") >= 100)
+      .observe(obs,
+        count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val out = FileSources.cacheDir("observe", dir, "documents.parquet")
+    pass.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+      m("min_chars").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_chars", "min_chars", "max_chars")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_observe_metrics" -> observeMetrics,
     "q_union_evolved" -> unionEvolved,
     "q_source_csv" -> csvRoundtrip,
     "q_source_json" -> jsonRoundtrip,

@@ -447,6 +447,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(pid"), s"local cumsum missing:\n$p")
   }
 
+  test("q_zorder_prune scans only qualifying buckets (static partition pruning)") {
+    val p = plan("q_zorder_prune")
+    assert(p.contains("PartitionFilters") && p.contains("zbucket"),
+      s"zone-map consult must become partition pruning:\n$p")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), p)
+  }
+
+  test("q_retention: key-bounded shuffles only, no window over events") {
+    val p = plan("q_retention")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"retention must stay within three key-bounded exchanges:\n$p")
+  }
+
   test("q_embed_covariance: in-row outer product, no explode, no wide exchange") {
     val p = plan("q_embed_covariance")
     assert(!p.contains("Generate"), s"covariance must not posexplode:\n$p")
