@@ -1110,6 +1110,32 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
   }
 
+  /** Semi-structured metadata through Spark 4's VARIANT type — the
+    * shredded-JSON path that replaces string re-parsing at every access:
+    * `parse_json` converts the props sidecar ONCE into the binary variant
+    * encoding, `variant_get` then extracts typed fields without another
+    * parse. Same rollup as [[jsonExtract]] so the two rows pin the two
+    * access paths against each other; at 100 TB variant's one-time parse +
+    * typed binary access is the difference between a metadata column and
+    * a per-query JSON parser in the hot loop.
+    */
+  val variantExtract: QueryDef = QueryDef(
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(min(k) AS BIGINT) AS min_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) e
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), min(col("k")).as("min_k"))
+  }
+
   /** Stream-static broadcast enrichment: an unbounded event stream joined
     * to a bounded dimension (per-user history: event count + max value),
     * emitting each event tagged with its user's stats and whether it is
@@ -1489,6 +1515,7 @@ object Events {
     "q_stream_static_join" -> streamStaticJoin,
     "q_approx_distinct" -> approxDistinct,
     "q_json_extract" -> jsonExtract,
+    "q_variant_extract" -> variantExtract,
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_join_full" -> streamJoinFull,

@@ -351,7 +351,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("l_suppkey")).as("sum_sk"))
   }
 
+  /** Exchange reuse — each language's share of the hottest language's
+    * doc count, in which the per-language aggregate feeds BOTH the output
+    * rows and the global max: Catalyst plans the heavy exchange ONCE and
+    * wires a ReusedExchange into the second consumer (PlanSpec-pinned).
+    * At 100 TB this is the difference between one corpus aggregation and
+    * two — the optimizer feature that makes "compare each group to the
+    * global extreme" affordable without manual caching.
+    */
+  val reusedExchange: QueryDef = QueryDef(
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |       CAST(n * 1000000 // (SELECT max(n) FROM counts) AS BIGINT)
+      |         AS share_ppm_of_max
+      |FROM counts""".stripMargin) { (spark, dir) =>
+    val counts = spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(col("n")).as("mx"))
+    counts.crossJoin(broadcast(mx))
+      .select(col("lang"), col("n"),
+        expr("n * 1000000 div mx").as("share_ppm_of_max"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,
     "q_zorder_layout" -> zorderLayout,
     "q_rollup" -> rollup,

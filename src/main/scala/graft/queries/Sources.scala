@@ -143,7 +143,41 @@ object Sources {
       .toDF("n_rows", "sum_chars", "min_chars", "max_chars")
   }
 
+  /** Dynamic Partition Pruning — the OTHER partition-pruning lever beside
+    * the static filter of `q_partitioned_scan`: when the pruning predicate
+    * only materializes at RUN time (here, the top-2 languages by corpus
+    * count — a data-dependent dimension), Catalyst injects a dynamic
+    * subquery filter on the fact side's partition column, so the
+    * lang-partitioned fact scan reads only the qualifying directories
+    * even though no literal predicate exists at plan time. At 100 TB this
+    * is THE mechanism that keeps star-schema joins from scanning every
+    * partition (PlanSpec pins `dynamicpruning` in the fact scan).
+    */
+  val joinDpp: QueryDef = QueryDef(
+    """WITH dim AS (
+      |  SELECT lang FROM (
+      |    SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+      |    FROM documents GROUP BY lang) r
+      |  WHERE rk <= 2)
+      |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |GROUP BY d.lang""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val fact = FileSources.partitionedDocuments(spark, dir)
+    val dim = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rk") <= 2)
+      .select(col("lang").as("dlang"))
+    fact.join(dim, col("lang") === col("dlang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_join_dpp" -> joinDpp,
     "q_observe_metrics" -> observeMetrics,
     "q_union_evolved" -> unionEvolved,
     "q_source_csv" -> csvRoundtrip,

@@ -447,6 +447,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(pid"), s"local cumsum missing:\n$p")
   }
 
+  test("q_join_dpp injects a dynamic partition-pruning subquery on the fact scan") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"runtime dim filter must prune fact partitions:\n$p")
+  }
+
+  test("q_reused_exchange computes the heavy aggregate exchange once") {
+    // AQE materializes exchange reuse at RUNTIME (the pre-execution plan
+    // legitimately shows two exchanges) — execute, then pin the final plan
+    val df = SparkEntry.queries("q_reused_exchange")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"the counts exchange must be shared by both consumers:\n$p")
+  }
+
+  test("q_variant_extract parses props once into VARIANT, no string re-parse") {
+    val p = plan("q_variant_extract")
+    assert(p.contains("variant_get"), p)
+    assert(p.contains("parseJson"), p) // parse_json prints as its static invoke
+  }
+
   test("q_zorder_prune scans only qualifying buckets (static partition pruning)") {
     val p = plan("q_zorder_prune")
     assert(p.contains("PartitionFilters") && p.contains("zbucket"),
