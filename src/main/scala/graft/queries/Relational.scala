@@ -373,7 +373,38 @@ object Relational {
         expr("n * 1000000 div mx").as("share_ppm_of_max"))
   }
 
+  /** Join-strategy hint — forcing a shuffled HASH join where Catalyst's
+    * default for two large sides is sort-merge: orders⋈lineitem with
+    * `SHUFFLE_HASH` on the orders side builds a hash map per partition
+    * instead of sorting BOTH sides — the right call whenever one side
+    * comfortably fits a partition's memory, because it deletes two
+    * O(n log n) sorts from the hot path (and is exactly the knob a 100 TB
+    * job reaches for when the build side is mid-sized: big enough that
+    * broadcast would OOM the driver, small enough to hash per-partition).
+    * PlanSpec pins ShuffledHashJoin in the plan — without the hint this
+    * exact query plans a SortMergeJoin — and the oracle answers the plain
+    * join, so the strategy swap is proven result-identical.
+    */
+  val joinHints: QueryDef = QueryDef(
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val orders = spark.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .hint("SHUFFLE_HASH")
+    val li = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_quantity"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_join_hints" -> joinHints,
     "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,
     "q_zorder_layout" -> zorderLayout,

@@ -447,6 +447,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(pid"), s"local cumsum missing:\n$p")
   }
 
+  test("q_join_hints: SHUFFLE_HASH hint replaces the default sort-merge join") {
+    val p = plan("q_join_hints")
+    assert(p.contains("ShuffledHashJoin"), s"hint must force SHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"), p)
+  }
+
   test("q_join_dpp injects a dynamic partition-pruning subquery on the fact scan") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),
