@@ -1480,6 +1480,54 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Robust anomaly detection — the median/MAD rule (the robust-statistics
+    * outlier filter a telemetry pipeline runs instead of mean/stddev,
+    * which the outliers themselves corrupt): per event type, flag values
+    * more than 3 median-absolute-deviations from the median. Values run
+    * in 1e-4 fixed point; the exact medians are Spark `percentile` ==
+    * DuckDB `quantile_cont` (the q_quantiles-pinned equivalence), emitted
+    * RAW (integer or half-integer doubles — exactly representable, no
+    * rounding boundary for the gate to flap on).
+    *
+    * Scale shape: two grouped exact percentiles with a rejoin between —
+    * the honest two-pass cost of exact medians (each pass is one
+    * group-keyed shuffle). At 100 TB you swap `percentile` for
+    * `percentile_approx` (the q_approx_quantiles row pins that sketch's
+    * error envelope) and the plan shape is IDENTICAL — this row pins the
+    * truth the sketch would approximate.
+    */
+  val madAnomalies: QueryDef = QueryDef(
+    """WITH v AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events),
+      |med AS (SELECT event_type, quantile_cont(v4, 0.5) AS med
+      |        FROM v GROUP BY event_type),
+      |dev AS (SELECT v.event_type, v4, med, abs(v4 - med) AS ad
+      |        FROM v JOIN med ON v.event_type = med.event_type),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT dev.event_type AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       any_value(dev.med) AS median_v4,
+      |       any_value(mad.mad) AS mad_v4,
+      |       CAST(sum(CASE WHEN ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_anomalies
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY dev.event_type""".stripMargin) { (spark, dir) =>
+    val v = readEvents(spark, dir)
+      .select(col("event_type"), floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+    val med = v.groupBy(col("event_type")).agg(expr("percentile(v4, 0.5)").as("med"))
+    val dev = v.join(med, Seq("event_type"))
+      .withColumn("ad", abs(col("v4") - col("med")))
+    val mad = dev.groupBy(col("event_type")).agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("any_value(med)").as("median_v4"),
+        expr("any_value(mad)").as("mad_v4"),
+        sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
   /** Shuffle-key skew diagnostics: the per-key count distribution summary
     * you compute BEFORE choosing a salting factor or trusting AQE's skew
     * threshold — key cardinality, row total, min/max per-key counts, and
@@ -1511,6 +1559,7 @@ object Events {
     "q_scd2_intervals" -> scd2Intervals,
     "q_retention" -> retention,
     "q_skew_metrics" -> skewMetrics,
+    "q_mad_anomalies" -> madAnomalies,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,
     "q_approx_distinct" -> approxDistinct,
