@@ -288,6 +288,34 @@ class QueriesSpec extends AnyFunSuite {
       (3L, "ab", "ab", 2L), (4L, "aa", "a", 1L)))
   }
 
+  test("zorder: the div/mod bit interleave computes the textbook Morton code") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    // xq=3 (bits 1,1,0 at even positions), yq=5 (bits 1,0,1 at odd):
+    // z = 1 + 2 + 4 + 0 + 0 + 32 = 39; plus identities and the max corner
+    def z(xq: String, yq: String): String =
+      (0 until 8).map { k =>
+        val p = 1L << k
+        s"(($xq div $p) % 2) * ${1L << (2 * k)} + (($yq div $p) % 2) * ${1L << (2 * k + 1)}"
+      }.mkString(" + ")
+    val rows = Seq((3L, 5L), (0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L))
+      .toDF("xq", "yq")
+      .select(expr(z("xq", "yq")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(39L, 0L, 0x5555L, 0xAAAAL, 0xFFFFL))
+  }
+
+  test("content-addressed rows are identical under independent recomputation") {
+    // the reproducibility these rows PROMISE (re-runs select the same
+    // rows/buckets) — recompute each from scratch and compare exactly
+    for (name <- Seq("q_domain_caps", "q_zorder_layout", "q_retention",
+      "q_gopher_rules", "q_mad_anomalies")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+      val b = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name drifted between runs")
+    }
+  }
+
   test("media features pipeline preserves one row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val feats = Media.features(spark, sf)
