@@ -161,7 +161,38 @@ object Multimodal {
        |            AS BIGINT) AS zero_crossings
        |FROM b""".stripMargin) { (spark, dir) => Media.audioFeatures(spark, dir) }
 
+  /** REAL video decode + frame sampling over the Y4M source: payloads are
+    * genuine YUV4MPEG2 streams decoded through the actual header-parse +
+    * FRAME-marker walk ([[Media.decodeY4m]]), every 2nd CONTAINER frame
+    * sampled, features integer-exact. The oracle replays the frame
+    * packing arithmetically (pure-ASCII precondition as ever): content
+    * byte i sits in frame `i div 384` (32x4 C444 = 384 bytes/frame,
+    * zero-padded), so each sampled frame's byte sum is the sum of its
+    * content positions — the padding contributes 0 and every frame holds
+    * at least one content byte by construction.
+    */
+  val mediaVideoFrames: QueryDef = QueryDef(
+    s"""WITH m AS (SELECT doc_id, string_split(text, '') AS chs
+       |           FROM documents
+       |           WHERE source = '${Media.Y4mSource}' AND len(text) > 0),
+       |g AS (SELECT doc_id, len(chs) AS nb,
+       |             unnest([{'f': (i - 1) // ${Media.Y4mFrameBytes},
+       |                      'b': ascii(chs[i])}
+       |                     for i in range(1, len(chs) + 1)]) AS u
+       |      FROM m),
+       |s AS (SELECT doc_id, any_value(nb) AS nb, u.f AS frame_idx,
+       |             CAST(sum(u.b) AS BIGINT) AS sum_bytes
+       |      FROM g GROUP BY doc_id, u.f)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |       CAST(greatest(1, (nb + ${Media.Y4mFrameBytes - 1}) // ${Media.Y4mFrameBytes})
+       |            AS BIGINT) AS n_frames,
+       |       sum_bytes
+       |FROM s WHERE frame_idx % 2 = 0""".stripMargin) { (spark, dir) =>
+    Media.videoFrameFeatures(spark, dir)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_media_video" -> mediaVideoFrames,
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,
     "q_media_frames" -> mediaFrames,

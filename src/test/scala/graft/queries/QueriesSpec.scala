@@ -203,6 +203,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M codec: frame round-trip, tag tolerance, malformed throw") {
+    // round-trip: 900 bytes -> 3 frames of 384 with zero padding
+    val content = Array.tabulate[Byte](900)(i => (i * 11 % 251).toByte)
+    val clip = Media.decodeY4m(Media.encodeY4m(content))
+    assert(clip.width == 32 && clip.height == 4 && clip.frames.length == 3)
+    assert(clip.frames.flatten.take(900).toSeq == content.toSeq)
+    assert(clip.frames.flatten.drop(900).forall(_ == 0))
+    val empty = Media.decodeY4m(Media.encodeY4m(Array.emptyByteArray))
+    assert(empty.frames.length == 1 && empty.frames.head.forall(_ == 0))
+    // a foreign-producer stream: unknown X header tag, per-frame params
+    val hand = ("YUV4MPEG2 W2 H1 F30:1 Ip A1:1 C444 XCOLORRANGE=FULL\n" +
+      "FRAME Ip\n").getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val foreign = Media.decodeY4m(hand)
+    assert(foreign.width == 2 && foreign.frames.head.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    intercept[IllegalArgumentException] {
+      Media.decodeY4m("JUNK W2 H1 C444\nFRAME\n??????".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // C420 default: only C444 decodable
+      Media.decodeY4m(("YUV4MPEG2 W2 H1\nFRAME\n" + "abc").getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated frame
+      Media.decodeY4m(Media.encodeY4m(content).dropRight(7))
+    }
+  }
+
   test("audioStats: integer mean centering, energy, strict-pair crossings") {
     // samples 100,200,100,200: mu = 150, energy = 4*2500, signs -,+,-,+
     val (n1, e1, c1) = Media.audioStats(Array[Byte](100, 200.toByte, 100, 200.toByte))
