@@ -65,8 +65,12 @@ object AnnIvf {
     * (the fit is seeded and layout-free, so a re-fit reproduces the same
     * cells in-session).
     */
-  private val fitCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+  // Bounded to one (dir, nCells) per session (VERDICT r10 #6): switching
+  // dirs unpersists the previous dir's assignment frame instead of pinning
+  // every visited dir's frames for the session's lifetime. The release
+  // unpersists the assigned frame only — the centroid table is a literal.
+  private[queries] val fitCache =
+    new SessionMemo[(String, Int), (DataFrame, DataFrame)](_._1.unpersist(false))
 
   /** One KMeans fit + full-corpus cell assignment + per-query probe-cell
     * selection — the coarse-quantizer machinery shared by the float scoring
@@ -114,7 +118,7 @@ object AnnIvf {
   private def fitAssign(
       spark: SparkSession,
       dir: String,
-      nCells: Int): (DataFrame, DataFrame) = fitCache.getOrElseUpdate((spark, dir, nCells), {
+      nCells: Int): (DataFrame, DataFrame) = fitCache.getOrElseUpdate(spark, (dir, nCells)) {
     graft.functions.VectorOps.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
@@ -148,7 +152,7 @@ object AnnIvf {
       .toDF("cell", "cvec")
       .withColumn("cnorm2", expr("dot_product(cvec, cvec)"))
     (assigned, centDF)
-  })
+  }
 
   private def ivfCandidates(
       spark: SparkSession,

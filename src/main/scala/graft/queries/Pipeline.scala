@@ -378,11 +378,14 @@ object Pipeline {
     * gate stays exact, and the semantics are exactly what a production
     * hash-gram pipeline ships.
     */
-  private val gramFrameCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  // Bounded to one (dir, width) per session (VERDICT r10 #6): switching
+  // dirs unpersists the previous dir's gram frame instead of pinning every
+  // visited dir's frame for the session's lifetime.
+  private[queries] val gramFrameCache =
+    new SessionMemo[(String, Int), DataFrame](_.unpersist(false))
 
   private def posGrams(spark: SparkSession, dir: String, width: Int = DupNGram): DataFrame = {
-    val df = gramFrameCache.getOrElseUpdate((spark, dir, width), {
+    val df = gramFrameCache.getOrElseUpdate(spark, (dir, width)) {
       graft.functions.PolyHash.register(spark)
       val words = split(col("text"), " ")
       val grams = transform(
@@ -394,7 +397,7 @@ object Pipeline {
         .select(col("doc_id"), posexplode(grams).as(Seq("p0", "gram")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"),
           expr("poly_hash(gram)").as("ghash"))
-    })
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
@@ -1014,11 +1017,15 @@ object Pipeline {
   /** Weighted systematic PPS sampling (probability proportional to size):
     * walk the corpus in content-addressed (fingerprint, doc_id) order,
     * accumulate document weights (n_chars), and draw the document covering
-    * every multiple of `stride = total_weight div K` — the classical
-    * systematic PPS design: inclusion probability ∝ weight, exactly K
-    * draws, fully deterministic (re-runs and re-partitions select the SAME
-    * documents). A document heavier than the stride can cover several
-    * boundaries; `n_draws` is that multiplicity, which unbiased PPS
+    * each of the K scaled boundaries `i·total_weight div K` (i = 1..K) —
+    * the classical systematic PPS design: inclusion probability ∝ weight,
+    * EXACTLY K draws for any corpus with positive total weight (the
+    * boundary count telescopes to `(cum_max·K) div total = K`, with no
+    * minimum-corpus precondition — an integer stride `total div K` would
+    * overdraw when total < K² and divide by zero when total < K), fully
+    * deterministic (re-runs and re-partitions select the SAME documents).
+    * A document heavier than `total/K` can cover several boundaries;
+    * `n_draws` is that multiplicity, which unbiased PPS
     * estimators need. Complements [[sampleStratified]] (per-group quotas)
     * and [[sampleTokenBudget]] (per-group budgets) with the corpus-global
     * weighted design.
@@ -1044,12 +1051,12 @@ object Pipeline {
        |             sum(w) OVER (ORDER BY fp, doc_id ROWS UNBOUNDED PRECEDING) AS cum
        |      FROM f),
        |s AS (SELECT doc_id, w, cum,
-       |             (SELECT sum(n_chars) // $PpsDraws FROM documents) AS stride
+       |             (SELECT greatest(sum(n_chars), 1) FROM documents) AS tot
        |      FROM c)
        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
-       |       CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_draws
+       |       CAST((cum * $PpsDraws) // tot - ((cum - w) * $PpsDraws) // tot AS BIGINT) AS n_draws
        |FROM s
-       |WHERE cum // stride > (cum - w) // stride""".stripMargin) { (spark, dir) =>
+       |WHERE (cum * $PpsDraws) // tot > ((cum - w) * $PpsDraws) // tot""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val nPart = spark.sessionState.conf.numShufflePartitions
     val f = spark.read.parquet(t(dir, "documents"))
@@ -1067,18 +1074,21 @@ object Pipeline {
     val offsets = ranged.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
       .withColumn("offset", coalesce(sum(col("pw")).over(offW), lit(0L)))
       .select(col("pid"), col("offset"))
-    // `div`, not `/`: Column `/` is double division (q_skew_metrics rule)
-    val stride = f.agg(sum(col("w")).as("sw"))
-      .select(expr(s"sw div $PpsDraws").as("stride"))
+    // `div`, not `/`: Column `/` is double division (q_skew_metrics rule).
+    // greatest(·,1) guards the all-zero-weight corpus: cum is then 0
+    // everywhere, so no boundary is crossed and the result is empty rather
+    // than a division by zero.
+    val total = f.agg(sum(col("w")).as("sw"))
+      .select(greatest(col("sw"), lit(1L)).as("tot"))
     ranged
       .withColumn("lcum", sum(col("w")).over(localW))
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("cum", col("offset") + col("lcum"))
-      .crossJoin(broadcast(stride))
-      .filter(expr("cum div stride > (cum - w) div stride"))
+      .crossJoin(broadcast(total))
+      .filter(expr(s"(cum * $PpsDraws) div tot > ((cum - w) * $PpsDraws) div tot"))
       .select(col("doc_id"), col("w").cast("long").as("w"),
         col("cum").cast("long").as("cum"),
-        expr("cum div stride - (cum - w) div stride").as("n_draws"))
+        expr(s"(cum * $PpsDraws) div tot - ((cum - w) * $PpsDraws) div tot").as("n_draws"))
   }
 
   /** Gopher-style quality rule panel (Rae et al., arXiv:2112.11446, the

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped single-key memo for expensive persisted frames
+  * (VERDICT r10 #6): the IVF coarse quantizer and the shared gram frame
+  * were memoized in unbounded TrieMaps keyed by (session, dir, …), so a
+  * long-lived session touching many sf dirs pinned every dir's persisted
+  * DataFrames forever. This memo keeps AT MOST ONE key per SparkSession:
+  * fetching a new key first evicts the session's other entries and runs
+  * the caller's `release` on each (unpersist — the frames are persisted,
+  * never lineage-truncated, so a stale downstream plan that still
+  * references an evicted frame recomputes it instead of failing).
+  *
+  * The single-key policy matches the access pattern — Verify/Bench/user
+  * sessions work one sf dir at a time with occasional dir switches — and
+  * makes the storage bound independent of how many dirs a session visits.
+  */
+private[queries] final class SessionMemo[K, V](release: V => Unit) {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
+
+  def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V =
+    cache.get((spark, key)) match {
+      case Some(v) => v
+      case None =>
+        cache.keys.toSeq
+          .filter { case (s, k) => (s eq spark) && k != key }
+          .foreach(k => cache.remove(k).foreach(release))
+        cache.getOrElseUpdate((spark, key), build)
+    }
+
+  /** Test hook: live keys for a session. */
+  private[queries] def keysFor(spark: SparkSession): Seq[K] =
+    cache.keys.collect { case (s, k) if s eq spark => k }.toSeq
+}

@@ -138,8 +138,14 @@ object Sources {
     val out = FileSources.cacheDir("observe", dir, "documents.parquet")
     pass.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     val m = obs.get
-    Seq((m("n_rows").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
-      m("min_chars").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+    // When the filter passes zero rows, sum/min/max observe as SQL NULL;
+    // `null.asInstanceOf[Long]` would silently unbox to 0L and diverge from
+    // the oracle's NULLs, so carry the aggregates as Option[Long] and let the
+    // encoder emit nullable BIGINT columns that match the oracle exactly.
+    def optLong(key: String): Option[Long] =
+      Option(m(key)).map(_.asInstanceOf[Long])
+    Seq((m("n_rows").asInstanceOf[Long], optLong("sum_chars"),
+      optLong("min_chars"), optLong("max_chars")))
       .toDF("n_rows", "sum_chars", "min_chars", "max_chars")
   }
 

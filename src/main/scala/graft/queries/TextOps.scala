@@ -338,8 +338,14 @@ object TextOps {
     * the pair count collapsing map-side to the pair vocabulary and the
     * argmax a 1-row driver collect per round (k=1 driver aggregate —
     * justified, it IS the merge-table entry). Each round's symbol table is
-    * persisted and all intermediates are unpersisted before returning;
-    * the returned merge table is a literal frame with no lineage.
+    * an eager localCheckpoint; once round r+1 materializes, round r's
+    * blocks are explicitly released (see [[releaseCheckpoint]] — Dataset
+    * .unpersist cannot do it, the blocks never went through the cache
+    * manager), so at any moment at most two vocabulary-sized frames are
+    * resident and repeated bench iterations accumulate nothing. The train
+    * path also releases the FINAL frame (its merge table is a literal);
+    * the apply path must keep it until the returned plan executes — its
+    * lineage is truncated, so an early release would be unrecoverable.
     */
   private val BpeRounds = 5
 
@@ -397,6 +403,18 @@ object TextOps {
     * not survive a Bench cache sweep, and a timed q_bpe_apply run must
     * pay the full train cost honestly (the shared-gram-frame rule).
     */
+  /** Release the block-manager storage behind an eager `localCheckpoint`.
+    * `Dataset.unpersist` only consults the cache manager, which never saw
+    * these blocks (localCheckpoint persists the internal RDD directly), so
+    * reach into the plan's `LogicalRDD` leaf and unpersist that RDD. Only
+    * safe for frames nothing will touch again: the lineage was truncated,
+    * so released blocks cannot be recomputed.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   private def bpeTrainRun(
       spark: SparkSession,
       dir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
@@ -459,6 +477,10 @@ object TextOps {
               Window.partitionBy(col("word")).orderBy(col("pos"))))
             .select(col("word"), col("freq"), col("pos"), col("sym"))
             .localCheckpoint(true)
+          // next is eagerly materialized above; the previous round's
+          // checkpoint blocks are now unreachable — free them instead of
+          // waiting for the context cleaner.
+          releaseCheckpoint(syms)
           syms = next
         }
       }
@@ -474,8 +496,11 @@ object TextOps {
   }) { (spark, dir) =>
     import spark.implicits._
     // the returned merge table is a literal frame with no lineage into
-    // the checkpointed scaffolding
-    bpeTrainRun(spark, dir)._1.toDF("round", "a", "b", "cnt")
+    // the checkpointed scaffolding — so the final symbol frame can be
+    // released immediately (the apply path, which does need it, keeps it)
+    val (merges, finalSyms) = bpeTrainRun(spark, dir)
+    releaseCheckpoint(finalSyms)
+    merges.toDF("round", "a", "b", "cnt")
   }
 
   /** BPE tokenizer APPLY at corpus scale — the other half of

