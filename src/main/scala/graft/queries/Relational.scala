@@ -314,40 +314,42 @@ object Relational {
       |WHERE l_partkey <= (SELECT min(l_partkey) +
       |                           (max(l_partkey) - min(l_partkey)) // 16
       |                    FROM lineitem)""".stripMargin) { (spark, dir) =>
-    import graft.sources.FileSources
-    def zExpr(xq: String, yq: String): String =
-      (0 until 8).map { k =>
-        val p = 1L << k
-        s"(($xq div $p) % 2) * ${1L << (2 * k)} + (($yq div $p) % 2) * ${1L << (2 * k + 1)}"
-      }.mkString(" + ")
-    val li = spark.read.parquet(t(dir, "lineitem"))
-      .select(col("l_partkey"), col("l_suppkey"))
-    val Array(b) = li.agg(
-      min(col("l_partkey")).as("xmin"), max(col("l_partkey")).as("xmax"),
-      min(col("l_suppkey")).as("ymin"), max(col("l_suppkey")).as("ymax"))
-      .collect()
-    val (xmin, xmax, ymin, ymax) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val hi = xmin + (xmax - xmin) / 16 // the planning predicate bound
-    val out = FileSources.cacheDir("zorder", dir, "lineitem.parquet")
-    FileSources.writeOnce(out) { o =>
-      li.withColumn("xq", expr(s"(l_partkey - $xmin) * 256 div ${xmax - xmin + 1}"))
-        .withColumn("yq", expr(s"(l_suppkey - $ymin) * 256 div ${ymax - ymin + 1}"))
-        .withColumn("zbucket", expr(s"(${zExpr("xq", "yq")}) div 256"))
-        .drop("xq", "yq")
-        .repartition(col("zbucket"))
-        .write.partitionBy("zbucket")
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
-    }
-    val clustered = spark.read.option("basePath", out).parquet(out)
-    // zone-map consult = the planner step: 256 rows to the driver
-    val zones = clustered.groupBy(col("zbucket"))
-      .agg(min(col("l_partkey")).as("min_pk"))
-      .collect()
-    val qualifying = zones.filter(_.getAs[Long]("min_pk") <= hi)
-      .map(_.getAs[Int]("zbucket")).toSeq
-    clustered
-      .filter(col("zbucket").isin(qualifying: _*) && col("l_partkey") <= hi)
+    import graft.sources.ZonedParquet
+    val z = ZonedParquet.cluster(spark, dir, "lineitem", "l_partkey", "l_suppkey")
+    val hi = z.xMin + (z.xMax - z.xMin) / 16 // the planning predicate bound
+    ZonedParquet.prunedScan(z, "l_partkey", hi)
+      .agg(count(lit(1)).as("n"), sum(col("l_suppkey")).as("sum_sk"))
+  }
+
+  /** The LAYOUT-AWARE JOIN the reusable [[graft.sources.ZonedParquet]]
+    * helper exists for (VERDICT r10 #7): the dimension-side predicate
+    * (`p_partkey` in the bottom 1/16th of the key range) prunes the FACT
+    * side's Morton buckets through the zone map BEFORE the join — the
+    * star-join companion to [[zorderPrune]]'s plain scan. The shape at
+    * 100 TB: consult planner-sized zone metadata, scan only qualifying
+    * fact buckets (static `PartitionFilters`), broadcast the filtered
+    * dimension, aggregate by brand. The oracle answers the identical join
+    * from the flat tables, so zone-map pruning that dropped a matching
+    * fact row would go red — skip-correctness under a JOIN, which the
+    * prune row alone cannot witness.
+    */
+  val zorderJoin: QueryDef = QueryDef(
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(l_suppkey) AS BIGINT) AS sum_sk
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_partkey <= (SELECT min(l_partkey) +
+      |                           (max(l_partkey) - min(l_partkey)) // 16
+      |                    FROM lineitem)
+      |GROUP BY p_brand""".stripMargin) { (spark, dir) =>
+    import graft.sources.ZonedParquet
+    val z = ZonedParquet.cluster(spark, dir, "lineitem", "l_partkey", "l_suppkey")
+    val hi = z.xMin + (z.xMax - z.xMin) / 16
+    val dim = spark.read.parquet(t(dir, "part"))
+      .filter(col("p_partkey") <= hi)
+      .select(col("p_partkey"), col("p_brand"))
+    ZonedParquet.prunedScan(z, "l_partkey", hi)
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), sum(col("l_suppkey")).as("sum_sk"))
   }
 
@@ -407,6 +409,7 @@ object Relational {
     "q_join_hints" -> joinHints,
     "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,
+    "q_zorder_join" -> zorderJoin,
     "q_zorder_layout" -> zorderLayout,
     "q_rollup" -> rollup,
     "q_cube" -> cube_,

