@@ -399,7 +399,13 @@ object Dedup {
     * unpersist `sh` when done; minhashLsh returns the pairs lazily and
     * leaves `sh` cached for the plan's consumption.
     */
-  private def minhashPairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** LSH candidate pairs + the persisted shingle table — the machinery
+    * shared by Jaccard verification ([[minhashPairsDF]]) and containment
+    * scoring ([[dedupContainment]]): identical buckets, identical caps,
+    * identical pair expansion, so the two similarity notions are measured
+    * over the SAME candidate set.
+    */
+  private def candidatePairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
     val bands = minhashBands(hashedShingles(sh))
     val buckets = bands.groupBy(col("j"), col("band"))
@@ -412,6 +418,11 @@ object Dedup {
     val cand = buckets.select(explode(pairsExpr).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+    (cand, sh)
+  }
+
+  private def minhashPairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (cand, sh) = candidatePairsDF(spark, dir)
     val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
     val pairs = cand.join(x, "doc_a").join(y, "doc_b")
@@ -426,6 +437,48 @@ object Dedup {
     s"""WITH $minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin) { (spark, dir) =>
     minhashPairsDF(spark, dir)._1
+  }
+
+  /** CONTAINMENT scoring over the SAME LSH candidate set as
+    * [[minhashLsh]] — the asymmetric near-dup notion Jaccard misses: when
+    * a short document is embedded inside a long one (boilerplate wrapping,
+    * quote inflation, page-in-page scrapes), the union in Jaccard's
+    * denominator dilutes the score below any dedup threshold while
+    * containment `|A∩B| / min(|A|,|B|)` stays near 1. Broder's original
+    * resemblance/containment pairing — production pipelines (e.g.
+    * Dolma/RefinedWeb-style cleanup) run both. Integer-exact in ppm
+    * (`div` both engines), threshold 60%; every candidate pair comes from
+    * the shared banded buckets, so the two rows are directly comparable
+    * and the oracle replays bucket caps, pair expansion, and the
+    * containment arithmetic identically.
+    *
+    * Scale shape: identical to the Jaccard row — banded LSH candidates
+    * (never all-pairs), the verify join touches candidate rows only, and
+    * the shingle table is the shared persisted frame.
+    */
+  val dedupContainment: QueryDef = QueryDef(
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_common,
+       |       CAST(len(x.shingles) AS BIGINT) AS n_a,
+       |       CAST(len(y.shingles) AS BIGINT) AS n_b,
+       |       CAST(len(list_intersect(x.shingles, y.shingles)) * 1000000
+       |            // least(len(x.shingles), len(y.shingles)) AS BIGINT) AS cont_ppm
+       |FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+       |          JOIN sh y ON y.doc_id = cand.doc_b
+       |WHERE len(list_intersect(x.shingles, y.shingles)) * 1000000
+       |      // least(len(x.shingles), len(y.shingles)) >= 600000""".stripMargin) {
+    (spark, dir) =>
+    val (cand, sh) = candidatePairsDF(spark, dir)
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"))
+      .withColumn("cont_ppm", expr("n_common * 1000000 div least(n_a, n_b)"))
+      .filter(col("cont_ppm") >= 600000)
   }
 
   /** Duplicate-cluster assignment: connected components over the verified
@@ -1095,6 +1148,7 @@ object Dedup {
     "q_dedup_edit_verify" -> editVerify,
     "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_clusters" -> clusters,
     "q_dedup_simhash" -> simhash,
     "q_dedup_ngram_jaccard" -> ngramJaccard,

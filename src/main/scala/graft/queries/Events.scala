@@ -1564,7 +1564,58 @@ object Events {
         .withColumn("max_share_ppm", expr("max_cnt * 1000000 div n_rows"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase) — the product-
+    * analytics sequential-pattern query every event warehouse runs: a user
+    * advances a stage only with an event STRICTLY LATER than their entry
+    * into the previous stage, with first-occurrence chaining (the earliest
+    * qualifying event is the stage timestamp — the standard greedy funnel,
+    * which maximizes conversion counts for strict ordering). One summary
+    * row: total users, then users reaching each stage.
+    *
+    * Scale shape: each stage is a user-keyed aggregate (min over the
+    * filtered event type) joined user-to-user onto the previous stage's
+    * frame — all shuffles are user-bounded, never event-wide; the stage
+    * frames shrink monotonically (funnels only narrow), so Catalyst's AQE
+    * broadcasts them onto the event scan as the funnel deepens. At 100 TB
+    * the three filtered scans collapse onto one source read per stage with
+    * the event-type filter pushed to parquet.
+    */
+  val eventFunnel: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS MATERIALIZED (SELECT user_id, min(tus) AS t1 FROM ev
+      |     WHERE event_type = 'view' GROUP BY 1),
+      |c AS MATERIALIZED (SELECT e.user_id, min(e.tus) AS t2
+      |     FROM ev e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1),
+      |p AS MATERIALIZED (SELECT e.user_id, min(e.tus) AS t3
+      |     FROM ev e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1)
+      |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin) {
+    (spark, dir) =>
+    val ev = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tus") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tus") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    val totals = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    totals
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_event_funnel" -> eventFunnel,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,

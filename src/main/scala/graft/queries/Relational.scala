@@ -405,7 +405,48 @@ object Relational {
         sum(col("l_quantity")).cast("long").as("sum_qty"))
   }
 
+  /** The denormalized star-schema rollup (TPC-H Q5's join topology):
+    * region → nation → customer → orders → lineitem, revenue-ish rollup
+    * per (region, nation). The snowflake dimension chain
+    * (region⋈nation⋈customer) folds into ONE broadcast build side —
+    * Catalyst collapses consecutive broadcast joins, so the fact-side
+    * scans never shuffle for the dimensions; the only wide exchange is
+    * the orders⋈lineitem key join, exactly the one that carries data
+    * volume. At 100 TB this is the canonical star topology: dimensions
+    * broadcast (they are GBs against the fact's TBs), facts co-shuffle
+    * on the join key once, the rollup is map-side combinable on a
+    * 25-nation key space.
+    */
+  val starWide: QueryDef = QueryDef(
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY r_name, n_name""".stripMargin) { (spark, dir) =>
+    val dims = spark.read.parquet(t(dir, "customer"))
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(spark.read.parquet(t(dir, "nation"))
+        .join(broadcast(spark.read.parquet(t(dir, "region"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val orders = spark.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_star_wide" -> starWide,
     "q_join_hints" -> joinHints,
     "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,
