@@ -1614,8 +1614,61 @@ object Events {
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
   }
 
+  /** The STREAMING twin of [[eventFunnel]]: the three-stage machine as
+    * per-user state (graft.streaming.FunnelStream, flatMapGroupsWithState,
+    * no timeout — stage entries are emitted the moment they happen, never
+    * held for a watermark). Because strict first-occurrence chaining is
+    * single-pass in time order, the stream's appended stage rows equal the
+    * batch CTE chain EXACTLY, and the oracle hash-pins that equality —
+    * streaming-vs-batch agreement for a sequential-pattern operator, the
+    * same discipline as the sessionize twins.
+    *
+    * Scale shape: state is three longs per user (bounded by keyspace, not
+    * stream length), one user-keyed shuffle per micro-batch, append-mode
+    * emission with no buffering. On unbounded input the same query runs
+    * with a state TTL for abandoned funnels.
+    */
+  val funnelStream: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS MATERIALIZED (SELECT user_id, min(tus) AS t1 FROM ev
+      |     WHERE event_type = 'view' GROUP BY 1),
+      |c AS MATERIALIZED (SELECT e.user_id, min(e.tus) AS t2
+      |     FROM ev e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1),
+      |p AS MATERIALIZED (SELECT e.user_id, min(e.tus) AS t3
+      |     FROM ev e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1)
+      |SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS tus FROM v
+      |UNION ALL SELECT user_id, CAST(2 AS BIGINT), t2 FROM c
+      |UNION ALL SELECT user_id, CAST(3 AS BIGINT), t3 FROM p""".stripMargin) {
+    (spark, dir) =>
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        import spark.implicits._
+        val q = eventsStream(spark, dir)
+          .select(col("user_id"), col("event_type"), col("tus"))
+          .as[FunnelStream.FunnelEvent]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+            FunnelStream.advance)
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_funnel_stream")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_funnel_stream")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_event_funnel" -> eventFunnel,
+    "q_funnel_stream" -> funnelStream,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,

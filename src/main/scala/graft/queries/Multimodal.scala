@@ -204,7 +204,51 @@ object Multimodal {
     Media.videoFrameFeatures(spark, dir)
   }
 
+  /** Cross-codec decoded-domain equality — the property that makes IMAGE
+    * dedup work at all: the same pixel content stored as PPM, BMP, and PNG
+    * (three genuinely different containers: ASCII header + raw raster,
+    * little-endian structs + bottom-up padded BGR, chunked zlib-compressed
+    * filtered scanlines) must decode to the IDENTICAL RGB raster, so a
+    * fingerprint computed over decoded pixels finds duplicates across
+    * formats where payload hashing cannot. Every `src0` document's content
+    * round-trips through all three real encoders/decoders on the
+    * executors; the gate pins full agreement (any codec bug — a BGR flip,
+    * a scanline filter, a padding slip — drops n_agree below n_docs and
+    * goes red).
+    *
+    * Scale shape: pure per-partition map over the media batch (three
+    * decodes per row, payloads never leave the executor), then a 1-row
+    * aggregate.
+    */
+  val mediaCrossCodec: QueryDef = QueryDef(
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_agree_bmp,
+       |       CAST(count(*) AS BIGINT) AS n_agree_png
+       |FROM documents WHERE source = '${Media.PpmSource}'""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === Media.PpmSource)
+      .select(col("doc_id"), lit("ppm").as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[Media.MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ppm = Media.decodePpm(Media.encodePpm(r.media)).raster
+        val bmp = Media.decodeBmp(Media.encodeBmp(r.media)).raster
+        val png = Media.decodePng(Media.encodePng(r.media)).raster
+        (r.doc_id,
+          if (java.util.Arrays.equals(ppm, bmp)) 1L else 0L,
+          if (java.util.Arrays.equals(ppm, png)) 1L else 0L)
+      }
+    }.toDF("doc_id", "eq_bmp", "eq_png")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("eq_bmp")).as("n_agree_bmp"),
+        sum(col("eq_png")).as("n_agree_png"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_media_cross_codec" -> mediaCrossCodec,
     "q_media_video" -> mediaVideoFrames,
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,

@@ -445,8 +445,92 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("long").as("sum_qty"))
   }
 
+  /** Order-independent table checksum — the migration-validation primitive
+    * for exactly this project's job (did the new engine load the same
+    * table the old one had?): each row serializes canonically
+    * (`|`-joined key/flag columns, quantity as integer), fingerprints
+    * through the codegen'd poly_hash, and the table folds to (count,
+    * XOR of fingerprints, min, max). XOR is the scale-correct combiner:
+    * commutative/associative (partition-order free), never overflows at
+    * ANY row count (a SUM of 2^31-bounded fingerprints would overflow
+    * int64 near 4·10^9 rows), and map-side combinable — the whole check
+    * is one scan plus a 1-row aggregate. Two tables agree on all four
+    * values ⇒ overwhelmingly likely the same multiset of rows; the gate
+    * literally runs the cross-engine case (Spark vs DuckDB over the same
+    * parquet).
+    */
+  val tableChecksum: QueryDef = QueryDef(
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+       |       CAST(min(fp) AS BIGINT) AS min_fp,
+       |       CAST(max(fp) AS BIGINT) AS max_fp
+       |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(s, ''),
+       |                              c -> CAST(ascii(c) AS BIGINT))),
+       |             (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P}) AS fp
+       |      FROM (SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+       |                   CAST(l_partkey AS VARCHAR) || '|' ||
+       |                   CAST(l_suppkey AS VARCHAR) || '|' ||
+       |                   CAST(l_linenumber AS VARCHAR) || '|' ||
+       |                   l_returnflag || '|' || l_linestatus || '|' ||
+       |                   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS s
+       |            FROM lineitem) r) f""".stripMargin) { (spark, dir) =>
+    import graft.functions.PolyHash
+    val rows = spark.read.parquet(t(dir, "lineitem"))
+      .select(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").cast("string")).as("s"))
+    rows.select(PolyHash.polyHash(spark, "s").as("fp"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+  }
+
+  /** Market-basket co-occurrence: top 20 supplier pairs by the number of
+    * orders both appear in — the recommendation/affinity primitive. The
+    * scale-critical choice is HOW pairs materialize: not a self-join
+    * (which shuffles the fact table twice and rejoins it on the hot key)
+    * but the LSH-bucket technique — one groupBy(order) collecting the
+    * distinct sorted supplier set, then IN-ROW pair expansion
+    * (`flatten(transform(...))`) and one pair-keyed count. Per-order
+    * fan-out is bounded by the basket size (k items → k(k-1)/2 pairs, a
+    * few dozen), so the expansion never goes quadratic in the table; the
+    * oracle states the same relation as a plain self-join, proving the
+    * in-row expansion equivalent.
+    */
+  val copurchase: QueryDef = QueryDef(
+    """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM os a JOIN os b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, supp_a, supp_b LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+    val baskets = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+      // single-supplier baskets yield no pairs — and must be dropped BEFORE
+      // the expansion: Spark's sequence(0, -1) descends rather than
+      // returning empty, so an unguarded transform would index out of range
+      .filter(size(col("ss")) >= 2)
+    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ss")) - 2), i =>
+      transform(sequence(i + 1, size(col("ss")) - 1), j =>
+        struct(element_at(col("ss"), i + 1).as("supp_a"),
+          element_at(col("ss"), j + 1).as("supp_b")))))
+    baskets.select(explode(pairsExpr).as("p"))
+      .select(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
+      .groupBy(col("supp_a"), col("supp_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("supp_a"), col("supp_b"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_star_wide" -> starWide,
+    "q_table_checksum" -> tableChecksum,
+    "q_copurchase" -> copurchase,
     "q_join_hints" -> joinHints,
     "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,

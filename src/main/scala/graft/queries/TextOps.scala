@@ -751,6 +751,50 @@ object TextOps {
         col("token"), col("n"))
   }
 
+  /** Out-of-vocabulary rate per language against the top-[[VocabSize]]
+    * GLOBAL vocabulary — the coverage metric every tokenizer/corpus pairing
+    * ships with: a vocabulary fit on the majority language undercovers the
+    * others, and this row quantifies exactly that skew (in exact ppm, so
+    * the gate hashes it). Shares [[vocabBuild]]'s cut rule (count desc,
+    * token) so the two rows describe the same artifact.
+    *
+    * Scale shape: the vocabulary is VocabSize rows — broadcast onto the
+    * token stream for a map-side LEFT join (a token stream at 100 TB
+    * never shuffles for a lookup table); the rollup is lang-keyed and
+    * map-side combinable. One corpus scan total.
+    */
+  val oovRate: QueryDef = QueryDef(
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS n
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |    WHERE token <> '' GROUP BY token
+       |    ORDER BY n DESC, token LIMIT $VocabSize) c),
+       |tok AS (
+       |  SELECT lang, token
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+       |        FROM documents) t
+       |  WHERE token <> '')
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+       |            // count(*) AS BIGINT) AS oov_ppm
+       |FROM tok LEFT JOIN vocab v USING (token)
+       |GROUP BY lang""".stripMargin) { (spark, dir) =>
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(VocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
+
   /** Dataset-card rollup — the per-(lang, source) manifest every released
     * corpus ships: document counts, character and token totals, and the
     * exact-unique document count (via md5 — `n_docs - n_unique` is the
@@ -774,6 +818,7 @@ object TextOps {
   val defs: Map[String, QueryDef] = Map(
     "q_corpus_stats" -> corpusStats,
     "q_vocab_build" -> vocabBuild,
+    "q_oov_rate" -> oovRate,
     "q_lm_score" -> lmScore,
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
     "q_topk_terms_per_lang" -> topkTermsPerLang,
