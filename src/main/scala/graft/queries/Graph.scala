@@ -71,6 +71,16 @@ object Graph {
          |SELECT CAST(node AS BIGINT) AS node, rank
          |FROM r$PrIters ORDER BY rank DESC, node LIMIT 20""".stripMargin) {
       (spark, dir) =>
+      // Set-and-restore a narrow shuffle width for the loop (the BPE
+      // vocabulary-loop rule): every post-edges frame is node- or
+      // edge-sized, where 32-partition shuffles are pure scheduling
+      // overhead; the whole loop executes inside this call (eager
+      // checkpoints), so the restore cannot strand a lazy consumer. On a
+      // real cluster this constant is sized to |E| / executor memory.
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = spark.conf.get(spKey)
+      spark.conf.set(spKey, "8")
+      try {
       val e0 = spark.read.parquet(t(dir, "orders"))
         .select(col("o_orderkey"), (col("o_custkey") * 2).as("u"))
         .join(spark.read.parquet(t(dir, "lineitem"))
@@ -102,6 +112,7 @@ object Graph {
       deg.unpersist(false)
       ranks.select(col("node"), col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
+      } finally spark.conf.set(spKey, spPrev)
     }
   }
 
