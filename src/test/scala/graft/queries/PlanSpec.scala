@@ -492,6 +492,42 @@ class PlanSpec extends AnyFunSuite {
       s"dim predicate must reach the part scan:\n$p")
   }
 
+  test("q_star_wide folds the dimension chain into broadcasts; one key exchange carries data") {
+    val p = plan("q_star_wide")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"region/nation/customer must ride broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only hash exchanges are the orders-lineitem key join + the rollup
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"fact-side shuffles crept in:\n$p")
+  }
+
+  test("q_copurchase expands pairs in-row: one lineitem scan, top-k without global sort") {
+    val p = plan("q_copurchase")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"a self-join would scan lineitem twice:\n$p")
+  }
+
+  test("q_oov_rate broadcasts the vocabulary onto the token stream") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"vocab lookup must be a broadcast left join:\n$p")
+  }
+
+  test("q_table_checksum fingerprints at scan speed and combines map-side") {
+    val p = plan("q_table_checksum")
+    // poly_hash rides the Project directly over the scan (the AQE-wrapped
+    // pre-execution plan hides codegen stars, so pin the operator shape)
+    assert(p.contains("poly_hash(concat_ws"),
+      s"row fingerprinting must be a scan-side projection:\n$p")
+    assert(p.contains("partial_bit_xor"),
+      s"the XOR fold must combine map-side below the exchange:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, // the 1-row final fold only
+      s"checksum must be one scan + one fold:\n$p")
+  }
+
   test("q_retention: key-bounded shuffles only, no window over events") {
     val p = plan("q_retention")
     assert(!p.contains("Window"), p)
