@@ -527,10 +527,106 @@ object Relational {
       .limit(20)
   }
 
+  /** Runtime bloom-filter join pruning — the THIRD runtime optimizer
+    * surface beside DPP (`q_join_dpp`) and exchange reuse
+    * (`q_reused_exchange`): when a selective dimension filter feeds a
+    * SHUFFLE join (the dimension too large or the planner unwilling to
+    * broadcast), Spark builds a bloom filter over the dimension's join
+    * keys at runtime and pushes `might_contain` onto the fact side —
+    * fact rows that cannot match are dropped BEFORE the shuffle, which at
+    * 100 TB is the difference between shuffling the whole fact table and
+    * shuffling the ~2% that survives. The injection thresholds are sized
+    * for real clusters (application side > 10 GB), so this row pins the
+    * conf surface at toy scale by executing under
+    * `applicationSideScanSizeThreshold = 0` with broadcast disabled;
+    * the run happens INSIDE the conf scope (the observeMetrics pattern —
+    * runtime-filter planning reads the conf at execution, so a lazily
+    * returned frame would escape it) and the gate row is the collected
+    * 1-row aggregate. PlanSpec pins `might_contain` in the executed plan;
+    * the oracle answers the plain join, so the filter is proven
+    * result-neutral.
+    */
+  val runtimeFilter: QueryDef = QueryDef(
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 5""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val row = withRuntimeFilterConfs(spark) {
+      runtimeFilterFrame(spark, dir).collect()(0)
+    }
+    Seq((row.getLong(0), row.getLong(1))).toDF("n_items", "sum_qty")
+  }
+
+  /** Conf scope for [[runtimeFilter]]: bloom injection thresholds sized to
+    * fire at toy scale, broadcast disabled so the join actually shuffles
+    * (a broadcast join needs no runtime filter). All confs restore on
+    * exit — safe because every consumer executes INSIDE the scope.
+    */
+  private[queries] def withRuntimeFilterConfs[T](spark: SparkSession)(body: => T): T = {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The joined aggregate behind [[runtimeFilter]], shared with the
+    * PlanSpec pin (which asserts `might_contain` on the EXECUTED plan —
+    * AQE materializes the bloom subquery at runtime).
+    */
+  private[queries] def runtimeFilterFrame(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(t(dir, "part"))
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"))
+    spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_partkey"), col("l_quantity"))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
+  /** Exact per-group median without an approximate sketch — the integer
+    * form every SLA/percentile report wants when the group is small enough
+    * to sort: the LOWER median (k-th smallest, k = (n+1) div 2) of
+    * document length per language, spelled as a rank filter so both
+    * engines pick the identical element (no interpolation, no doubles).
+    * Complements `q_approx_quantiles` (the sketch path for groups too
+    * large to sort): per-group sort IS the honest cost here, and the
+    * lang-partitioned window is key-bounded — L sorts of n_l rows, never
+    * a global sort.
+    */
+  val groupMedian: QueryDef = QueryDef(
+    """SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      |       CAST(n_chars AS BIGINT) AS median_chars
+      |FROM (SELECT lang, n_chars,
+      |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY lang) AS n
+      |      FROM documents) r
+      |WHERE rn = (n + 1) // 2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val all = Window.partitionBy(col("lang"))
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("lang"), col("n").as("n_docs"), col("n_chars").as("median_chars"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_star_wide" -> starWide,
     "q_table_checksum" -> tableChecksum,
     "q_copurchase" -> copurchase,
+    "q_runtime_filter" -> runtimeFilter,
+    "q_group_median" -> groupMedian,
     "q_join_hints" -> joinHints,
     "q_reused_exchange" -> reusedExchange,
     "q_zorder_prune" -> zorderPrune,

@@ -528,6 +528,19 @@ class PlanSpec extends AnyFunSuite {
       s"checksum must be one scan + one fold:\n$p")
   }
 
+  test("q_runtime_filter injects a bloom might_contain on the fact side") {
+    spark.sparkContext.setLogLevel("ERROR")
+    Relational.withRuntimeFilterConfs(spark) {
+      val df = Relational.runtimeFilterFrame(spark, sf)
+      df.collect() // AQE materializes the runtime filter during execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter must prune the fact scan:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"the filter must be built from the dimension keys at runtime:\n$p")
+    }
+  }
+
   test("q_retention: key-bounded shuffles only, no window over events") {
     val p = plan("q_retention")
     assert(!p.contains("Window"), p)
