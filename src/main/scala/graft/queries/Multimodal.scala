@@ -247,8 +247,86 @@ object Multimodal {
         sum(col("eq_png")).as("n_agree_png"))
   }
 
+  /** Perceptual image signature (column-profile aHash) over
+    * ACTUALLY-DECODED rasters — the image-dedup primitive: a 16-bit
+    * signature where bit k says "column block k is at least as bright as
+    * the image average", spelled as the integer cross-multiplication
+    * `16·S_k >= S` (means compared without division — block k holds 1/16th
+    * of each row, so mean_k >= mean ⟺ 16·S_k >= S exactly). Near-dup
+    * images — recompressions, format conversions, brightness-preserving
+    * edits — collide on the signature, and because all three image codecs
+    * decode to the same raster domain ([[mediaCrossCodec]]), the hash
+    * groups duplicates ACROSS formats, which payload hashing cannot.
+    * Each source decodes through its real codec (PPM parse / BMP struct
+    * walk / ImageIO PNG inflate); zero padding contributes 0 to every
+    * block sum, so the oracle replays the arithmetic from content byte
+    * positions (pure-ASCII precondition, as all media oracles).
+    *
+    * Scale shape: per-partition decode + one in-row fold per image; the
+    * signature is 2 bytes per image — the downstream dedup is a 16-bit
+    * groupBy, the cheapest wide op there is.
+    */
+  val mediaPhash: QueryDef = QueryDef(
+    s"""WITH m AS (SELECT doc_id, source, string_split(text, '') AS chs
+       |           FROM documents
+       |           WHERE source IN ('${Media.PpmSource}', '${Media.BmpSource}',
+       |                            '${Media.PngSource}') AND len(text) > 0),
+       |g AS (SELECT doc_id, source, ((u.i - 1) % 96) // 6 AS k, u.b
+       |      FROM (SELECT doc_id, source,
+       |                   unnest([{'i': i, 'b': ascii(chs[i])}
+       |                           for i in range(1, len(chs) + 1)]) AS u
+       |            FROM m) t),
+       |sk AS (SELECT doc_id, source, k, CAST(sum(b) AS BIGINT) AS s_k
+       |       FROM g GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, CAST(sum(s_k) AS BIGINT) AS s FROM sk GROUP BY 1)
+       |SELECT sk.doc_id,
+       |       CASE WHEN sk.source = '${Media.PpmSource}' THEN 'ppm'
+       |            WHEN sk.source = '${Media.BmpSource}' THEN 'bmp'
+       |            ELSE 'png' END AS format,
+       |       CAST(sum(CASE WHEN 16 * s_k >= s
+       |                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS phash
+       |FROM sk JOIN tot ON sk.doc_id = tot.doc_id
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isin(Media.PpmSource, Media.BmpSource, Media.PngSource) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(col("source") === Media.PpmSource, lit("ppm"))
+          .when(col("source") === Media.BmpSource, lit("bmp"))
+          .otherwise(lit("png")).as("format"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[Media.MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val raster = r.format match {
+          case "ppm" => Media.decodePpm(Media.encodePpm(r.media)).raster
+          case "bmp" => Media.decodeBmp(Media.encodeBmp(r.media)).raster
+          case _     => Media.decodePng(Media.encodePng(r.media)).raster
+        }
+        val sk = new Array[Long](16)
+        var s = 0L
+        var i = 0
+        while (i < raster.length) {
+          val b = raster(i) & 0xff
+          sk((i % 96) / 6) += b
+          s += b
+          i += 1
+        }
+        var ph = 0L
+        var k = 0
+        while (k < 16) {
+          if (16L * sk(k) >= s) ph |= 1L << k
+          k += 1
+        }
+        (r.doc_id, r.format, ph)
+      }
+    }.toDF("doc_id", "format", "phash")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_media_cross_codec" -> mediaCrossCodec,
+    "q_media_phash" -> mediaPhash,
     "q_media_video" -> mediaVideoFrames,
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,

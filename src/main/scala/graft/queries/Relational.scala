@@ -621,7 +621,47 @@ object Relational {
       .select(col("lang"), col("n").as("n_docs"), col("n_chars").as("median_chars"))
   }
 
+  /** 2-D skyline (Pareto frontier): the parts no other part dominates on
+    * (size, price) — q dominates p when q is ≤ on both coordinates and
+    * strictly < on at least one (identical points therefore co-survive).
+    * Price in exact integer cents (the file's money rule). The oracle
+    * states dominance directly (NOT EXISTS — quadratic, fine for an
+    * oracle); the engine runs the O(n + |sizes| log |sizes|) sweep:
+    * per-size minimum price (one 50-key aggregate), a running strict
+    * minimum over the sorted SIZE DOMAIN (a window over ≤ |distinct
+    * sizes| rows — domain-sized, never data-sized; the one place a
+    * single-partition window is justified), then one broadcast join back.
+    * A point survives iff it carries its size's min price AND that price
+    * strictly undercuts every smaller size's minimum.
+    */
+  val skyline: QueryDef = QueryDef(
+    """WITH pts AS (
+      |  SELECT p_partkey, p_size,
+      |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part)
+      |SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, cents
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.p_size <= p.p_size AND q.cents <= p.cents
+      |    AND (q.p_size < p.p_size OR q.cents < p.cents))""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = spark.read.parquet(t(dir, "part"))
+      .select(col("p_partkey"), col("p_size"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bySize = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sizeStats = pts.groupBy(col("p_size")).agg(min(col("cents")).as("minc"))
+      .withColumn("prev_min", min(col("minc")).over(bySize))
+    pts.join(broadcast(sizeStats), Seq("p_size"))
+      .filter(col("cents") === col("minc") &&
+        (col("prev_min").isNull || col("cents") < col("prev_min")))
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"), col("cents"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_skyline" -> skyline,
     "q_star_wide" -> starWide,
     "q_table_checksum" -> tableChecksum,
     "q_copurchase" -> copurchase,
