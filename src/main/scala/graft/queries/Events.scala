@@ -1666,9 +1666,124 @@ object Events {
     spark.table("graft_funnel_stream")
   }
 
+  /** Time-series regularization: the per-user DAILY activity series with
+    * gap days materialized (n_events = 0) and the closing value forward-
+    * filled across them — resample + ffill, the transformation every
+    * feature-store/forecasting pipeline runs before a model sees event
+    * data. The close is the last event by the (tus, event_id) total order
+    * (the CDC rule); fills are exact integer cents. Each user's grid spans
+    * their OWN [first, last] active day, so no row is ever null-filled
+    * (day 0 always has events).
+    *
+    * Scale shape: the daily rollup is one user+day-keyed aggregate; the
+    * grid generates IN-ROW (`sequence` over the per-user span — ~30
+    * elements, never a cross join against a calendar table); the
+    * forward fill is a user-partitioned window over the user's grid rows
+    * (days, not events). Everything is keyed by user — no global
+    * anything. At 100 TB the identical plan runs with the window state
+    * bounded by days-per-user.
+    */
+  val gapFill: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |            FROM events),
+      |d AS (SELECT user_id, tus // 86400000000 AS day, event_id, cents, tus,
+      |             row_number() OVER (PARTITION BY user_id, tus // 86400000000
+      |                                ORDER BY tus DESC, event_id DESC) AS rn
+      |      FROM ev),
+      |daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+      |                 max(CASE WHEN rn = 1 THEN cents END) AS close_cents
+      |          FROM d GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span),
+      |joined AS (SELECT g.user_id, g.day,
+      |                  coalesce(dl.n_events, 0) AS n_events, dl.close_cents
+      |           FROM grid g LEFT JOIN daily dl
+      |             ON g.user_id = dl.user_id AND g.day = dl.day)
+      |SELECT user_id, CAST(day AS BIGINT) AS day, n_events,
+      |       CAST(last_value(close_cents IGNORE NULLS)
+      |            OVER (PARTITION BY user_id ORDER BY day
+      |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS close_cents
+      |FROM joined""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val daily = readEvents(spark, dir)
+      .select(col("user_id"), expr(s"tus div $DayUs").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("tus"), col("event_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("cents"), struct(col("tus"), col("event_id"))).as("close_cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val ffill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("close_cents"))
+      .withColumn("close_cents", last(col("close_cents"), ignoreNulls = true).over(ffill))
+  }
+
+  /** The STREAMING form of the table checksum (`q_table_checksum`): the
+    * order-independent XOR fingerprint computed as an unkeyed streaming
+    * aggregation in COMPLETE mode over the event stream — validating an
+    * INGEST against its source without a second batch pass. XOR's
+    * commutativity is what makes the streaming form exact: micro-batch
+    * boundaries, arrival order, and partitioning cannot change the result,
+    * so the final completed row equals the batch fold bit-for-bit (the
+    * oracle). Canonical serialization pins every field (value in integer
+    * cents, time in micros).
+    *
+    * Scale shape: per-batch partial XOR/min/max/count merge into one
+    * grouped state row — state is four longs TOTAL, the cheapest stateful
+    * query there is; complete-mode re-emission is a single row per batch.
+    */
+  val streamChecksum: QueryDef = QueryDef(
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+       |       CAST(min(fp) AS BIGINT) AS min_fp,
+       |       CAST(max(fp) AS BIGINT) AS max_fp
+       |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(s, ''),
+       |                              c -> CAST(ascii(c) AS BIGINT))),
+       |             (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P}) AS fp
+       |      FROM (SELECT CAST(event_id AS VARCHAR) || '|' ||
+       |                   CAST(user_id AS VARCHAR) || '|' ||
+       |                   event_type || '|' ||
+       |                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+       |                   CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS s
+       |            FROM events) r) f""".stripMargin) { (spark, dir) =>
+    import graft.functions.PolyHash
+    PolyHash.register(spark)
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        val q = eventsStream(spark, dir)
+          .select(concat_ws("|",
+            col("event_id").cast("string"), col("user_id").cast("string"),
+            col("event_type"), col("tus").cast("string"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").cast("string")).as("s"))
+          .select(expr("poly_hash(s)").as("fp"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("graft_stream_checksum")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_stream_checksum")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_event_funnel" -> eventFunnel,
     "q_funnel_stream" -> funnelStream,
+    "q_gap_fill" -> gapFill,
+    "q_stream_checksum" -> streamChecksum,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,

@@ -795,6 +795,54 @@ object TextOps {
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
   }
 
+  /** Token–language association by LIFT (PMI without the log): the
+    * feature-selection / domain-signature primitive — which tokens are
+    * over-represented in which language, scored as
+    * `P(t,l) / (P(t)·P(l))` spelled entirely in integer counts:
+    * `lift_ppm = (n_tl · N · 10^6) div (n_t · n_l)` (the log is monotone,
+    * so the RANKING equals PMI's, and integers make the gate exact where
+    * a floating log never could be). Support floor `n_t >= max(N/2000, 5)`
+    * scales with the corpus, so small and large SFs rank the same
+    * vocabulary; top 20 under (lift desc, token, lang).
+    *
+    * Scale shape: one token scan; the (token, lang) and token/lang
+    * marginals are vocabulary-keyed aggregates; the corpus total N is a
+    * broadcast 1-row frame; the lang marginal (L rows) broadcasts; final
+    * top-k is TakeOrderedAndProject. No data-sized shuffle after the
+    * first count.
+    */
+  val tokenLift: QueryDef = QueryDef(
+    """WITH tok AS (SELECT lang, token
+      |             FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |                   FROM documents) t
+      |             WHERE token <> ''),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+      |tl AS (SELECT token, lang, CAST(count(*) AS BIGINT) AS n_tl
+      |       FROM tok GROUP BY 1, 2),
+      |t AS (SELECT token, CAST(sum(n_tl) AS BIGINT) AS n_t FROM tl GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(n_tl) AS BIGINT) AS n_l FROM tl GROUP BY 1)
+      |SELECT token, lang, n_tl,
+      |       CAST((n_tl * nn * 1000000) // (n_t * n_l) AS BIGINT) AS lift_ppm
+      |FROM tl JOIN t USING (token) JOIN l USING (lang) CROSS JOIN n
+      |WHERE n_t >= greatest(nn // 2000, 5)
+      |ORDER BY lift_ppm DESC, token, lang LIMIT 20""".stripMargin) { (spark, dir) =>
+    val tok = spark.read.parquet(t(dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tl = tok.groupBy(col("token"), col("lang")).agg(count(lit(1)).as("n_tl"))
+    val tTot = tl.groupBy(col("token")).agg(sum(col("n_tl")).as("n_t"))
+    val lTot = tl.groupBy(col("lang")).agg(sum(col("n_tl")).as("n_l"))
+    val n = tl.agg(sum(col("n_tl")).as("nn"))
+    tl.join(tTot, "token")
+      .join(broadcast(lTot), "lang")
+      .crossJoin(broadcast(n))
+      .filter(expr("n_t >= greatest(nn div 2000, 5)"))
+      .select(col("token"), col("lang"), col("n_tl"),
+        expr("(n_tl * nn * 1000000) div (n_t * n_l)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("token"), col("lang"))
+      .limit(20)
+  }
+
   /** Dataset-card rollup — the per-(lang, source) manifest every released
     * corpus ships: document counts, character and token totals, and the
     * exact-unique document count (via md5 — `n_docs - n_unique` is the
@@ -819,6 +867,7 @@ object TextOps {
     "q_corpus_stats" -> corpusStats,
     "q_vocab_build" -> vocabBuild,
     "q_oov_rate" -> oovRate,
+    "q_token_lift" -> tokenLift,
     "q_lm_score" -> lmScore,
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
     "q_topk_terms_per_lang" -> topkTermsPerLang,
