@@ -38,6 +38,44 @@ object Sources {
         sum(length(col("text"))).as("total_len"))
   }
 
+  val xmlRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
+    FileSources.documentsViaXml(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_len"))
+  }
+
+  /** BINARY columns at rest — the storage leg of the multimodal contract:
+    * payloads written as a parquet `binary` column, read back, and
+    * verified byte-exact (length + byte sum per row). The media family
+    * decodes payloads in flight; THIS row pins that an opaque blob
+    * survives the writer/reader round trip untouched — the property a
+    * 100 TB image/audio lake rests on. Write-once, fingerprint-cached
+    * like every sibling format; the oracle replays the byte arithmetic
+    * from the text (pure-ASCII precondition, as all media oracles).
+    */
+  val binaryStore: QueryDef = QueryDef(
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(coalesce(list_aggregate(list_transform(string_split(text, ''),
+      |                       c -> CAST(ascii(c) AS BIGINT)), 'sum'), 0)
+      |            AS BIGINT) AS sum_bytes
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    val out = FileSources.cacheDir("binstore", dir, "documents.parquet")
+    FileSources.writeOnce(out) { o =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
+    }
+    spark.read.parquet(out)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        coalesce(aggregate(transform(expr("split(decode(payload, 'UTF-8'), '')"),
+            c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("sum_bytes"))
+  }
+
   val textRoundtrip: QueryDef = QueryDef(oracle) { (spark, dir) =>
     FileSources.documentsViaText(spark, dir)
       .groupBy(col("lang"))
@@ -190,6 +228,8 @@ object Sources {
     "q_source_json" -> jsonRoundtrip,
     "q_source_orc" -> orcRoundtrip,
     "q_source_text" -> textRoundtrip,
+    "q_source_xml" -> xmlRoundtrip,
+    "q_binary_store" -> binaryStore,
     "q_compact_files" -> compactRoundtrip,
     "q_partitioned_scan" -> partitionedScan,
     "q_bucketed_join" -> bucketedJoin)

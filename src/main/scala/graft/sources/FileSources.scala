@@ -115,6 +115,27 @@ object FileSources {
     * and delimiter-free; a production ingest uses the same plan with an
     * escaped encoding.
     */
+  /** documents -> XML -> read back (Spark 4's BUILT-IN XML source — the
+    * spark-xml connector merged upstream): one `<doc>` row element per
+    * document under explicit rowTag, read back with an explicit schema.
+    * The interchange format enterprise corpora still arrive in; same
+    * fingerprint-cached write-once contract as every sibling format.
+    */
+  def documentsViaXml(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir("xml", dir)
+    writeOnce(out) { o =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .coalesce(2)
+        .write.mode(SaveMode.Overwrite)
+        .option("rowTag", "doc").option("rootTag", "docs")
+        .xml(o)
+    }
+    spark.read
+      .option("rowTag", "doc")
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .xml(out)
+  }
+
   def documentsViaText(spark: SparkSession, dir: String): DataFrame = {
     val out = roundtripDir("text", dir)
     writeOnce(out) { o =>

@@ -45,6 +45,29 @@ class ZonedParquetSpec extends AnyFunSuite {
     assert(morton(255, 255) == 65535L && morton(255, 0) == 21845L)
   }
 
+  test("mortonExpr is a bijection [0,255]^2 -> [0,65535] (property, 2k samples)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // deterministic pseudo-random sample of the domain; bijectivity over
+    // the sample = no collisions + every code in range + exact inverse
+    val pts = (0 until 2048).map { i =>
+      val x = (i * 131) % 256
+      val y = (i * 197 + 89) % 256
+      (x, y)
+    }.distinct
+    val got = pts.toDF("xq", "yq")
+      .select(col("xq"), col("yq"), expr(ZonedParquet.mortonExpr("xq", "yq")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(got.map(_._2).distinct.length == pts.length, "collision found")
+    got.foreach { case ((x, y), z) =>
+      assert(z >= 0 && z <= 65535, s"code out of range: $z")
+      // exact inverse: de-interleave even bits -> x, odd bits -> y
+      val xi = (0 until 8).map(k => (((z >> (2 * k)) & 1) << k).toInt).sum
+      val yi = (0 until 8).map(k => (((z >> (2 * k + 1)) & 1) << k).toInt).sum
+      assert(xi == x && yi == y, s"inverse mismatch at ($x, $y): got ($xi, $yi)")
+    }
+  }
+
   test("cluster: every bucket's zone interval contains all its rows (both columns)") {
     spark.sparkContext.setLogLevel("WARN")
     val z = ZonedParquet.cluster(spark, sf, "lineitem", "l_partkey", "l_suppkey")
