@@ -1666,6 +1666,32 @@ object Events {
     spark.table("graft_funnel_stream")
   }
 
+  /** The funnel on `transformWithState` — [[funnelStream]]'s twin on the
+    * new StatefulProcessor surface (graft.streaming.FunnelTws), exactly
+    * as `q_sessionize_tws` twins `q_sessionize_stream`: typed ValueState
+    * under the RocksDB provider, no timers (stage entries emit
+    * immediately). All three funnel rows hash against the ONE batch
+    * oracle — API migration must not move a single stage entry.
+    */
+  val funnelTws: QueryDef = QueryDef(funnelStream.oracle.get) { (spark, dir) =>
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          val q = graft.streaming.FunnelTws.stages(spark, dir).writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("graft_funnel_tws")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+        }
+      }
+    }
+    spark.table("graft_funnel_tws")
+  }
+
   /** Time-series regularization: the per-user DAILY activity series with
     * gap days materialized (n_events = 0) and the closing value forward-
     * filled across them — resample + ffill, the transformation every
@@ -1784,6 +1810,7 @@ object Events {
     "q_funnel_stream" -> funnelStream,
     "q_gap_fill" -> gapFill,
     "q_stream_checksum" -> streamChecksum,
+    "q_funnel_tws" -> funnelTws,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,
