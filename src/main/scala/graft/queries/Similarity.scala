@@ -168,6 +168,110 @@ object Similarity {
   /** Default banding for the test scale factors. */
   val annLsh: QueryDef = lshDef(planes = 16, bands = 2)
 
+  /** k-NN GRAPH construction — the edge-building step of graph-ANN
+    * (HNSW/NSG) and of graph-based dedup/clustering pipelines: top-3
+    * outgoing neighbors for EVERY node (not just a query set), candidates
+    * from the same hyperplane-LSH buckets as [[annLsh]], with the
+    * production bucket cap (first 50 members by vec_id — inactive at test
+    * scale, but the rule is exercised and oracle-replayed, the
+    * MinHash-family discipline). All nodes participate, so there is no
+    * broadcast side: buckets group-collect, pairs expand IN-ROW both
+    * directions, embeddings join back by id for scoring, and the per-node
+    * top-3 is a WindowGroupLimit. Expected bucket size is N/2^bandWidth —
+    * the (planes, bands) knob from [[lshDef]] is what keeps the expansion
+    * linear at any corpus size.
+    */
+  val knnGraph: QueryDef = {
+    val planes = 16
+    val bands = 2
+    val bandWidth = planes / bands
+    val mask = (1L << bandWidth) - 1
+    val graphK = 3
+    val cap = 50
+    def projSql(p: Int): String = {
+      val ws = (0 until dims).map(weight(p, _)).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, ${dims + 1}), d -> CAST(embedding[d] AS DOUBLE) * ($ws)[d]))"
+    }
+    val sigSql = (0 until planes)
+      .map(p => s"CASE WHEN ${projSql(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    val bandValuesSql = (0 until bands).map(j => s"($j)").mkString(", ")
+    QueryDef(
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST($sigSql AS BIGINT) AS sig FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, j, (sig >> ($bandWidth*j)) & $mask AS band
+         |  FROM sigs, (VALUES $bandValuesSql) bj(j)),
+         |bl AS (SELECT j, band, list_sort(list(vec_id))[1:$cap] AS ds
+         |       FROM bands GROUP BY 1, 2),
+         |mem AS (SELECT j, band, unnest(ds) AS vec_id FROM bl WHERE len(ds) >= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+         |         FROM mem a JOIN mem b
+         |           ON a.j = b.j AND a.band = b.band AND a.vec_id <> b.vec_id),
+         |e AS (SELECT vec_id, embedding,
+         |             list_sum(list_transform(range(1, ${dims + 1}),
+         |               d -> CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE)))
+         |               AS norm2
+         |      FROM embeddings),
+         |sc AS (SELECT node, nbr,
+         |              list_sum(list_transform(range(1, ${dims + 1}),
+         |                d -> CAST(q.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE)))
+         |                / sqrt(q.norm2 * c.norm2) AS cosine
+         |       FROM cand JOIN e q ON q.vec_id = cand.node
+         |                 JOIN e c ON c.vec_id = cand.nbr)
+         |SELECT node, nbr, CAST(rank AS INT) AS rank, cosine FROM (
+         |  SELECT node, nbr, cosine,
+         |         row_number() OVER (
+         |           PARTITION BY node ORDER BY cosine DESC, nbr) AS rank
+         |  FROM sc) r
+         |WHERE rank <= $graphK""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorOps.register(spark)
+      val emb = spark.read.parquet(t(dir, "embeddings"))
+      val sig = (0 until planes).map { p =>
+        val ws = (0 until dims).map(w => s"${weight(p, w)}D").mkString("array(", ", ", ")")
+        when(dot("embedding", ws) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bandStructs = (0 until bands).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(col("sig"), bandWidth * j).bitwiseAND(lit(mask)).as("band")))
+      val bandsDF = emb
+        .select(col("vec_id"), sig.cast("long").as("sig"))
+        .select(col("vec_id"), explode(array(bandStructs: _*)).as("bv"))
+        .select(col("vec_id"), col("bv.j").as("j"), col("bv.band").as("band"))
+      val buckets = bandsDF.groupBy(col("j"), col("band"))
+        .agg(slice(array_sort(collect_list(col("vec_id"))), 1, cap).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+        transform(sequence(i + 1, size(col("ds")) - 1), j =>
+          struct(element_at(col("ds"), i + 1).as("a"),
+            element_at(col("ds"), j + 1).as("b")))))
+      val half = buckets.select(explode(pairsExpr).as("p"))
+        .select(col("p.a").as("node"), col("p.b").as("nbr"))
+      val cand = half.unionAll(half.select(col("nbr").as("node"), col("node").as("nbr")))
+        .distinct()
+      val e = emb.select(col("vec_id"), col("embedding"),
+        dot("embedding", "embedding").as("norm2"))
+      // RAW IEEE quotient, not round(·, 4): identical doubles divide
+      // bit-identically in both engines, while decimal rounding diverges
+      // on exact .5 boundaries (the q_embed_centroids rule — this row's
+      // 1370-pair set actually hit one such boundary at sf0.01). The
+      // oracle must then replay the dot product EXACTLY: DuckDB's
+      // list_dot_product accumulates FLOAT lists in float, so the SQL
+      // spells the same in-order double fold VectorOps.dot runs
+      // (CAST each element to DOUBLE, multiply, left-to-right sum).
+      val scored = cand
+        .join(e.select(col("vec_id").as("node"), col("embedding").as("qe"),
+          col("norm2").as("nq")), "node")
+        .join(e.select(col("vec_id").as("nbr"), col("embedding").as("ce"),
+          col("norm2").as("nc")), "nbr")
+        .select(col("node"), col("nbr"),
+          (dot("qe", "ce") / sqrt(col("nq") * col("nc"))).as("cosine"))
+      val w = Window.partitionBy(col("node")).orderBy(col("cosine").desc, col("nbr"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= graphK)
+    }
+  }
+
   /** A second, wider banding through the SAME parameterized builder — pins
     * that the (planes, bands) knob actually works end-to-end on both
     * engines (more selective 8-bit buckets from a 24-bit signature, recall
@@ -720,6 +824,7 @@ object Similarity {
     "q_nn_classify" -> nnClassify,
     "q_ann_topk" -> annTopk,
     "q_ann_lsh" -> annLsh,
+    "q_knn_graph" -> knnGraph,
     "q_ann_lsh_wide" -> annLshWide,
     "q_embed_centroids" -> embedCentroids,
     "q_embed_quantize" -> embedQuantize,
