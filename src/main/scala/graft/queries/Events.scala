@@ -1692,6 +1692,50 @@ object Events {
     spark.table("graft_funnel_tws")
   }
 
+  /** Lag-1 autocorrelation structure of the daily event volume — the
+    * time-series diagnostic behind seasonality detection and anomaly
+    * baselining, kept INTEGER-EXACT: with daily counts c_d and the floor
+    * mean mu = Σc div n, the row emits the raw covariance numerator
+    * Σ(c_d − mu)(c_{d+1} − mu) over consecutive-day pairs and the
+    * variance numerator Σ(c_d − mu)² — the exact integer sufficient
+    * statistics from which r₁ = cov/var derives, without ever touching a
+    * float (the MAD-anomalies discipline: ship the integers, let the
+    * consumer divide).
+    *
+    * Scale shape: one day-keyed aggregate over the stream (days = tiny
+    * keyspace), the lag join is day = day+1 over the DAY table (n rows),
+    * mu broadcasts as a 1-row frame. Nothing event-sized after the first
+    * count.
+    */
+  val autocorr: QueryDef = QueryDef(
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(c) // count(*) AS BIGINT) AS mu
+      |      FROM daily)
+      |SELECT n AS n_days, mu,
+      |       (SELECT CAST(sum((c - mu) * (c - mu)) AS BIGINT) FROM daily, m) AS var_num,
+      |       (SELECT CAST(sum((a.c - mu) * (b.c - mu)) AS BIGINT)
+      |        FROM daily a JOIN daily b ON b.day = a.day + 1, m) AS cov_num
+      |FROM m""".stripMargin) { (spark, dir) =>
+    val DayUs = 86400000000L
+    val daily = readEvents(spark, dir)
+      .select(expr(s"tus div $DayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      expr("sum(c) div count(*)").as("mu"))
+    val varNum = daily.crossJoin(broadcast(m))
+      .agg(sum(expr("(c - mu) * (c - mu)")).as("var_num"))
+    val covNum = daily.select(col("day"), col("c").as("ca"))
+      .join(daily.select((col("day") - 1).as("day"), col("c").as("cb")), "day")
+      .crossJoin(broadcast(m))
+      .agg(sum(expr("(ca - mu) * (cb - mu)")).as("cov_num"))
+    m.select(col("n").as("n_days"), col("mu"))
+      .crossJoin(broadcast(varNum))
+      .crossJoin(broadcast(covNum))
+  }
+
   /** Time-series regularization: the per-user DAILY activity series with
     * gap days materialized (n_events = 0) and the closing value forward-
     * filled across them — resample + ffill, the transformation every
@@ -1811,6 +1855,7 @@ object Events {
     "q_gap_fill" -> gapFill,
     "q_stream_checksum" -> streamChecksum,
     "q_funnel_tws" -> funnelTws,
+    "q_autocorr" -> autocorr,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,

@@ -324,9 +324,53 @@ object Multimodal {
     }.toDF("doc_id", "format", "phash")
   }
 
+  /** Near-duplicate IMAGE PAIRS from the perceptual hash at hamming
+    * distance <= 1, found the scale-correct way: MULTI-PROBE bucketing —
+    * each image emits its signature plus all 16 single-bit flips (17
+    * probes), pairs come from probe-bucket cohabitation, and exact
+    * `bit_count(xor)` verifies — the simhash-dedup banding applied to
+    * images. Two images at distance 0 share every probe, at distance 1
+    * they share exactly the two flipped probes, so the bucket join finds
+    * ALL qualifying pairs; the ORACLE states the predicate directly over
+    * ordered pairs (quadratic — oracle-only), which proves the probe
+    * pruning admits exactly the pairs the full predicate does, the LSH
+    * family's prove-the-pruning contract.
+    *
+    * Scale shape: probes fan out 17× over 2-byte keys, the join touches
+    * bucket cohabitants only, and the verify is a bit op — at 10^9 images
+    * the probe table is the standard simhash dedup index.
+    */
+  val phashPairs: QueryDef = QueryDef(
+    s"""WITH ph AS (
+       |${mediaPhash.oracle.get}
+       |)
+       |SELECT a.doc_id AS doc_a, a.format AS fmt_a,
+       |       b.doc_id AS doc_b, b.format AS fmt_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b
+       |  ON (a.doc_id, a.format) < (b.doc_id, b.format)
+       | AND bit_count(xor(a.phash, b.phash)) <= 1""".stripMargin) { (spark, dir) =>
+    val ph = mediaPhash.fn(spark, dir)
+    // 17 probes per image: the signature and each single-bit flip
+    val probes = (0 until 16).map(k => expr(s"phash ^ ${1L << k}")) :+ col("phash")
+    val probed = ph.select(col("doc_id"), col("format"), col("phash"),
+      explode(array(probes: _*)).as("probe"))
+    val a = probed.select(col("probe"), col("doc_id").as("doc_a"),
+      col("format").as("fmt_a"), col("phash").as("ph_a"))
+    val b = probed.select(col("probe"), col("doc_id").as("doc_b"),
+      col("format").as("fmt_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("probe"))
+      .filter(struct(col("doc_a"), col("fmt_a")) < struct(col("doc_b"), col("fmt_b")))
+      .select(col("doc_a"), col("fmt_a"), col("doc_b"), col("fmt_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_media_cross_codec" -> mediaCrossCodec,
     "q_media_phash" -> mediaPhash,
+    "q_phash_pairs" -> phashPairs,
     "q_media_video" -> mediaVideoFrames,
     "q_media_meta" -> mediaMeta,
     "q_media_features" -> mediaFeatures,
