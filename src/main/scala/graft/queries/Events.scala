@@ -1692,6 +1692,75 @@ object Events {
     spark.table("graft_funnel_tws")
   }
 
+  /** Seasonal traffic heatmap: event counts by (day-of-week, hour-of-day)
+    * — the reporting grid behind capacity planning and anomaly baselines,
+    * computed entirely in integer micros arithmetic (`dow = (day + 4)
+    * mod 7` anchors Thursday = epoch day 0 to ISO dow, hour from the
+    * intra-day remainder) so both engines bucket identically with no
+    * timezone/calendar library in the loop (UTC micros are the canonical
+    * basis, the `tus` rule).
+    *
+    * Scale shape: pure map-side bucketing + one aggregate on a 168-cell
+    * key space; the classic cube cell every monitoring stack
+    * materializes.
+    */
+  val eventsHeatmap: QueryDef = QueryDef(
+    """SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+      |       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    readEvents(spark, dir)
+      .select(expr(s"(tus div $DayUs + 4) % 7").as("dow"),
+        expr(s"(tus % $DayUs) div $HourUs").as("hour"),
+        col("user_id"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** 7-day rolling activity features per user — the feature-engineering
+    * window every behavioral model consumes: for each (user, active day),
+    * the event count and value sum (exact cents) over the trailing 7-day
+    * window, computed with a RANGE frame over the day number — RANGE, not
+    * ROWS, is the load-bearing choice: it windows by TIME distance, so
+    * missing days are handled by the frame semantics themselves with no
+    * grid materialization (the complement of [[gapFill]], which
+    * materializes the grid when the consumer needs every day as a row).
+    *
+    * Scale shape: one user+day-keyed aggregate, then a user-partitioned
+    * range window over each user's DAY rows (bounded by days, not
+    * events). Nothing event-sized after the first count; no global
+    * window anywhere.
+    */
+  val rolling7d: QueryDef = QueryDef(
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(day AS BIGINT) AS day,
+      |       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val daily = readEvents(spark, dir)
+      .select(col("user_id"), expr(s"tus div $DayUs").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("user_id"), col("day"),
+      sum(col("n")).over(w).as("n_7d"),
+      sum(col("cents")).over(w).as("cents_7d"))
+  }
+
   /** Lag-1 autocorrelation structure of the daily event volume — the
     * time-series diagnostic behind seasonality detection and anomaly
     * baselining, kept INTEGER-EXACT: with daily counts c_d and the floor
@@ -1856,6 +1925,8 @@ object Events {
     "q_stream_checksum" -> streamChecksum,
     "q_funnel_tws" -> funnelTws,
     "q_autocorr" -> autocorr,
+    "q_rolling_7d" -> rolling7d,
+    "q_events_heatmap" -> eventsHeatmap,
     "q_cdc_apply" -> cdcApply,
     "q_cdc_apply_stream" -> cdcApplyStream,
     "q_scd2_intervals" -> scd2Intervals,

@@ -660,8 +660,58 @@ object Relational {
       .select(col("p_partkey"), col("p_size").cast("long").as("p_size"), col("cents"))
   }
 
+  /** ANALYZE TABLE — the statistics pass a cost-based optimizer consumes:
+    * per-column distinct counts, null counts, and min/max over one scan,
+    * emitted as (column, stat...) rows via an UNPIVOT of a single
+    * multi-aggregate row. The multi-distinct aggregate plans through
+    * Spark's Expand operator (one scan fanned to one stream per distinct
+    * column — the standard multi-count-distinct strategy); at 100 TB each
+    * exact NDV swaps for `approx_count_distinct`'s HLL with this same
+    * query shape, which is precisely what `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` runs underneath.
+    */
+  val analyzeStats: QueryDef = QueryDef(
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |         count(DISTINCT l_orderkey) AS ndv_orderkey,
+      |         count(DISTINCT l_partkey) AS ndv_partkey,
+      |         count(DISTINCT l_suppkey) AS ndv_suppkey,
+      |         count(DISTINCT l_returnflag) AS ndv_returnflag,
+      |         min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+      |  FROM lineitem)
+      |SELECT col,
+      |       CAST(CASE col WHEN 'l_orderkey' THEN ndv_orderkey
+      |                     WHEN 'l_partkey' THEN ndv_partkey
+      |                     WHEN 'l_suppkey' THEN ndv_suppkey
+      |                     ELSE ndv_returnflag END AS BIGINT) AS ndv,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(min_partkey AS BIGINT) AS min_partkey,
+      |       CAST(max_partkey AS BIGINT) AS max_partkey
+      |FROM s, (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey'),
+      |                ('l_returnflag')) c(col)""".stripMargin) {
+    (spark, dir) =>
+    val s = spark.read.parquet(t(dir, "lineitem"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_suppkey")).as("ndv_suppkey"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"))
+    s.select(expr(
+      """stack(4,
+        |  'l_orderkey', ndv_orderkey,
+        |  'l_partkey', ndv_partkey,
+        |  'l_suppkey', ndv_suppkey,
+        |  'l_returnflag', ndv_returnflag) AS (col, ndv)""".stripMargin),
+      col("n_rows"), col("min_partkey"), col("max_partkey"))
+      .select(col("col"), col("ndv"), col("n_rows"),
+        col("min_partkey"), col("max_partkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_skyline" -> skyline,
+    "q_analyze_stats" -> analyzeStats,
     "q_star_wide" -> starWide,
     "q_table_checksum" -> tableChecksum,
     "q_copurchase" -> copurchase,
