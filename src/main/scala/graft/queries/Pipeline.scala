@@ -1040,6 +1040,77 @@ object Pipeline {
     */
   private val PpsDraws = 25
 
+  /** Contingency table with independence baselines — the lang × source
+    * cross-tabulation plus the exact-integer expected-count NUMERATOR
+    * `row_total · col_total` for every cell (expected = numerator / N; the
+    * consumer divides — the MAD/autocorr ship-the-integers rule, so the
+    * chi-square ingredients are hash-exact). The corpus-mix audit run
+    * before any sampling decision: cells far from their baseline reveal
+    * language-source skew the per-axis marginals hide.
+    *
+    * Scale shape: one scan to the 100-cell aggregate; marginals derive
+    * from the CELLS (never a second corpus pass) and join back broadcast.
+    */
+  val crossTab: QueryDef = QueryDef(
+    """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |               FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+      |c AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source FROM cells GROUP BY 1)
+      |SELECT lang, source, n,
+      |       CAST(n_lang * n_source AS BIGINT) AS expected_num
+      |FROM cells JOIN r USING (lang) JOIN c USING (source)""".stripMargin) {
+    (spark, dir) =>
+    val cells = spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val r = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val c = cells.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    cells.join(broadcast(r), "lang").join(broadcast(c), "source")
+      .select(col("lang"), col("source"), col("n"),
+        (col("n_lang") * col("n_source")).as("expected_num"))
+  }
+
+  /** Completeness audit — per-column null AND empty/blank counts over the
+    * corpus in ONE scan, emitted as (column, n_null, n_blank) rows: the
+    * data-quality report every ingest gate runs first (a column that is
+    * never null but often empty-string is the classic silent-corruption
+    * signature that NOT-NULL constraints miss). Spark side unpivots a
+    * single multi-aggregate row via stack().
+    */
+  val nullAudit: QueryDef = QueryDef(
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+      |         sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS blank_text,
+      |         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+      |         sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1 ELSE 0 END) AS blank_lang,
+      |         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
+      |         sum(CASE WHEN source IS NOT NULL AND trim(source) = '' THEN 1 ELSE 0 END) AS blank_source
+      |  FROM documents)
+      |SELECT col,
+      |       CAST(CASE col WHEN 'text' THEN null_text
+      |                     WHEN 'lang' THEN null_lang
+      |                     ELSE null_source END AS BIGINT) AS n_null,
+      |       CAST(CASE col WHEN 'text' THEN blank_text
+      |                     WHEN 'lang' THEN blank_lang
+      |                     ELSE blank_source END AS BIGINT) AS n_blank,
+      |       CAST(n_rows AS BIGINT) AS n_rows
+      |FROM s, (VALUES ('text'), ('lang'), ('source')) v(col)""".stripMargin) {
+    (spark, dir) =>
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    def blanks(c: String) =
+      sum(when(col(c).isNotNull && trim(col(c)) === "", 1L).otherwise(0L)).as(s"blank_$c")
+    spark.read.parquet(t(dir, "documents"))
+      .agg(count(lit(1)).as("n_rows"),
+        nulls("text"), blanks("text"), nulls("lang"), blanks("lang"),
+        nulls("source"), blanks("source"))
+      .select(expr(
+        """stack(3,
+          |  'text', null_text, blank_text,
+          |  'lang', null_lang, blank_lang,
+          |  'source', null_source, blank_source) AS (col, n_null, n_blank)""".stripMargin),
+        col("n_rows"))
+  }
+
   val samplePps: QueryDef = QueryDef(
     s"""WITH f AS (
        |  SELECT doc_id, n_chars AS w,
@@ -1155,6 +1226,8 @@ object Pipeline {
   val defs: Map[String, QueryDef] = Map(
     "q_gopher_rules" -> gopherRules,
     "q_sample_pps" -> samplePps,
+    "q_cross_tab" -> crossTab,
+    "q_null_audit" -> nullAudit,
     "q_domain_caps" -> domainCaps,
     "q_doc_chunks" -> docChunks,
     "q_decontaminate" -> decontaminate,
