@@ -70,7 +70,8 @@ object AnnIvf {
   // every visited dir's frames for the session's lifetime. The release
   // unpersists the assigned frame only — the centroid table is a literal.
   private[queries] val fitCache =
-    new SessionMemo[(String, Int), (DataFrame, DataFrame)](_._1.unpersist(false))
+    new SessionMemo[(String, Int), (DataFrame, DataFrame)](_._1.unpersist(false),
+      sameGroup = (a, b) => a._1 == b._1) // group by dir: nCells variants coexist
 
   /** One KMeans fit + full-corpus cell assignment + per-query probe-cell
     * selection — the coarse-quantizer machinery shared by the float scoring

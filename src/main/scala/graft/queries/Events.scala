@@ -1627,6 +1627,17 @@ object Events {
     * stream length), one user-keyed shuffle per micro-batch, append-mode
     * emission with no buffering. On unbounded input the same query runs
     * with a state TTL for abandoned funnels.
+    *
+    * ORDERING PRECONDITION (both streaming funnel rows): the machine sorts
+    * within a batch but carries no watermark, so cross-batch equality with
+    * the order-independent batch oracle requires each user's events to
+    * arrive in nondecreasing time order ACROSS batches. Here that holds
+    * structurally: the events table is ONE file, so the whole stream is a
+    * single micro-batch and the in-batch sort is a total order. A
+    * production multi-file deployment either time-orders its ingest files
+    * (the usual log-shipping layout) or adds a watermark + event-time
+    * buffer; an out-of-order cross-batch arrival would miss a stage the
+    * batch CTE counts, and the hash gate would catch exactly that.
     */
   val funnelStream: QueryDef = QueryDef(
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),

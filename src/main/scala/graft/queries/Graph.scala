@@ -100,11 +100,16 @@ object Graph {
         val contrib = ranks
           .join(edges, ranks("node") === edges("u"))
           .groupBy(col("v")).agg(sum(expr("rank div d")).as("c"))
-        ranks = deg
+        val next = deg
           .join(contrib, deg("u") === contrib("v"), "left")
           .select(col("u").as("node"), col("d"),
             (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
           .localCheckpoint(true)
+        // next is materialized; the superseded round's checkpoint blocks
+        // are unreachable — free them now (the BPE-loop rule). The FINAL
+        // frame stays: the returned top-20 plan reads it lazily.
+        Checkpoints.release(ranks)
+        ranks = next
       }
       // the loop has executed; the shared frames release now (the final
       // top-20 reads only the checkpointed last round)

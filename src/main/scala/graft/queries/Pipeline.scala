@@ -382,7 +382,8 @@ object Pipeline {
   // dirs unpersists the previous dir's gram frame instead of pinning every
   // visited dir's frame for the session's lifetime.
   private[queries] val gramFrameCache =
-    new SessionMemo[(String, Int), DataFrame](_.unpersist(false))
+    new SessionMemo[(String, Int), DataFrame](_.unpersist(false),
+      sameGroup = (a, b) => a._1 == b._1) // group by dir: widths coexist
 
   private def posGrams(spark: SparkSession, dir: String, width: Int = DupNGram): DataFrame = {
     val df = gramFrameCache.getOrElseUpdate(spark, (dir, width)) {

@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   * sessions work one sf dir at a time with occasional dir switches — and
   * makes the storage bound independent of how many dirs a session visits.
   */
-private[queries] final class SessionMemo[K, V](release: V => Unit) {
+private[queries] final class SessionMemo[K, V](
+    release: V => Unit,
+    sameGroup: (K, K) => Boolean = (a: K, b: K) => a == b) {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
 
@@ -24,8 +26,12 @@ private[queries] final class SessionMemo[K, V](release: V => Unit) {
     cache.get((spark, key)) match {
       case Some(v) => v
       case None =>
+        // Evict only entries OUTSIDE the new key's group (by default the
+        // exact key): the gram cache groups by dir so DupNGram and FineGram
+        // frames for ONE dir coexist — alternating widths within a sweep
+        // must not thrash the shared frame; only a dir switch evicts.
         cache.keys.toSeq
-          .filter { case (s, k) => (s eq spark) && k != key }
+          .filter { case (s, k) => (s eq spark) && k != key && !sameGroup(k, key) }
           .foreach(k => cache.remove(k).foreach(release))
         cache.getOrElseUpdate((spark, key), build)
     }
@@ -33,4 +39,19 @@ private[queries] final class SessionMemo[K, V](release: V => Unit) {
   /** Test hook: live keys for a session. */
   private[queries] def keysFor(spark: SparkSession): Seq[K] =
     cache.keys.collect { case (s, k) if s eq spark => k }.toSeq
+}
+
+/** Shared helper for iterative driver loops (BPE, PageRank): release the
+  * block-manager storage behind an eager `localCheckpoint`.
+  * `Dataset.unpersist` only consults the cache manager, which never saw
+  * these blocks (localCheckpoint persists the internal RDD directly), so
+  * reach into the plan's `LogicalRDD` leaf and unpersist that RDD. Only
+  * safe for frames nothing will touch again: the lineage was truncated,
+  * so released blocks cannot be recomputed.
+  */
+private[queries] object Checkpoints {
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

@@ -403,17 +403,8 @@ object TextOps {
     * not survive a Bench cache sweep, and a timed q_bpe_apply run must
     * pay the full train cost honestly (the shared-gram-frame rule).
     */
-  /** Release the block-manager storage behind an eager `localCheckpoint`.
-    * `Dataset.unpersist` only consults the cache manager, which never saw
-    * these blocks (localCheckpoint persists the internal RDD directly), so
-    * reach into the plan's `LogicalRDD` leaf and unpersist that RDD. Only
-    * safe for frames nothing will touch again: the lineage was truncated,
-    * so released blocks cannot be recomputed.
-    */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+  /** See [[Checkpoints.release]] — shared with the PageRank loop. */
+  private def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
 
   private def bpeTrainRun(
       spark: SparkSession,
@@ -822,7 +813,8 @@ object TextOps {
       |t AS (SELECT token, CAST(sum(n_tl) AS BIGINT) AS n_t FROM tl GROUP BY 1),
       |l AS (SELECT lang, CAST(sum(n_tl) AS BIGINT) AS n_l FROM tl GROUP BY 1)
       |SELECT token, lang, n_tl,
-      |       CAST((n_tl * nn * 1000000) // (n_t * n_l) AS BIGINT) AS lift_ppm
+      |       CAST((CAST(n_tl AS HUGEINT) * nn * 1000000)
+      |            // (CAST(n_t AS HUGEINT) * n_l) AS BIGINT) AS lift_ppm
       |FROM tl JOIN t USING (token) JOIN l USING (lang) CROSS JOIN n
       |WHERE n_t >= greatest(nn // 2000, 5)
       |ORDER BY lift_ppm DESC, token, lang LIMIT 20""".stripMargin) { (spark, dir) =>
@@ -837,8 +829,14 @@ object TextOps {
       .join(broadcast(lTot), "lang")
       .crossJoin(broadcast(n))
       .filter(expr("n_t >= greatest(nn div 2000, 5)"))
+      // 128-bit numerators (DECIMAL(38,0) / the oracle's HUGEINT): the
+      // int64 form n_tl*nn*1e6 overflows near nn ~ 2*10^7 corpus tokens —
+      // Spark would wrap silently while DuckDB errors, diverging exactly
+      // at the scale the row exists for. The quotient itself is bounded
+      // by 10^6 * nn/n_l (language share), safely BIGINT.
       .select(col("token"), col("lang"), col("n_tl"),
-        expr("(n_tl * nn * 1000000) div (n_t * n_l)").as("lift_ppm"))
+        expr("""CAST((CAST(n_tl AS DECIMAL(38, 0)) * nn * 1000000)
+                div (CAST(n_t AS DECIMAL(38, 0)) * n_l) AS BIGINT)""").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("token"), col("lang"))
       .limit(20)
   }

@@ -120,6 +120,14 @@ object FileSources {
     * document under explicit rowTag, read back with an explicit schema.
     * The interchange format enterprise corpora still arrive in; same
     * fingerprint-cached write-once contract as every sibling format.
+    *
+    * `ignoreSurroundingSpaces` is explicitly DISABLED: the reader's
+    * default trims element text, which would silently shorten any document
+    * with leading/trailing whitespace versus the parquet-side oracle.
+    * Residual precondition (documented like the media rows' pure-ASCII
+    * rule): documents must be non-empty — the XML reader maps an empty
+    * element to NULL, not "", so a zero-length text would round-trip as
+    * NULL and diverge.
     */
   def documentsViaXml(spark: SparkSession, dir: String): DataFrame = {
     val out = roundtripDir("xml", dir)
@@ -132,6 +140,7 @@ object FileSources {
     }
     spark.read
       .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
       .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
       .xml(out)
   }

@@ -24,16 +24,19 @@ object FunnelStream {
   /** Per-user progression; -1 marks an unreached stage. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
 
-  /** flatMapGroupsWithState transition: sort the batch's events by time,
-    * advance the three-stage machine, emit newly reached stages. Ties at
-    * equal timestamps are order-independent: a click at exactly the view's
-    * time fails the STRICT `tus > t1` either way.
+  /** THE transition, shared verbatim by both state APIs ([[advance]] on
+    * flatMapGroupsWithState, [[FunnelTws]] on transformWithState — one
+    * function so a chaining-rule fix can never desynchronize the twins
+    * that pin the same oracle): sort the batch's events by time, advance
+    * the three-stage machine, return the new state plus newly reached
+    * stage rows. Ties at equal timestamps are order-independent: a click
+    * at exactly the view's time fails the STRICT `tus > t1` either way.
     */
-  def advance(
+  def step(
       userId: Long,
-      events: Iterator[FunnelEvent],
-      state: GroupState[FunnelState]): Iterator[StageRow] = {
-    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      s0: FunnelState,
+      events: Iterator[FunnelEvent]): (FunnelState, Vector[StageRow]) = {
+    var s = s0
     val out = Vector.newBuilder[StageRow]
     for (e <- events.toSeq.sortBy(_.tus)) e.event_type match {
       case "view" if s.t1 < 0 =>
@@ -44,7 +47,17 @@ object FunnelStream {
         s = s.copy(t3 = e.tus); out += StageRow(userId, 3L, e.tus)
       case _ => // stage already reached, out of order, or other event type
     }
+    (s, out.result())
+  }
+
+  /** flatMapGroupsWithState adapter over [[step]]. */
+  def advance(
+      userId: Long,
+      events: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[StageRow] = {
+    val (s, rows) = step(userId,
+      state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)), events)
     state.update(s)
-    out.result().iterator
+    rows.iterator
   }
 }

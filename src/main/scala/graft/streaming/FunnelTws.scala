@@ -28,19 +28,12 @@ class FunnelTws extends StatefulProcessor[Long, FunnelEvent, StageRow] {
       userId: Long,
       events: Iterator[FunnelEvent],
       timerValues: TimerValues): Iterator[StageRow] = {
-    var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
-    val out = Vector.newBuilder[StageRow]
-    for (e <- events.toSeq.sortBy(_.tus)) e.event_type match {
-      case "view" if s.t1 < 0 =>
-        s = s.copy(t1 = e.tus); out += StageRow(userId, 1L, e.tus)
-      case "click" if s.t1 >= 0 && s.t2 < 0 && e.tus > s.t1 =>
-        s = s.copy(t2 = e.tus); out += StageRow(userId, 2L, e.tus)
-      case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.tus > s.t2 =>
-        s = s.copy(t3 = e.tus); out += StageRow(userId, 3L, e.tus)
-      case _ =>
-    }
+    // the SHARED transition (FunnelStream.step): both state APIs must run
+    // the identical machine, so the machine lives in exactly one place
+    val s0 = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+    val (s, rows) = FunnelStream.step(userId, s0, events)
     st.update(s)
-    out.result().iterator
+    rows.iterator
   }
 
   override def handleExpiredTimer(
@@ -57,6 +50,9 @@ object FunnelTws {
     */
   def stages(spark: SparkSession, dir: String): Dataset[StageRow] = {
     import spark.implicits._
+    // conf pins mirror SessionizeTws.sessions: set for direct callers, not
+    // restored here because the returned stream is lazy — the gate row
+    // wraps execution in withEventReadConfs, which restores them
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -41,15 +41,18 @@ class QueriesSpec extends AnyFunSuite {
     // the previous dir's frames instead of pinning them forever.
     spark.sparkContext.setLogLevel("WARN")
     val sfB = "/root/testdata/sf0.01"
+    // eviction groups by DIR: several widths/nCells for one dir coexist
+    // (alternating gram widths within a sweep must not thrash the cache),
+    // but a dir switch evicts every entry of the previous dir
     SparkEntry.queries("q_dup_ngrams")(spark, sf).count()
-    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1) == Seq(sf))
+    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1).distinct == Seq(sf))
     SparkEntry.queries("q_dup_ngrams")(spark, sfB).count()
-    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1) == Seq(sfB),
-      "gram frame for the first dir must be evicted on dir switch")
+    assert(Pipeline.gramFrameCache.keysFor(spark).map(_._1).distinct == Seq(sfB),
+      "gram frames for the first dir must be evicted on dir switch")
     SparkEntry.queries("q_ann_ivf")(spark, sf).count()
-    assert(AnnIvf.fitCache.keysFor(spark).map(_._1) == Seq(sf))
+    assert(AnnIvf.fitCache.keysFor(spark).map(_._1).distinct == Seq(sf))
     SparkEntry.queries("q_ann_ivf")(spark, sfB).count()
-    assert(AnnIvf.fitCache.keysFor(spark).map(_._1) == Seq(sfB),
+    assert(AnnIvf.fitCache.keysFor(spark).map(_._1).distinct == Seq(sfB),
       "IVF quantizer for the first dir must be evicted on dir switch")
     // and the evicted dir still works (recompute, not failure)
     assert(SparkEntry.queries("q_dup_ngrams")(spark, sf).count() > 0)

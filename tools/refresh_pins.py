@@ -61,8 +61,12 @@ for q, obs in sorted(observed.items()):
     prev = existing.get(q)
     pin = min(prev, best) if prev is not None else best
     clamped = False
-    if prev is not None and best < 0.8 * prev and len(obs) < 2:
-        # single-run outlier: don't let one lucky run ratchet the band
+    # Corroboration counts OBSERVATIONS at/below the tightened band, not
+    # how many logs mention the query: with two logs at 0.5 and 1.4
+    # against a 1.2 pin, the 0.5 is still a single uncorroborated outlier.
+    corroborating = sum(1 for v, _ in obs if v < 0.8 * prev) if prev else 0
+    if prev is not None and best < 0.8 * prev and corroborating < 2:
+        # single-observation outlier: don't let one lucky run ratchet the band
         pin = round(0.8 * prev, 3)
         clamped = True
     pins[q] = pin
