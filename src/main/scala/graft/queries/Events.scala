@@ -90,6 +90,19 @@ object Events {
     *                       timezone (EventsReadSpec pins this under three
     *                       zones).
     * EventsReadSpec pins all branches against the same instants.
+    *
+    * NON-NEGATIVE-TUS PRECONDITION (ADVICE r11, beside the UTC-micros
+    * rule): every integer day/hour bucketing row downstream
+    * (eventsHeatmap, rolling7d, gapFill, autocorr, dailyCovariance,
+    * retention) computes buckets with `tus div N`, which truncates
+    * toward zero, while the DuckDB oracle's `//` floors — identical for
+    * tus ≥ 0, off by one day for any pre-1970 timestamp (and the
+    * heatmap's `%`-derived dow/hour phase diverges too, in the ORACLE
+    * itself, so floor-division on the Spark side alone could not close
+    * the gap). Event data is operationally post-1970 and the generator
+    * guarantees it; EventsReadSpec carries a canary asserting
+    * min(tus) ≥ 0 on the test tables so a generator change surfaces as
+    * a named assertion, not a flapping hash gate.
     */
   private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -928,6 +941,26 @@ object Events {
     * stream, per-side 1-hour watermarks, the `[c_tsw, c_tsw + 1h]` time
     * condition, run to completion into a memory sink named `sinkName`.
     */
+  /** Fail-fast guard shared by every streaming row whose cross-batch
+    * correctness rests on the events table being ONE data file (so the
+    * whole stream is a single micro-batch): the interval joins (watermark
+    * eviction replays once) and the funnels (in-batch sort is a total
+    * per-user order). A generator change that splits the file must abort
+    * the query with this message, not surface as a red hash gate.
+    */
+  private def requireSingleEventsFile(
+      dir: String, what: String, why: String): Unit = {
+    val d = new java.io.File(s"$dir/events.parquet")
+    val n =
+      if (d.isDirectory)
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+      else 1
+    require(n == 1,
+      s"$what oracles require a single-file events dataset " +
+        s"(found $n data files in $dir/events.parquet); $why")
+  }
+
   private def runIntervalJoin(
       spark: SparkSession,
       dir: String,
@@ -940,18 +973,8 @@ object Events {
       // dataset would advance the watermark BETWEEN micro-batches — dropping
       // late rows and emitting early null rows the batch oracle cannot
       // replay. Fail loudly if a generator change ever splits the file.
-      val dataFiles = {
-        val d = new java.io.File(s"$dir/events.parquet")
-        val fs = if (d.isDirectory)
-          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
-        else Array(d)
-        fs.length
-      }
-      require(dataFiles == 1,
-        s"stream interval-join oracles require a single-file events dataset " +
-          s"(found $dataFiles data files in $dir/events.parquet); the batch " +
-          "oracle cannot replay per-micro-batch watermark eviction")
+      requireSingleEventsFile(dir, "stream interval-join",
+        "the batch oracle cannot replay per-micro-batch watermark eviction")
       def side(tpe: String, pre: String): DataFrame =
         eventsStream(spark, dir)
           .filter(col("event_type") === tpe)
@@ -1655,6 +1678,9 @@ object Events {
     (spark, dir) =>
     import graft.streaming.FunnelStream
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    requireSingleEventsFile(dir, "streaming funnel",
+      "the cross-batch per-user ordering precondition only holds when the " +
+        "whole stream is one micro-batch")
     withEventReadConfs(spark) {
       withStreamPartitions(spark, 4) {
         import spark.implicits._
@@ -1685,6 +1711,9 @@ object Events {
     * oracle — API migration must not move a single stage entry.
     */
   val funnelTws: QueryDef = QueryDef(funnelStream.oracle.get) { (spark, dir) =>
+    requireSingleEventsFile(dir, "streaming funnel",
+      "the cross-batch per-user ordering precondition only holds when the " +
+        "whole stream is one micro-batch")
     withEventReadConfs(spark) {
       withStreamPartitions(spark, 4) {
         withStateStoreProvider(spark,

@@ -408,14 +408,17 @@ object Relational {
   /** The denormalized star-schema rollup (TPC-H Q5's join topology):
     * region → nation → customer → orders → lineitem, revenue-ish rollup
     * per (region, nation). The snowflake dimension chain
-    * (region⋈nation⋈customer) folds into ONE broadcast build side —
-    * Catalyst collapses consecutive broadcast joins, so the fact-side
-    * scans never shuffle for the dimensions; the only wide exchange is
-    * the orders⋈lineitem key join, exactly the one that carries data
-    * volume. At 100 TB this is the canonical star topology: dimensions
-    * broadcast (they are GBs against the fact's TBs), facts co-shuffle
-    * on the join key once, the rollup is map-side combinable on a
-    * 25-nation key space.
+    * (region⋈nation⋈customer) narrows to (c_custkey, n_name, r_name);
+    * nation and region are explicitly broadcast (bounded at 25/5 rows
+    * at every scale), but the customer-sized frame carries NO hint
+    * (ADVICE r11): at 100 TB customer is itself tens of GBs, so the
+    * planner must keep the option of co-shuffling orders⋈customer —
+    * AQE broadcasts it anyway when its runtime size clears the
+    * threshold (it does at test SFs), and falls back to a shuffle join
+    * when it does not. The only unavoidable wide exchange is the
+    * orders⋈lineitem key join, exactly the one that carries data
+    * volume; the rollup is map-side combinable on a 25-nation key
+    * space.
     */
   val starWide: QueryDef = QueryDef(
     """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
@@ -436,7 +439,7 @@ object Relational {
       .select(col("c_custkey"), col("n_name"), col("r_name"))
     val orders = spark.read.parquet(t(dir, "orders"))
       .select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"), col("r_name"))
     spark.read.parquet(t(dir, "lineitem"))
       .select(col("l_orderkey"), col("l_quantity"))

@@ -22,18 +22,30 @@ private[queries] final class SessionMemo[K, V](
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
 
+  /** The whole check-evict-build sequence runs under one lock (ADVICE
+    * r11): without it, two concurrent calls for different dirs on the
+    * same session could each evict-and-unpersist the frame the other
+    * just obtained, or build the same frame twice — the TrieMap only
+    * made the individual ops atomic. Contention is irrelevant here
+    * (driver-side, a handful of calls per sweep); holding the lock
+    * across `build` is deliberate, it is what prevents the double
+    * build. Correctness under a lost race was already soft (persisted
+    * frames recompute), the lock removes the wasted work too.
+    */
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V =
-    cache.get((spark, key)) match {
-      case Some(v) => v
-      case None =>
-        // Evict only entries OUTSIDE the new key's group (by default the
-        // exact key): the gram cache groups by dir so DupNGram and FineGram
-        // frames for ONE dir coexist — alternating widths within a sweep
-        // must not thrash the shared frame; only a dir switch evicts.
-        cache.keys.toSeq
-          .filter { case (s, k) => (s eq spark) && k != key && !sameGroup(k, key) }
-          .foreach(k => cache.remove(k).foreach(release))
-        cache.getOrElseUpdate((spark, key), build)
+    cache.synchronized {
+      cache.get((spark, key)) match {
+        case Some(v) => v
+        case None =>
+          // Evict only entries OUTSIDE the new key's group (by default the
+          // exact key): the gram cache groups by dir so DupNGram and FineGram
+          // frames for ONE dir coexist — alternating widths within a sweep
+          // must not thrash the shared frame; only a dir switch evicts.
+          cache.keys.toSeq
+            .filter { case (s, k) => (s eq spark) && k != key && !sameGroup(k, key) }
+            .foreach(k => cache.remove(k).foreach(release))
+          cache.getOrElseUpdate((spark, key), build)
+      }
     }
 
   /** Test hook: live keys for a session. */

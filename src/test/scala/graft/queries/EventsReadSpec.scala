@@ -109,4 +109,19 @@ class EventsReadSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](Events.normalizeTs(bad))
     assert(e.getMessage.contains("unsupported"))
   }
+
+  // ADVICE r11: the day/hour bucketing rows use `tus div N` (truncating)
+  // against a DuckDB `//` (flooring) oracle — identical iff tus ≥ 0. The
+  // precondition is documented at normalizeTs; this canary makes a
+  // generator change that emits pre-1970 timestamps fail HERE by name
+  // instead of flapping the hash gate on six bucketing rows.
+  test("testdata events carry no pre-1970 timestamps (non-negative tus)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val minTus = Events.readEvents(spark, dir)
+      .agg(min(col("tus"))).collect()(0).getLong(0)
+    assert(minTus >= 0L,
+      s"events.tus min is $minTus < 0: the truncating-vs-flooring day " +
+        "bucket divergence documented at Events.normalizeTs is now live")
+  }
 }
