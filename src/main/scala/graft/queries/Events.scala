@@ -1958,7 +1958,132 @@ object Events {
     spark.table("graft_stream_checksum")
   }
 
+  /** Last-touch attribution — the marketing/product analytics primitive:
+    * each purchase's spend (integer cents, the MAD-anomalies discipline)
+    * is credited to the most recent PRECEDING non-purchase event by the
+    * same user (its type standing in for the channel), `'direct'` when
+    * no prior touch exists. The carry is `last(..., ignoreNulls) OVER
+    * (user, ORDER BY tus, event_id ROWS … 1 PRECEDING)` — event_id
+    * breaks micro-timestamp ties so both engines pick the same touch.
+    *
+    * Scale shape: ONE hash exchange on user_id feeding a sort-window,
+    * then a map-side-combinable rollup on a 5-key channel space. The
+    * window never materializes history — `last ignoreNulls` is a
+    * running carry, O(1) state per row. 100 TB of events partitions
+    * cleanly by user; no skew beyond what salting the rollup's 5 keys
+    * would fix (and a 5-key final agg is a non-problem).
+    */
+  val attribution: QueryDef = QueryDef(
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |a AS (
+      |  SELECT event_type, cents,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM ev)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("tus"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  /** Inter-arrival gap statistics per event type — the traffic-model
+    * diagnostic (burstiness, polling cadence, bot detection) computed
+    * integer-exact: per (user, type) consecutive gaps via `lag` under a
+    * (tus, event_id) total order, whole-second floor (`div 1000000` on a
+    * non-negative gap — ordering guarantees the sign, so truncation IS
+    * floor here), folded to (count, sum, min, max) — the sufficient
+    * statistics; consumers derive the mean.
+    *
+    * Scale shape: one exchange on (user_id, event_type), per-partition
+    * sort, O(1) lag state, then a 5-row rollup. The lag-1 window is the
+    * cheapest window Spark has — no frame materialization.
+    */
+  val interarrival: QueryDef = QueryDef(
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |         tus - lag(tus) OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY tus, event_id) AS gap_us
+      |  FROM ev)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       CAST(sum(gap_us // 1000000) AS BIGINT) AS sum_gap_s,
+      |       CAST(min(gap_us // 1000000) AS BIGINT) AS min_gap_s,
+      |       CAST(max(gap_us // 1000000) AS BIGINT) AS max_gap_s
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_s", expr("gap_us div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+  }
+
+  /** Frequent behavior-sequence mining (order-3): the top-20 most common
+    * consecutive event-type trigrams across all users — the
+    * sequential-pattern primitive behind funnel DISCOVERY (the funnels
+    * above verify a known path; this finds the paths worth verifying).
+    * Per-user total order (tus, event_id), `lead(1)`/`lead(2)` assemble
+    * each trigram in place, a global count ranks them. The ORDER BY
+    * (n DESC, seq) + LIMIT 20 is a total order, so the boundary ties at
+    * rank 20 are deterministic in both engines.
+    *
+    * Scale shape: one exchange on user_id, O(1) lead state, then an
+    * aggregate whose key space is ≤ |types|³ (125 here; bounded by the
+    * event vocabulary, not the data) — map-side combine does almost all
+    * the work, and the final top-k sorts a tiny frame.
+    */
+  val seqMine: QueryDef = QueryDef(
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+      |s AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS e2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS e3
+      |  FROM ev)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS seq, CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE e3 IS NOT NULL GROUP BY 1
+      |ORDER BY n DESC, seq LIMIT 20""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("seq"))
+      .groupBy(col("seq")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_attribution" -> attribution,
+    "q_interarrival" -> interarrival,
+    "q_seq_mine" -> seqMine,
     "q_event_funnel" -> eventFunnel,
     "q_funnel_stream" -> funnelStream,
     "q_gap_fill" -> gapFill,

@@ -1224,7 +1224,63 @@ object Pipeline {
           .otherwise(0L)).as("n_kept"))
   }
 
+  /** The end-to-end curation chain — the composition row: language gate →
+    * quality band → exact dedup (keep-min per text) → half-corpus token
+    * budget under the doc_id order, folded to a 1-row audit fingerprint
+    * (count, token sum, id range, XOR of kept ids — the tableChecksum
+    * discipline). Each stage exists as its own gated row; THIS row proves
+    * the stages compose (the real pipeline never runs them one-at-a-time
+    * against fresh scans, it chains them in one plan and Catalyst
+    * collapses the filters into the scan). The budget is sum(tokens)//2
+    * of the deduped survivors — scale-free, so it binds at every SF
+    * instead of going vacuous as the corpus grows.
+    *
+    * Scale shape: the lang+quality filters are scan-pushed predicates
+    * (zero exchange), dedup is one text-keyed aggregate, and the only
+    * non-combinable step is the global cumulative sum, a single-ordered
+    * window — at 100 TB that becomes the two-pass prefix-sum (per-
+    * partition totals to the driver, offsets broadcast back; the
+    * globalIndex row documents the same shape). The budget scalar is a
+    * 1-row aggregate consumed via cross-broadcast, planning state.
+    */
+  val curateE2e: QueryDef = QueryDef(
+    """WITH qf AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000),
+      |dd AS MATERIALIZED (
+      |  SELECT min(doc_id) AS doc_id FROM qf GROUP BY text),
+      |tok AS MATERIALIZED (
+      |  SELECT d.doc_id, CAST(len(string_split(q.text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM dd d JOIN qf q ON q.doc_id = d.doc_id),
+      |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM tok),
+      |cum AS MATERIALIZED (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM tok)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc
+      |FROM cum, b WHERE cum_tokens <= budget""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = spark.read.parquet(t(dir, "documents"))
+      .filter(col("lang") === "en" && col("n_chars").between(100, 20000))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budget = tok.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(doc_id)").as("xor_doc"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_curate_e2e" -> curateE2e,
     "q_gopher_rules" -> gopherRules,
     "q_sample_pps" -> samplePps,
     "q_cross_tab" -> crossTab,

@@ -712,7 +712,81 @@ object Relational {
         col("min_partkey"), col("max_partkey"))
   }
 
+  /** The SQL front door — the same engine surface every BI tool and ad-hoc
+    * analyst uses: temp views registered over the parquet tables, then the
+    * query submitted as TEXT through `spark.sql`, not the DataFrame DSL.
+    * The statement is TPC-H Q3's shape (segment-filtered customers ⋈
+    * orders ⋈ lineitem, unshipped-revenue rollup, top 10) made
+    * integer-exact (price cents × (100 − discount bp) — the engines'
+    * float sums never meet the hash gate). The SAME string is the oracle,
+    * so the row proves Spark's SQL parser/analyzer path and DuckDB agree
+    * on an ANSI join-agg-topk statement verbatim.
+    *
+    * Scale shape: identical to the DataFrame rows — Catalyst plans text
+    * and DSL into the same logical algebra (filters pushed to the scans,
+    * AQE free to broadcast the filtered customer side, map-side partial
+    * aggregation, TakeOrderedAndProject for the top-k). Nothing about
+    * using SQL text costs anything at 100 TB.
+    */
+  val sqlApi: QueryDef = {
+    val stmt =
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+        |                * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_i,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue_i DESC, o_orderkey LIMIT 10""".stripMargin
+    QueryDef(stmt) { (spark, dir) =>
+      Seq("customer", "orders", "lineitem").foreach { name =>
+        spark.read.parquet(t(dir, name)).createOrReplaceTempView(name)
+      }
+      spark.sql(stmt)
+    }
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * primitive: the per-type (count, cents) rollup is computed as two
+    * independent PARTIAL aggregates (events up to a cutoff = the
+    * "materialized" state, events after it = the delta batch) and then
+    * MERGED by summing the partials, never rescanning the base. The gate
+    * hashes the merged state against the oracle's one-shot full
+    * aggregate — the algebraic identity (count and sum are commutative
+    * monoids) that makes incremental refresh sound is what is being
+    * verified. The cutoff is the events' midpoint timestamp, a 1-row
+    * driver aggregate (planning state, like the zone-map consult).
+    *
+    * Scale shape: THE pattern for 100 TB rollups — the base state is
+    * key-sized (|event types|), only the delta is data-sized, and each
+    * refresh costs one scan of the new partition plus a key-sized merge.
+    * Both partial aggregates here map-side combine to 5 rows before any
+    * exchange.
+    */
+  val incrAgg: QueryDef = QueryDef(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val ev = Events.readEvents(spark, dir)
+      .select(col("event_type"), col("tus"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val Array(mid) = ev.agg(
+      expr("(min(tus) + max(tus)) div 2")).collect().map(_.getLong(0))
+    def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    partial(col("tus") <= mid).unionAll(partial(col("tus") > mid))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sql_api" -> sqlApi,
+    "q_incr_agg" -> incrAgg,
     "q_skyline" -> skyline,
     "q_analyze_stats" -> analyzeStats,
     "q_star_wide" -> starWide,
