@@ -2080,7 +2080,40 @@ object Events {
       .limit(20)
   }
 
+  /** Ordered event-path reconstruction per user — the journey string every
+    * product-analytics tool renders and the sequence-model training
+    * pipeline serializes (the event-stream analog of packing token
+    * sequences): all of a user's event types concatenated under the
+    * (tus, event_id) total order. Spark has no ordered string_agg, so the
+    * row pins the canonical reconstruction: collect structs, sort the
+    * ARRAY in-row (`sort_array` orders struct fields lexicographically —
+    * tus first, event_id tie-break), project, join — deterministic
+    * without any window, against DuckDB's native
+    * `string_agg(... ORDER BY ...)`.
+    *
+    * Scale shape: ONE exchange on user_id with partial collect_list on
+    * the map side; per-user state is that user's events (bounded by the
+    * per-entity history, the same budget sessionization already carries —
+    * a user too big for memory is a data-quality problem upstream, the
+    * skew-metrics row's job). No global sort anywhere.
+    */
+  val userJourney: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      |FROM ev GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    readEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("tus"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")),
+          ">").as("path"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_user_journey" -> userJourney,
     "q_attribution" -> attribution,
     "q_interarrival" -> interarrival,
     "q_seq_mine" -> seqMine,

@@ -1279,8 +1279,61 @@ object Pipeline {
         expr("bit_xor(doc_id)").as("xor_doc"))
   }
 
+  /** Contrastive (anchor, positive) pair mining — the self-supervised
+    * training-data op behind embedding-model pretraining (adjacent spans
+    * of the same document are semantic positives): documents re-chunk
+    * under a pair-specific NON-overlapping 24-token grid (the corpus's
+    * docs are shorter than [[ChunkLen]], so the training-chunk grid
+    * would yield one chunk per doc and zero pairs — pair mining always
+    * picks its own granularity), each chunk fingerprints through the
+    * docChunks md5-prefix convention, and consecutive chunks pair via a
+    * lead(1) window per document.
+    *
+    * Scale shape: the chunk fan-out is in-row (explode over a per-doc
+    * sequence, bounded by doc length), the pairing window exchanges once
+    * on doc_id with O(1) lead state. Emitting fingerprints, not text,
+    * keeps the pair table narrow — the actual chunk payloads re-derive
+    * from (doc_id, chunk_id) at batch-assembly time, which is the
+    * layout a 100 TB pair corpus needs anyway.
+    */
+  val chunkPairs: QueryDef = QueryDef(
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |k AS (SELECT doc_id, words, n,
+      |             CAST(ceil(greatest(n - 24, 0) / 24.0) AS BIGINT) AS kmax FROM w),
+      |c AS (SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k),
+      |f AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |             CAST('0x' || substr(md5(array_to_string(
+      |                    words[(i * 24 + 1):least(i * 24 + 24, n)], ' ')), 1, 8) AS BIGINT) AS fp
+      |      FROM c),
+      |p AS (SELECT doc_id, chunk_id, fp,
+      |             lead(fp) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS pos_fp
+      |      FROM f)
+      |SELECT doc_id, chunk_id AS anchor_id, fp AS anchor_fp, pos_fp
+      |FROM p WHERE pos_fp IS NOT NULL""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val PairLen = 24
+    val start = col("i") * PairLen + 1
+    val nTok = least(lit(PairLen), col("n") - col("i") * PairLen)
+    val chunk = concat_ws(" ", slice(col("w"), start, nTok))
+    val chunks = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("kmax",
+        ceil(greatest(col("n") - PairLen, lit(0)) / PairLen.toDouble))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("kmax"))).as("i"))
+      .select(col("doc_id"), col("i").as("anchor_id"),
+        conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("anchor_fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("anchor_id"))
+    chunks
+      .withColumn("pos_fp", lead(col("anchor_fp"), 1).over(w))
+      .filter(col("pos_fp").isNotNull)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_curate_e2e" -> curateE2e,
+    "q_chunk_pairs" -> chunkPairs,
     "q_gopher_rules" -> gopherRules,
     "q_sample_pps" -> samplePps,
     "q_cross_tab" -> crossTab,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions.{count, lit, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape guards: the scale properties claimed in SCALE.md are
@@ -555,5 +556,88 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"scalar moment fold must not shuffle by key:\n$p")
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_sql_api: text route pushes both date filters to the scans, top-k without global sort") {
+    val p = plan("q_sql_api")
+    // The SQL-text front door must get the same Catalyst treatment as the
+    // DSL: segment + date predicates reach the parquet scans, the LIMIT 10
+    // plans as TakeOrderedAndProject.
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_curate_e2e: lang and quality gates are scan-pushed predicates") {
+    val p = plan("q_curate_e2e")
+    assert(p.contains("EqualTo(lang,en)"), p)
+    assert(p.contains("GreaterThanOrEqual(n_chars,100)"), p)
+    // the explainString elides the tail of a long PushedFilters list, so
+    // the upper bound is pinned via the un-truncated DataFilters echo
+    assert(p.contains("(n_chars#") && p.contains(" <= 200"), p)
+  }
+
+  test("q_attribution: one user exchange feeding the carry window, hash rollup") {
+    val p = plan("q_attribution")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"attribution is one window exchange + one 5-key rollup:\n$p")
+  }
+
+  test("q_user_journey: single user exchange, object-hash collect (no sort agg)") {
+    val p = plan("q_user_journey")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_chunk_pairs: in-row chunk fan-out, one doc exchange for the pair window") {
+    val p = plan("q_chunk_pairs")
+    assert(p.contains("Generate"), s"chunk expansion must be in-row explode:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_triangles: wedge joins are equi-joins, never cartesian") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"triangle join must stay keyed:\n$p")
+    assert(p.contains("Generate"), s"edges must build via in-row pair expansion:\n$p")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 95% of the left rows share key 0, so one shuffle partition dwarfs
+    // the median; with the detection thresholds scaled to toy bytes (the
+    // runtimeFilter conf-scope pattern — production defaults are sized
+    // for real clusters), AQE must replan the join with the hot partition
+    // split. This is the engine-level answer to join skew that the salted
+    // join handles by hand — both live in the repertoire, this pin keeps
+    // the automatic one honest.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 20 === 0, $"id" % 100).otherwise(lit(0L)).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val df = left.join(right, "k").agg(count(lit(1)).as("n"), sum($"w").as("s"))
+      df.collect() // the skew split only exists in the AQE final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }
