@@ -784,7 +784,107 @@ object Relational {
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
   }
 
+  /** Custom typed Aggregator through the `udaf` registration path — the
+    * per-type integer variance numerator from [[graft.functions.IntMoments]]'s
+    * (n, Σx, Σx²) monoid buffer. The row pins BOTH halves of the
+    * extension surface: the Aggregator's merge must be associative (the
+    * gate compares against DuckDB's one-shot expression, so a broken
+    * partial-merge — the classic UDAF bug — shows up as a wrong value,
+    * not a green compile), and the plan must still map-side combine
+    * (PlanSpec pins the partial/final ObjectHashAggregate pair).
+    */
+  val typedAgg: QueryDef = QueryDef(
+    """WITH c AS (SELECT event_type,
+      |             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(count(*) * sum(cents*cents) - sum(cents)*sum(cents) AS BIGINT) AS m2_num
+      |FROM c GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val moments = udaf(graft.functions.IntMoments)
+    spark.read.parquet(t(dir, "events"))
+      .select(col("event_type"),
+        expr("CAST(floor(value*100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(moments(col("cents")).as("m"))
+      .select(col("event_type"), col("m._1").as("n"), col("m._2").as("sum_cents"),
+        (col("m._1") * col("m._3") - col("m._2") * col("m._2")).as("m2_num"))
+  }
+
+  /** Null-safe equality join (`<=>` vs the oracle's IS NOT DISTINCT FROM)
+    * — the semantics pin for the one join predicate where engines
+    * genuinely disagree by default: under plain `=` the NULL-keyed group
+    * silently vanishes from the join (NULL = NULL is NULL), which in a
+    * curation pipeline is a dropped "unknown source" bucket that no row
+    * count ever flags. Both sides aggregate the events table under a
+    * NULLable key (the 'error' type mapped to NULL, standing in for the
+    * unparseable-key case); the gate proves the NULL row survives with
+    * identical counts in both engines.
+    *
+    * Scale shape: identical to any key join — `<=>` hashes NULL as an
+    * ordinary key value, so the null bucket routes to one partition like
+    * any other key (a hot null bucket is the salted-join case, already
+    * in the repertoire).
+    */
+  val nullSafeJoin: QueryDef = QueryDef(
+    """WITH a AS (SELECT nullif(event_type,'error') AS k,
+      |             CAST(count(*) AS BIGINT) AS n_all FROM events GROUP BY 1),
+      |b AS (SELECT nullif(event_type,'error') AS k,
+      |        CAST(count(*) AS BIGINT) AS n_hi FROM events WHERE value > 50 GROUP BY 1)
+      |SELECT a.k, n_all, n_hi FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) {
+    (spark, dir) =>
+    val ev = spark.read.parquet(t(dir, "events"))
+      .select(expr("nullif(event_type, 'error')").as("k"), col("value"))
+    val a = ev.groupBy(col("k")).agg(count(lit(1)).as("n_all")).as("a")
+    val b = ev.filter(col("value") > 50)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hi")).as("b")
+    a.join(b, col("a.k") <=> col("b.k"))
+      .select(col("a.k").as("k"), col("n_all"), col("n_hi"))
+  }
+
+  /** Deterministic per-key uniform sampling by hash-argmin — the
+    * distributed reservoir-sample analog: each user's representative
+    * event is the one minimizing the codegen'd poly_hash of its id (a
+    * fixed pseudo-random permutation), picked by a row_number window.
+    * The production reason is DETERMINISM UNDER RETRY: `rand()`-based
+    * per-key sampling resamples when a task re-executes, so a 100 TB job
+    * with stragglers emits different rows on every attempt — a
+    * lineage-breaking nondeterminism Spark explicitly warns about.
+    * Hashing makes the sample a pure function of the data; the DuckDB
+    * oracle replays the same hash fold and must land on the same rows.
+    *
+    * Scale shape: one user exchange, O(1) window state (rank-1 cuts at
+    * the first row per key); swap row_number for min_by(struct) when the
+    * key space dwarfs memory — same semantics, pure hash aggregate.
+    */
+  val hashSamplePerKey: QueryDef = QueryDef(
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, event_type,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+       |                          c -> CAST(ascii(c) AS BIGINT))),
+       |           (x, y) -> (x * 31 + y) % ${graft.functions.PolyHash.P}) AS fp
+       |  FROM events),
+       |r AS (SELECT user_id, event_id, event_type,
+       |             row_number() OVER (PARTITION BY user_id ORDER BY fp, event_id) AS rn
+       |      FROM f)
+       |SELECT user_id, event_id, event_type FROM r WHERE rn = 1""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PolyHash
+    val w = Window.partitionBy(col("user_id")).orderBy(col("fp"), col("event_id"))
+    spark.read.parquet(t(dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("event_id").cast("string").as("s"))
+      .withColumn("fp", PolyHash.polyHash(spark, "s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_typed_agg" -> typedAgg,
+    "q_null_safe_join" -> nullSafeJoin,
+    "q_hash_sample_per_key" -> hashSamplePerKey,
     "q_sql_api" -> sqlApi,
     "q_incr_agg" -> incrAgg,
     "q_skyline" -> skyline,

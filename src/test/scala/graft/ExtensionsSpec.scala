@@ -36,4 +36,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[Long](2).length == 2)
   }
+
+  test("IntMoments merge law: every split of the input folds to the same state") {
+    import graft.functions.IntMoments
+    // The q_typed_agg gate only exercises whatever split Spark's partial
+    // aggregation happens to pick; this pins the monoid law for ALL splits
+    // (the associativity a broken UDAF merge violates first).
+    val xs = Seq(3L, 7L, 0L, -2L, 11L, 5L)
+    val whole = xs.foldLeft(IntMoments.zero)(IntMoments.reduce)
+    for (i <- 0 to xs.size) {
+      val (l, rr) = xs.splitAt(i)
+      val merged = IntMoments.merge(
+        l.foldLeft(IntMoments.zero)(IntMoments.reduce),
+        rr.foldLeft(IntMoments.zero)(IntMoments.reduce))
+      assert(merged == whole, s"split at $i diverged")
+    }
+    assert(IntMoments.finish(whole) == ((6L, 24L, 208L)))
+  }
 }

@@ -605,6 +605,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"edges must build via in-row pair expansion:\n$p")
   }
 
+  test("q_typed_agg: the custom Aggregator still partial-merges map-side") {
+    val p = plan("q_typed_agg")
+    // A typed Aggregator plans as ObjectHashAggregate; the partial/final
+    // pair is what makes a custom aggregate scale like a built-in sum.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_intmoments") ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 key exchange:\n$p")
+  }
+
+  test("q_hash_sample_per_key: native hash expr, one user exchange, rank-1 pruned pre-shuffle") {
+    val p = plan("q_hash_sample_per_key")
+    // poly_hash evaluates in the scan-side Project (the AQE explain elides
+    // codegen stars pre-execution; the expression's codegen is pinned by
+    // the q_fingerprint/q_pii_scrub star assertions)
+    assert(p.contains("poly_hash(cast(event_id"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    // the rank-1 cut happens BEFORE the exchange too: Partial
+    // WindowGroupLimit ships one row per (map partition, user), not the
+    // user's whole history
+    assert(p.contains("WindowGroupLimit") &&
+      p.contains("Partial") && p.contains("Final"), p)
+  }
+
+  test("q_null_safe_join: <=> plans as an equi-join on the null-safe key, never cartesian") {
+    val p = plan("q_null_safe_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality must stay a hash-joinable key:\n$p")
+    assert(p.contains("knullsafeeq") || p.contains("<=>") || p.contains("coalesce"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
