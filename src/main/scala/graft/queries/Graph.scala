@@ -221,7 +221,81 @@ object Graph {
       edges
     }
 
+  /** Bounded-frontier reachability — the BFS primitive behind blast-radius
+    * and related-item queries, run to depth 2 from a deterministic seed
+    * (the minimum vertex id): each hop is ONE key join frontier⋈edges +
+    * distinct, the Pregel message pass without iteration machinery. The
+    * oracle replays both hops in materialized CTEs.
+    *
+    * Scale shape: frontier frames are vertex-bounded and the hop join is
+    * AQE-skew-splittable; at real depth the loop adds localCheckpoint
+    * per hop (the pagerank rule) and a visited-set anti-join to stop
+    * re-expansion — at depth 2 the UNION-distinct is cheaper than the
+    * anti-join round trip.
+    */
+  val bfsReach: QueryDef = QueryDef(
+    """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |seed AS (SELECT min(u) AS s FROM e),
+      |h1 AS MATERIALIZED (SELECT DISTINCT e.v AS x FROM e, seed WHERE e.u = seed.s),
+      |h2 AS MATERIALIZED (SELECT DISTINCT e.v AS x FROM e JOIN h1 ON e.u = h1.x)
+      |SELECT (SELECT s FROM seed) AS seed,
+      |       CAST((SELECT count(*) FROM h1) AS BIGINT) AS n_1hop,
+      |       CAST((SELECT count(*) FROM (SELECT x FROM h2 UNION SELECT x FROM h1) q
+      |             WHERE x <> (SELECT s FROM seed)) AS BIGINT) AS n_2hop""".stripMargin) {
+    (spark, dir) =>
+    val half = coEdges(spark, dir)
+    val e = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+    val seed = e.agg(min(col("u")).as("s"))
+    val h1 = e.join(broadcast(seed), col("u") === col("s"))
+      .select(col("v").as("x")).distinct()
+    val h2 = e.join(h1, col("u") === col("x"))
+      .select(col("v").as("x")).distinct()
+    val reach = h1.unionAll(h2).distinct()
+      .join(broadcast(seed), col("x") === col("s"), "left_anti")
+      .agg(count(lit(1)).as("n_2hop"))
+    broadcast(seed).select(col("s").as("seed"))
+      .crossJoin(broadcast(h1.agg(count(lit(1)).as("n_1hop"))))
+      .crossJoin(reach)
+  }
+
+  /** Degree-distribution histogram of the co-occurrence graph — the
+    * first diagnostic run on any production graph (it decides salting,
+    * orientation, and whether a hub needs special-casing; the
+    * skew-metrics row's graph sibling). Buckets are ⌊√degree⌋ — exact
+    * across engines because IEEE sqrt is correctly rounded, where a
+    * log2 bucket would ride each engine's libm into boundary flaps at
+    * exact powers.
+    *
+    * Scale shape: one vertex-keyed count (map-side combinable) + one
+    * bucket-keyed rollup over a √maxdeg-sized key space.
+    */
+  val degreeHist: QueryDef = QueryDef(
+    """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |d AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+      |        SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) q GROUP BY 1)
+      |SELECT CAST(floor(sqrt(CAST(deg AS DOUBLE))) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_vertices,
+      |       CAST(min(deg) AS BIGINT) AS min_deg,
+      |       CAST(max(deg) AS BIGINT) AS max_deg
+      |FROM d GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val half = coEdges(spark, dir)
+    half.select(col("u").as("x")).unionAll(half.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .groupBy(floor(sqrt(col("deg").cast("double"))).as("bucket"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> pagerank,
-    "q_triangles" -> triangles)
+    "q_triangles" -> triangles,
+    "q_bfs_reach" -> bfsReach,
+    "q_degree_hist" -> degreeHist)
 }

@@ -1331,7 +1331,39 @@ object Pipeline {
       .filter(col("pos_fp").isNotNull)
   }
 
+  /** Temperature-scaled corpus mixture weights (α = 0.5) — the
+    * multilingual/multi-domain rebalancing every LLM data recipe applies
+    * (upweight small domains, damp the head): per-language doc counts,
+    * weight numerator ⌊√n⌋, and the resulting mixture share in ppm.
+    * √ stays gate-exact because IEEE sqrt is correctly rounded (unlike
+    * log, which the engines compute through different libm paths — the
+    * reason the repertoire's buckets are sqrt/fixed-point, never log).
+    * The ppm division floors identically through `div` / `//`.
+    *
+    * Scale shape: a key-sized aggregate (|domains| rows), the total via
+    * a broadcast 1-row frame. The output IS the sampler's input: paired
+    * with `q_sample_pps`'s prefix-sum machinery it implements the full
+    * temperature-sampled corpus draw.
+    */
+  val domainMixture: QueryDef = QueryDef(
+    """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_docs,
+      |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_num FROM s),
+      |t AS (SELECT CAST(sum(w_num) AS BIGINT) AS w_tot FROM w)
+      |SELECT lang, n_docs, w_num,
+      |       CAST(w_num * 1000000 // w_tot AS BIGINT) AS share_ppm
+      |FROM w, t""".stripMargin) { (spark, dir) =>
+    val w = spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_num", floor(sqrt(col("n_docs").cast("double"))))
+    w.crossJoin(broadcast(w.agg(sum(col("w_num")).as("w_tot"))))
+      .select(col("lang"), col("n_docs"), col("w_num"),
+        expr("w_num * 1000000 div w_tot").as("share_ppm"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_domain_mixture" -> domainMixture,
     "q_curate_e2e" -> curateE2e,
     "q_chunk_pairs" -> chunkPairs,
     "q_gopher_rules" -> gopherRules,

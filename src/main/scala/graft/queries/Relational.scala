@@ -881,7 +881,42 @@ object Relational {
       .select(col("user_id"), col("event_id"), col("event_type"))
   }
 
+  /** The ranking-window catalog in one gated row: row_number / rank /
+    * dense_rank / ntile(2) over the same 5-row ordered frame (per-type
+    * revenue totals), under a total order so ties cannot flap the hash.
+    * ntile's uneven-split rule (front buckets get the remainder) is the
+    * subtle cross-engine semantic being pinned; the rest guard the
+    * catalog against regressions in one place instead of one row each.
+    *
+    * Scale shape: the window runs over a KEY-SIZED frame (the rollup
+    * output, |types| rows) — ranking over raw events would be the
+    * global-sort anti-pattern; ranking over the aggregate is free.
+    */
+  val rankFunctions: QueryDef = QueryDef(
+    """WITH s AS (SELECT event_type,
+      |             CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1)
+      |SELECT event_type, cents,
+      |       CAST(row_number() OVER o AS BIGINT) AS rn,
+      |       CAST(rank() OVER o AS BIGINT) AS rk,
+      |       CAST(dense_rank() OVER o AS BIGINT) AS drk,
+      |       CAST(ntile(2) OVER o AS BIGINT) AS half
+      |FROM s WINDOW o AS (ORDER BY cents DESC, event_type)""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Window.orderBy(col("cents").desc, col("event_type"))
+    spark.read.parquet(t(dir, "events"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(CAST(floor(value*100+0.5) AS BIGINT))").as("cents"))
+      .select(col("event_type"), col("cents"),
+        row_number().over(o).cast("long").as("rn"),
+        rank().over(o).cast("long").as("rk"),
+        dense_rank().over(o).cast("long").as("drk"),
+        ntile(2).over(o).cast("long").as("half"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_rank_functions" -> rankFunctions,
     "q_typed_agg" -> typedAgg,
     "q_null_safe_join" -> nullSafeJoin,
     "q_hash_sample_per_key" -> hashSamplePerKey,
