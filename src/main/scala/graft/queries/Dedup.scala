@@ -347,11 +347,18 @@ object Dedup {
     * [[hashedShingles]] frame; shared by the query and the dropped-bucket
     * metric so both see the same buckets.
     */
-  private def minhashBands(hashes: DataFrame): DataFrame = {
+  /** (doc_id, mins) signature frame — the 8 permuted minima, shared by the
+    * banding path and the estimator-quality audit row.
+    */
+  private def minhashSigs(hashes: DataFrame): DataFrame = {
     val mins = minhashAB.map { case (a, b) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
     }
-    val mh = hashes.select(col("doc_id"), array(mins: _*).as("mins"))
+    hashes.select(col("doc_id"), array(mins: _*).as("mins"))
+  }
+
+  private def minhashBands(hashes: DataFrame): DataFrame = {
+    val mh = minhashSigs(hashes)
     mh.select(col("doc_id"), explode(array((0 to 3).map(lit(_)): _*)).as("j"), col("mins"))
       .select(col("doc_id"), col("j"),
         concat_ws("_",
@@ -407,6 +414,11 @@ object Dedup {
     */
   private def candidatePairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingleDF(spark, dir).persist() // feeds minhashes + both verify sides
+    (candidatePairsFrom(sh), sh)
+  }
+
+  /** Band-bucket candidate pairs from an already-persisted shingle frame. */
+  private def candidatePairsFrom(sh: DataFrame): DataFrame = {
     val bands = minhashBands(hashedShingles(sh))
     val buckets = bands.groupBy(col("j"), col("band"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
@@ -415,10 +427,9 @@ object Dedup {
       transform(sequence(i + 1, size(col("ds")) - 1), j =>
         struct(element_at(col("ds"), i + 1).as("doc_a"),
           element_at(col("ds"), j + 1).as("doc_b")))))
-    val cand = buckets.select(explode(pairsExpr).as("p"))
+    buckets.select(explode(pairsExpr).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    (cand, sh)
   }
 
   private def minhashPairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -437,6 +448,61 @@ object Dedup {
     s"""WITH $minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin) { (spark, dir) =>
     minhashPairsDF(spark, dir)._1
+  }
+
+  /** Estimator-quality audit for the MinHash machinery — per LSH candidate
+    * pair, the signature agreement count (0..8 matching minima, whose /8
+    * is the Jaccard ESTIMATE) beside the exact intersection and union
+    * sizes (whose quotient is the TRUTH). Production runs exactly this
+    * audit before trusting a sketch at 100 TB: it turns "MinHash
+    * approximates Jaccard" from a paper citation into a measured error
+    * distribution on the actual corpus, and catches the silent killers —
+    * a skewed hash family, shingles too short, bands too wide — that the
+    * dedup gate itself cannot see (it only checks the pairs that
+    * SURVIVED). Integer sufficient statistics only; the consumer divides.
+    *
+    * Scale shape: identical to [[minhashLsh]] — banded candidates, never
+    * all-pairs; the audit join touches candidate rows only; signatures
+    * are fixed 8-long arrays, so the zip-compare is O(1) per pair.
+    */
+  val minhashEstAudit: QueryDef = QueryDef(
+    s"""WITH $shingleSql,
+       |hashes AS (
+       |  SELECT doc_id, shingles, list_transform(shingles, s -> ${tokHashSql("s")}) AS hs
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $minsSql AS mins FROM hashes),
+       |bands AS (
+       |  SELECT doc_id, j,
+       |         CAST(mins[2*j+1] AS VARCHAR) || '_' || CAST(mins[2*j+2] AS VARCHAR) AS band
+       |  FROM mh, (VALUES (0), (1), (2), (3)) bj(j)),
+       |capped AS (SELECT j, band FROM bands GROUP BY j, band
+       |           HAVING count(*) BETWEEN 2 AND 50),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN capped g ON a.j = g.j AND a.band = g.band
+       |               JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(list_sum(list_transform(range(1, 9),
+       |              i -> CASE WHEN x.mins[i] = y.mins[i] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_match,
+       |       CAST(len(list_intersect(sx.shingles, sy.shingles)) AS BIGINT) AS inter,
+       |       CAST(len(list_distinct(sx.shingles || sy.shingles)) AS BIGINT) AS uni
+       |FROM cand
+       |JOIN mh x ON x.doc_id = cand.doc_a JOIN mh y ON y.doc_id = cand.doc_b
+       |JOIN sh sx ON sx.doc_id = cand.doc_a JOIN sh sy ON sy.doc_id = cand.doc_b""".stripMargin) {
+    (spark, dir) =>
+    val sh = shingleDF(spark, dir).persist()
+    val mh = minhashSigs(hashedShingles(sh))
+    val cand = candidatePairsFrom(sh)
+    cand
+      .join(mh.select(col("doc_id").as("doc_a"), col("mins").as("ma")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("mins").as("mb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, e) -> a + e)")
+          .as("sig_match"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
   }
 
   /** CONTAINMENT scoring over the SAME LSH candidate set as
@@ -1148,6 +1214,7 @@ object Dedup {
     "q_dedup_edit_verify" -> editVerify,
     "q_dedup_incremental" -> incremental,
     "q_dedup_minhash_lsh" -> minhashLsh,
+    "q_minhash_est_audit" -> minhashEstAudit,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_clusters" -> clusters,
     "q_dedup_simhash" -> simhash,
