@@ -14,9 +14,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * combine works exactly as for built-in sums, which is the property that
   * makes a custom aggregate scale (an Aggregator without a cheap `merge`
   * degrades every 100 TB rollup into a single-reducer fold). The finish
-  * emits the raw sufficient statistics; the caller derives the variance
-  * numerator n·Σx² − (Σx)² in plain column arithmetic, keeping every
-  * gate-visible value integer (the MAD-anomalies discipline).
+  * emits the raw sufficient statistics ONLY; consumers derive the
+  * variance numerator n·Σx² − (Σx)² in whatever width they need —
+  * deliberately not here, because that product wraps int64 at
+  * n ≈ √(2⁶³)/max|x| rows per group (≈ 4·10⁵ for this data's
+  * cents ≤ ~6·10⁴), while Σx² itself stays in range to
+  * n ≈ 2⁶³/max(x)² ≈ 2.5·10⁹ rows per group.
   *
   * Honesty note (the functions-not-UDFs rule): `var_pop`/`stddev` exist
   * as codegen'd built-ins and are what production code should call for
@@ -26,9 +29,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * surface pinned by a correctness row, not just compiled.
   *
   * Input is the already-integer cents column; the buffer tuple stays in
-  * unboxed longs via the product encoder. Overflow bound: n·Σx² needs
-  * n·max(x)²·n ≤ 2⁶³, comfortable for cents ≤ 10⁴ up to ~10⁹ rows per
-  * group; beyond that the same shape runs on DECIMAL(38) buffers.
+  * unboxed longs via the product encoder. Beyond the Σx² bound above the
+  * same shape runs on DECIMAL(38) buffers.
   */
 object IntMoments extends Aggregator[Long, (Long, Long, Long), (Long, Long, Long)] {
   override def zero: (Long, Long, Long) = (0L, 0L, 0L)

@@ -357,14 +357,19 @@ object Dedup {
     hashes.select(col("doc_id"), array(mins: _*).as("mins"))
   }
 
-  private def minhashBands(hashes: DataFrame): DataFrame = {
-    val mh = minhashSigs(hashes)
+  private def minhashBands(hashes: DataFrame): DataFrame =
+    bandsOfSigs(minhashSigs(hashes))
+
+  /** Band keys from a signature frame — split out so the audit row can
+    * band and join from the SAME sigs frame instead of deriving the 8
+    * permutation minima twice (code-review r12).
+    */
+  private def bandsOfSigs(mh: DataFrame): DataFrame =
     mh.select(col("doc_id"), explode(array((0 to 3).map(lit(_)): _*)).as("j"), col("mins"))
       .select(col("doc_id"), col("j"),
         concat_ws("_",
           element_at(col("mins"), col("j") * 2 + 1).cast("string"),
           element_at(col("mins"), col("j") * 2 + 2).cast("string")).as("band"))
-  }
 
   /** The full MinHash LSH pair pipeline as a reusable CTE chain ending in a
     * `pairs(doc_a, doc_b, jaccard)` relation — shared by the pair query's
@@ -423,13 +428,7 @@ object Dedup {
     val buckets = bands.groupBy(col("j"), col("band"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 50))
-    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
-      transform(sequence(i + 1, size(col("ds")) - 1), j =>
-        struct(element_at(col("ds"), i + 1).as("doc_a"),
-          element_at(col("ds"), j + 1).as("doc_b")))))
-    buckets.select(explode(pairsExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    Pairs.ordered(buckets, "ds", "doc_a", "doc_b").distinct()
   }
 
   private def minhashPairsDF(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -890,13 +889,7 @@ object Dedup {
       val buckets = bands.groupBy(col("j"), col("band"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 50))
-      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
-        transform(sequence(i + 1, size(col("ds")) - 1), j =>
-          struct(element_at(col("ds"), i + 1).as("doc_a"),
-            element_at(col("ds"), j + 1).as("doc_b")))))
-      val cand = buckets.select(explode(pairsExpr).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
+      val cand = Pairs.ordered(buckets, "ds", "doc_a", "doc_b").distinct()
       val x = sigs.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
       val y = sigs.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
       cand.join(x, "doc_a").join(y, "doc_b")
@@ -949,13 +942,7 @@ object Dedup {
     val buckets = inv.groupBy(col("h"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 5))
-    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
-      transform(sequence(i + 1, size(col("ds")) - 1), j =>
-        struct(element_at(col("ds"), i + 1).as("doc_a"),
-          element_at(col("ds"), j + 1).as("doc_b")))))
-    val cand = buckets.select(explode(pairsExpr).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    val cand = Pairs.ordered(buckets, "ds", "doc_a", "doc_b").distinct()
     val x = hsets.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
     val y = hsets.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
     cand.join(x, "doc_a").join(y, "doc_b")

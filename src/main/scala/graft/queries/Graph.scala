@@ -209,13 +209,7 @@ object Graph {
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")) >= 2) // sequence(0,-1) descends — guard first
-      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ps")) - 2), i =>
-        transform(sequence(i + 1, size(col("ps")) - 1), j =>
-          struct(element_at(col("ps"), i + 1).as("u"),
-            element_at(col("ps"), j + 1).as("v")))))
-      val edges = baskets.select(explode(pairsExpr).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val edges = Pairs.ordered(baskets, "ps", "u", "v")
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges

@@ -607,33 +607,53 @@ object Pipeline {
   private val ChunkLen = 128
   private val ChunkStride = 96
 
-  val docChunks: QueryDef = QueryDef(
-    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       |w AS (SELECT doc_id, words, len(words) AS n FROM w0),
-       |k AS (SELECT doc_id, words, n,
-       |             CAST(ceil(greatest(n - $ChunkLen, 0) / $ChunkStride.0) AS BIGINT) AS kmax
-       |      FROM w),
-       |c AS (SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k)
-       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-       |       CAST(i * $ChunkStride + 1 AS BIGINT) AS start_tok,
-       |       CAST(least($ChunkLen, n - i * $ChunkStride) AS BIGINT) AS n_tok,
-       |       CAST('0x' || substr(md5(array_to_string(
-       |              words[(i * $ChunkStride + 1):least(i * $ChunkStride + $ChunkLen, n)],
-       |              ' ')), 1, 8) AS BIGINT) AS chunk_fp
-       |FROM c""".stripMargin) { (spark, dir) =>
-    val start = col("i") * ChunkStride + 1
-    val nTok = least(lit(ChunkLen), col("n") - col("i") * ChunkStride)
+  /** The chunk-grid expansion shared by [[docChunks]] (training grid,
+    * 128/96 overlapping) and [[chunkPairs]] (pair grid, 24/24 adjacent) —
+    * ONE implementation of the boundary math and the md5-prefix
+    * fingerprint convention (code-review r12: two hand-maintained copies
+    * of 1-based slice bounds is how the grids silently diverge). Emits
+    * `chunks(doc_id, chunk_id, start_tok, n_tok, chunk_fp)`.
+    */
+  private def chunkGrid(spark: SparkSession, dir: String,
+      len: Int, stride: Int): DataFrame = {
+    val start = col("i") * stride + 1
+    val nTok = least(lit(len), col("n") - col("i") * stride)
     val chunk = concat_ws(" ", slice(col("w"), start, nTok))
     spark.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
       .withColumn("kmax",
-        ceil(greatest(col("n") - ChunkLen, lit(0)) / ChunkStride.toDouble))
+        ceil(greatest(col("n") - len, lit(0)) / stride.toDouble))
       .select(col("doc_id"), col("w"), col("n"),
         explode(sequence(lit(0L), col("kmax"))).as("i"))
       .select(col("doc_id"), col("i").as("chunk_id"),
         start.cast("long").as("start_tok"), nTok.cast("long").as("n_tok"),
         conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("chunk_fp"))
+  }
+
+  /** [[chunkGrid]]'s oracle twin: the CTE chain ending in the same
+    * `chunks` relation.
+    */
+  private def chunkGridSql(len: Int, stride: Int): String =
+    s"""w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |w AS (SELECT doc_id, words, len(words) AS n FROM w0),
+       |k AS (SELECT doc_id, words, n,
+       |             CAST(ceil(greatest(n - $len, 0) / $stride.0) AS BIGINT) AS kmax
+       |      FROM w),
+       |c AS (SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |         CAST(i * $stride + 1 AS BIGINT) AS start_tok,
+       |         CAST(least($len, n - i * $stride) AS BIGINT) AS n_tok,
+       |         CAST('0x' || substr(md5(array_to_string(
+       |                words[(i * $stride + 1):least(i * $stride + $len, n)],
+       |                ' ')), 1, 8) AS BIGINT) AS chunk_fp
+       |  FROM c)""".stripMargin
+
+  val docChunks: QueryDef = QueryDef(
+    s"""WITH ${chunkGridSql(ChunkLen, ChunkStride)}
+       |SELECT doc_id, chunk_id, start_tok, n_tok, chunk_fp FROM chunks""".stripMargin) {
+    (spark, dir) => chunkGrid(spark, dir, ChunkLen, ChunkStride)
   }
 
   /** Content-addressed train/val/test split assignment — every document
@@ -1296,37 +1316,20 @@ object Pipeline {
     * from (doc_id, chunk_id) at batch-assembly time, which is the
     * layout a 100 TB pair corpus needs anyway.
     */
+  private val PairLen = 24
+
   val chunkPairs: QueryDef = QueryDef(
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
-      |                  len(string_split(text, ' ')) AS n FROM documents),
-      |k AS (SELECT doc_id, words, n,
-      |             CAST(ceil(greatest(n - 24, 0) / 24.0) AS BIGINT) AS kmax FROM w),
-      |c AS (SELECT doc_id, words, n, unnest(range(0, kmax + 1)) AS i FROM k),
-      |f AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-      |             CAST('0x' || substr(md5(array_to_string(
-      |                    words[(i * 24 + 1):least(i * 24 + 24, n)], ' ')), 1, 8) AS BIGINT) AS fp
-      |      FROM c),
-      |p AS (SELECT doc_id, chunk_id, fp,
-      |             lead(fp) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS pos_fp
-      |      FROM f)
-      |SELECT doc_id, chunk_id AS anchor_id, fp AS anchor_fp, pos_fp
-      |FROM p WHERE pos_fp IS NOT NULL""".stripMargin) { (spark, dir) =>
+    s"""WITH ${chunkGridSql(PairLen, PairLen)},
+       |p AS (SELECT doc_id, chunk_id, chunk_fp,
+       |             lead(chunk_fp) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS pos_fp
+       |      FROM chunks)
+       |SELECT doc_id, chunk_id AS anchor_id, chunk_fp AS anchor_fp, pos_fp
+       |FROM p WHERE pos_fp IS NOT NULL""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val PairLen = 24
-    val start = col("i") * PairLen + 1
-    val nTok = least(lit(PairLen), col("n") - col("i") * PairLen)
-    val chunk = concat_ws(" ", slice(col("w"), start, nTok))
-    val chunks = spark.read.parquet(t(dir, "documents"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n", size(col("w")))
-      .withColumn("kmax",
-        ceil(greatest(col("n") - PairLen, lit(0)) / PairLen.toDouble))
-      .select(col("doc_id"), col("w"), col("n"),
-        explode(sequence(lit(0L), col("kmax"))).as("i"))
-      .select(col("doc_id"), col("i").as("anchor_id"),
-        conv(substring(md5(chunk), 1, 8), 16, 10).cast("long").as("anchor_fp"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("anchor_id"))
-    chunks
+    chunkGrid(spark, dir, PairLen, PairLen)
+      .select(col("doc_id"), col("chunk_id").as("anchor_id"),
+        col("chunk_fp").as("anchor_fp"))
       .withColumn("pos_fp", lead(col("anchor_fp"), 1).over(w))
       .filter(col("pos_fp").isNotNull)
   }

@@ -25,3 +25,30 @@ object QueryDef {
   def rowsOnly(fn: (SparkSession, String) => DataFrame): QueryDef =
     new QueryDef(fn, None)
 }
+
+/** The in-row ordered-pair expansion shared by every bucket/basket family
+  * (MinHash bands, SimHash bands, n-gram postings, LSH cells, co-purchase
+  * and co-occurrence baskets): each row's sorted array column fans out to
+  * its element pairs (i < j) WITHOUT a self-join — the expansion is
+  * bounded by the bucket/basket size, never quadratic in the table.
+  * Centralized (code-review r12: six hand-maintained copies) so the one
+  * footgun lives in one place: `sequence(0, -1)` DESCENDS rather than
+  * returning empty, so the size ≥ 2 guard here is load-bearing — an
+  * unguarded transform indexes out of range on singleton rows.
+  */
+private[queries] object Pairs {
+  import org.apache.spark.sql.functions._
+
+  /** Rows of (aName, bName) pairs, one per ordered element pair of `arr`;
+    * other columns are dropped (every call site keeps only the pair).
+    */
+  def ordered(df: DataFrame, arr: String, aName: String, bName: String): DataFrame = {
+    val a = org.apache.spark.sql.functions.col(arr)
+    val pairsExpr = flatten(transform(sequence(lit(0), size(a) - 2), i =>
+      transform(sequence(i + 1, size(a) - 1), j =>
+        struct(element_at(a, i + 1).as(aName), element_at(a, j + 1).as(bName)))))
+    df.filter(size(a) >= 2)
+      .select(explode(pairsExpr).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+  }
+}

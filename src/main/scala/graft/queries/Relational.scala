@@ -514,16 +514,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
-      // single-supplier baskets yield no pairs — and must be dropped BEFORE
-      // the expansion: Spark's sequence(0, -1) descends rather than
-      // returning empty, so an unguarded transform would index out of range
-      .filter(size(col("ss")) >= 2)
-    val pairsExpr = flatten(transform(sequence(lit(0), size(col("ss")) - 2), i =>
-      transform(sequence(i + 1, size(col("ss")) - 1), j =>
-        struct(element_at(col("ss"), i + 1).as("supp_a"),
-          element_at(col("ss"), j + 1).as("supp_b")))))
-    baskets.select(explode(pairsExpr).as("p"))
-      .select(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
+    Pairs.ordered(baskets, "ss", "supp_a", "supp_b")
       .groupBy(col("supp_a"), col("supp_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("supp_a"), col("supp_b"))
@@ -743,10 +734,19 @@ object Relational {
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue_i DESC, o_orderkey LIMIT 10""".stripMargin
     QueryDef(stmt) { (spark, dir) =>
-      Seq("customer", "orders", "lineitem").foreach { name =>
+      val names = Seq("customer", "orders", "lineitem")
+      names.foreach { name =>
         spark.read.parquet(t(dir, name)).createOrReplaceTempView(name)
       }
-      spark.sql(stmt)
+      val df = spark.sql(stmt)
+      // Dataset creation analyzes eagerly, so the view references are
+      // already resolved to this dir's relations — drop the views before
+      // returning (code-review r12): leaving dir-bound names like
+      // `lineitem` registered in the shared session would silently serve
+      // a STALE dir to any later ad-hoc SQL after a dir switch (the
+      // SessionMemo eviction discipline, applied to the catalog).
+      names.foreach(spark.catalog.dropTempView)
+      df
     }
   }
 
@@ -785,29 +785,42 @@ object Relational {
   }
 
   /** Custom typed Aggregator through the `udaf` registration path — the
-    * per-type integer variance numerator from [[graft.functions.IntMoments]]'s
-    * (n, Σx, Σx²) monoid buffer. The row pins BOTH halves of the
-    * extension surface: the Aggregator's merge must be associative (the
-    * gate compares against DuckDB's one-shot expression, so a broken
-    * partial-merge — the classic UDAF bug — shows up as a wrong value,
-    * not a green compile), and the plan must still map-side combine
-    * (PlanSpec pins the partial/final ObjectHashAggregate pair).
+    * per-type second-moment sufficient statistics from
+    * [[graft.functions.IntMoments]]'s (n, Σx, Σx²) monoid buffer. The row
+    * pins BOTH halves of the extension surface: the Aggregator's merge
+    * must be associative (the gate compares against DuckDB's one-shot
+    * expressions, so a broken partial-merge — the classic UDAF bug —
+    * shows up as a wrong value, not a green compile), and the plan must
+    * still map-side combine (PlanSpec pins the partial/final
+    * ObjectHashAggregate pair).
+    *
+    * The gate values are the RAW statistics, not the derived variance
+    * numerator n·Σx² − (Σx)² (code-review r12): that product wraps int64
+    * near n ≈ 4·10⁵ per group at this data's cents magnitude — right
+    * where a larger SF would land — while Σx² itself stays in range to
+    * ~2.5·10⁹ rows per group. The consumer derives the numerator in
+    * whatever width it needs (DECIMAL(38) in SQL, i128 downstream);
+    * shipping sufficient statistics and deferring the wide arithmetic is
+    * exactly how the 100 TB rollup avoids silent wraparound.
     */
   val typedAgg: QueryDef = QueryDef(
     """WITH c AS (SELECT event_type,
       |             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(cents) AS BIGINT) AS sum_cents,
-      |       CAST(count(*) * sum(cents*cents) - sum(cents)*sum(cents) AS BIGINT) AS m2_num
+      |       CAST(sum(cents*cents) AS BIGINT) AS sumsq_cents
       |FROM c GROUP BY 1""".stripMargin) { (spark, dir) =>
     val moments = udaf(graft.functions.IntMoments)
-    spark.read.parquet(t(dir, "events"))
+    // Events.readEvents, not a raw parquet read: ts itself is unused, but
+    // a NANOS-encoded schema is rejected unread without the conf pins it
+    // applies (the cube_ rule above).
+    Events.readEvents(spark, dir)
       .select(col("event_type"),
         expr("CAST(floor(value*100 + 0.5) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"))
       .agg(moments(col("cents")).as("m"))
       .select(col("event_type"), col("m._1").as("n"), col("m._2").as("sum_cents"),
-        (col("m._1") * col("m._3") - col("m._2") * col("m._2")).as("m2_num"))
+        col("m._3").as("sumsq_cents"))
   }
 
   /** Null-safe equality join (`<=>` vs the oracle's IS NOT DISTINCT FROM)
@@ -832,7 +845,7 @@ object Relational {
       |        CAST(count(*) AS BIGINT) AS n_hi FROM events WHERE value > 50 GROUP BY 1)
       |SELECT a.k, n_all, n_hi FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) {
     (spark, dir) =>
-    val ev = spark.read.parquet(t(dir, "events"))
+    val ev = Events.readEvents(spark, dir) // conf-pin rule, ts unused
       .select(expr("nullif(event_type, 'error')").as("k"), col("value"))
     val a = ev.groupBy(col("k")).agg(count(lit(1)).as("n_all")).as("a")
     val b = ev.filter(col("value") > 50)
@@ -872,7 +885,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PolyHash
     val w = Window.partitionBy(col("user_id")).orderBy(col("fp"), col("event_id"))
-    spark.read.parquet(t(dir, "events"))
+    Events.readEvents(spark, dir) // conf-pin rule, ts unused
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("event_id").cast("string").as("s"))
       .withColumn("fp", PolyHash.polyHash(spark, "s"))
@@ -905,7 +918,7 @@ object Relational {
     (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val o = Window.orderBy(col("cents").desc, col("event_type"))
-    spark.read.parquet(t(dir, "events"))
+    Events.readEvents(spark, dir) // conf-pin rule, ts unused
       .groupBy(col("event_type"))
       .agg(expr("sum(CAST(floor(value*100+0.5) AS BIGINT))").as("cents"))
       .select(col("event_type"), col("cents"),

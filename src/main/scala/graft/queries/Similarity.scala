@@ -242,12 +242,8 @@ object Similarity {
       val buckets = bandsDF.groupBy(col("j"), col("band"))
         .agg(slice(array_sort(collect_list(col("vec_id"))), 1, cap).as("ds"))
         .filter(size(col("ds")) >= 2)
-      val pairsExpr = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
-        transform(sequence(i + 1, size(col("ds")) - 1), j =>
-          struct(element_at(col("ds"), i + 1).as("a"),
-            element_at(col("ds"), j + 1).as("b")))))
-      val half = buckets.select(explode(pairsExpr).as("p"))
-        .select(col("p.a").as("node"), col("p.b").as("nbr"))
+      val half = Pairs.ordered(buckets, "ds", "a", "b")
+        .select(col("a").as("node"), col("b").as("nbr"))
       val cand = half.unionAll(half.select(col("nbr").as("node"), col("node").as("nbr")))
         .distinct()
       val e = emb.select(col("vec_id"), col("embedding"),

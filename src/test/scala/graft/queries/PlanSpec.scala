@@ -574,8 +574,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(lang,en)"), p)
     assert(p.contains("GreaterThanOrEqual(n_chars,100)"), p)
     // the explainString elides the tail of a long PushedFilters list, so
-    // the upper bound is pinned via the un-truncated DataFilters echo
-    assert(p.contains("(n_chars#") && p.contains(" <= 200"), p)
+    // the upper bound is pinned via the un-truncated DataFilters echo —
+    // anchored on the FULL literal (a bare "<= 200" prefix would also
+    // match a regressed 200/2000 bound; code-review r12)
+    assert(p.contains("(n_chars#") && " <= 20000\\)".r.findFirstIn(p).isDefined, p)
   }
 
   test("q_attribution: one user exchange feeding the carry window, hash rollup") {
