@@ -2112,7 +2112,110 @@ object Events {
           ">").as("path"))
   }
 
+  /** Cross-type correlation matrix over daily volumes — the
+    * co-movement diagnostic behind incident correlation and metric
+    * clustering, emitted as the exact integer sufficient statistics of
+    * Pearson r for every type pair (n, Σa, Σb, Σab, Σa², Σb²); the
+    * consumer computes r = (nΣab − ΣaΣb)/√(…)·√(…) in whatever width it
+    * likes. The load-bearing semantic is the ZERO-FILLED grid: a type
+    * silent on a day must contribute c = 0 to the products (dropping the
+    * day — what a naive inner join on the sparse daily table does —
+    * biases every correlation toward +1). The gapFill row pins the same
+    * densification idiom for one series; this row does it for the
+    * matrix.
+    *
+    * Scale shape: the daily rollup is the only data-sized step
+    * (map-side combinable onto a |types|·|days| key space); the grid and
+    * the pair join live entirely in that tiny keyed world — |types|²·
+    * |days| rows at most, planner-scale forever.
+    */
+  val typeCorr: QueryDef = QueryDef(
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(x.c, 0) AS c
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(a.c) AS BIGINT) AS sum_a, CAST(sum(b.c) AS BIGINT) AS sum_b,
+      |       CAST(sum(a.c * b.c) AS BIGINT) AS sum_ab,
+      |       CAST(sum(a.c * a.c) AS BIGINT) AS sum_aa,
+      |       CAST(sum(b.c * b.c) AS BIGINT) AS sum_bb
+      |FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    val daily = readEvents(spark, dir)
+      .select(col("event_type"), expr("tus div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("event_type").as("type_a"), col("day"), col("c").as("ca"))
+    val b = grid.select(col("event_type").as("type_b"), col("day"), col("c").as("cb"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ca")).as("sum_a"), sum(col("cb")).as("sum_b"),
+        sum(col("ca") * col("cb")).as("sum_ab"),
+        sum(col("ca") * col("ca")).as("sum_aa"),
+        sum(col("cb") * col("cb")).as("sum_bb"))
+  }
+
+  /** As-of join with a match TOLERANCE (pandas merge_asof's `tolerance`,
+    * QuestDB/kdb's windowed asof): each click takes the latest preceding
+    * purchase by the same user ONLY if it happened within the last hour —
+    * a stale quote/attribution must become NULL, not silently join to an
+    * hours-old row. DuckDB's ASOF JOIN has no tolerance clause, so the
+    * oracle states it as the unbounded as-of plus a post-hoc gap guard —
+    * which is exactly the semantics, making the equivalence explicit.
+    * Value rides as integer cents.
+    *
+    * Scale shape: identical to [[asofJoin]] — one user exchange, a
+    * running ignoreNulls carry (O(1) state), the tolerance check is a
+    * row-local comparison on the carried timestamp. No extra shuffle
+    * for the guard.
+    */
+  val asofTolerance: QueryDef = QueryDef(
+    """SELECT event_id,
+      |       CASE WHEN prev_tus IS NOT NULL AND a_tus - prev_tus <= 3600000000
+      |            THEN prev_id END AS prev_id,
+      |       CASE WHEN prev_tus IS NOT NULL AND a_tus - prev_tus <= 3600000000
+      |            THEN prev_cents END AS prev_cents
+      |FROM (
+      |  SELECT a.event_id AS event_id, epoch_us(a.ts) AS a_tus,
+      |         b.event_id AS prev_id, epoch_us(b.ts) AS prev_tus,
+      |         CAST(floor(b.value * 100 + 0.5) AS BIGINT) AS prev_cents
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |    ON a.user_id = b.user_id AND b.ts < a.ts) t""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val TolUs = 3600000000L
+    val ev = readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
+    val isP = col("event_type") === "purchase"
+    ev.withColumn("p_id", last(when(isP, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("p_tus", last(when(isP, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("p_cents", last(when(isP, col("cents")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("fresh", col("p_tus").isNotNull && (col("tus") - col("p_tus")) <= TolUs)
+      .select(col("event_id"),
+        when(col("fresh"), col("p_id")).as("prev_id"),
+        when(col("fresh"), col("p_cents")).as("prev_cents"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_asof_tolerance" -> asofTolerance,
+    "q_type_corr" -> typeCorr,
     "q_user_journey" -> userJourney,
     "q_attribution" -> attribution,
     "q_interarrival" -> interarrival,
