@@ -203,7 +203,20 @@ object Graph {
   private[queries] val edgeCache =
     new SessionMemo[String, DataFrame](_.unpersist(false))
 
-  private def coEdges(spark: SparkSession, dir: String): DataFrame =
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = coEdgesBuild(spark, dir)
+    // Bench's between-runs cache sweep unpersists every RDD while this
+    // memo still holds the frame — a memo hit would then hand every
+    // consumer an UNPERSISTED plan and the edge build would replay once
+    // per consumer (three times in triangles alone). Re-arm the storage
+    // level on access: each timed run pays the build exactly once, the
+    // documented honest-cold-cost policy.
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e
+  }
+
+  private def coEdgesBuild(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(spark, dir) {
       val baskets = spark.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_partkey"))
