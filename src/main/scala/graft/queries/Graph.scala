@@ -203,20 +203,17 @@ object Graph {
   private[queries] val edgeCache =
     new SessionMemo[String, DataFrame](_.unpersist(false))
 
-  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e = coEdgesBuild(spark, dir)
-    // Bench's between-runs cache sweep unpersists every RDD while this
-    // memo still holds the frame — a memo hit would then hand every
-    // consumer an UNPERSISTED plan and the edge build would replay once
-    // per consumer (three times in triangles alone). Re-arm the storage
-    // level on access: each timed run pays the build exactly once, the
-    // documented honest-cold-cost policy.
-    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e
-  }
-
-  private def coEdgesBuild(spark: SparkSession, dir: String): DataFrame =
+  // DELIBERATELY no re-arm of the storage level after Bench's cache sweep
+  // (unlike AnnIvf's quantizer and Pipeline's gram frame, whose consumers
+  // are separate ACTIONS that cannot share work any other way): every
+  // graph row is a single-action plan, so when the sweep drops the
+  // persisted blocks the identical edge-build exchange subtrees dedup via
+  // ReusedExchange inside each execution anyway — measured 6.9/5.1 s
+  // (triangles/bfs with a re-arm forcing cache re-materialization +
+  // InMemory scans) vs 6.1/2.9 s (unpersisted + exchange reuse). The
+  // persist still pays off where nothing sweeps: Verify and user sessions
+  // run the three graph rows back-to-back against a warm frame.
+  private def coEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(spark, dir) {
       val baskets = spark.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_partkey"))
