@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * 24-bit uncompressed BMP ([[Media.encodeBmp]] / [[Media.decodeBmp]] —
   * little-endian BITMAPFILEHEADER/BITMAPINFOHEADER structs, planes/bpp/
   * compression validation, bottom-up 4-byte-aligned BGR rows flipped to
-  * top-down RGB), RIFF/WAVE PCM audio, YUV4MPEG2 video, and PNG through
-  * the standard JDK's `javax.imageio.ImageIO` (java.desktop ships with
-  * every JDK — the earlier "no codecs in the container" premise was
-  * narrower than reality): `src0`/`src1`/`src4` payloads are stored as
+  * top-down RGB), RIFF/WAVE PCM audio, YUV4MPEG2 video, and PNG + baseline
+  * TIFF through the standard JDK's `javax.imageio.ImageIO` (java.desktop
+  * ships with every JDK — the earlier "no codecs in the container"
+  * premise was narrower than reality): `src0`/`src1`/`src4` payloads are stored as
   * actual images and their features come from actually-decoded pixels.
   * Sources with no media container at all (plain text blobs) take
   * [[Media.byteFeatures]] over the raw payload — for an opaque blob the
@@ -180,7 +180,15 @@ object Media {
     * deflate preserves every pixel; the CONTAINER size is
     * compression-dependent and deliberately never asserted anywhere.
     */
-  def encodePng(content: Array[Byte]): Array[Byte] = {
+  def encodePng(content: Array[Byte]): Array[Byte] =
+    encodeImageIo(content, "png")
+
+  /** Encode through any lossless full-color `javax.imageio` writer the JDK
+    * ships ("png"; "tiff" since JDK 9). The lossy/palette formats the same
+    * registry offers (JPEG, GIF) are deliberately NOT wired to the
+    * raster-equality gate — quantization would fail it by design.
+    */
+  def encodeImageIo(content: Array[Byte], format: String): Array[Byte] = {
     val pixels = (content.length + 2) / 3
     val h = math.max(1, (pixels + PpmWidth - 1) / PpmWidth)
     val img = new java.awt.image.BufferedImage(
@@ -198,9 +206,21 @@ object Media {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-    require(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer missing")
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"JDK $format writer missing")
     out.toByteArray
   }
+
+  /** REAL codec #6: baseline TIFF through the JDK's TIFFImageReader/Writer
+    * (javax.imageio ships them since JDK 9) — same packing geometry and
+    * loud-failure contract as the PNG pair; [[decodePng]] is already
+    * format-agnostic (ImageIO sniffs the magic), so the TIFF decode is the
+    * same entry point reading a different container.
+    */
+  def encodeTiff(content: Array[Byte]): Array[Byte] =
+    encodeImageIo(content, "tiff")
+
+  def decodeTiff(bytes: Array[Byte]): PpmImage = decodePng(bytes)
 
   /** REAL decoder #5: PNG through `javax.imageio.ImageIO.read` — the full
     * IHDR/IDAT/IEND chunk parse + zlib inflate + scanline unfilter of the

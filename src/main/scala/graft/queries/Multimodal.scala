@@ -223,7 +223,8 @@ object Multimodal {
   val mediaCrossCodec: QueryDef = QueryDef(
     s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(count(*) AS BIGINT) AS n_agree_bmp,
-       |       CAST(count(*) AS BIGINT) AS n_agree_png
+       |       CAST(count(*) AS BIGINT) AS n_agree_png,
+       |       CAST(count(*) AS BIGINT) AS n_agree_tiff
        |FROM documents WHERE source = '${Media.PpmSource}'""".stripMargin) {
     (spark, dir) =>
     import spark.implicits._
@@ -237,14 +238,17 @@ object Multimodal {
         val ppm = Media.decodePpm(Media.encodePpm(r.media)).raster
         val bmp = Media.decodeBmp(Media.encodeBmp(r.media)).raster
         val png = Media.decodePng(Media.encodePng(r.media)).raster
+        val tif = Media.decodeTiff(Media.encodeTiff(r.media)).raster
         (r.doc_id,
           if (java.util.Arrays.equals(ppm, bmp)) 1L else 0L,
-          if (java.util.Arrays.equals(ppm, png)) 1L else 0L)
+          if (java.util.Arrays.equals(ppm, png)) 1L else 0L,
+          if (java.util.Arrays.equals(ppm, tif)) 1L else 0L)
       }
-    }.toDF("doc_id", "eq_bmp", "eq_png")
+    }.toDF("doc_id", "eq_bmp", "eq_png", "eq_tiff")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("eq_bmp")).as("n_agree_bmp"),
-        sum(col("eq_png")).as("n_agree_png"))
+        sum(col("eq_png")).as("n_agree_png"),
+        sum(col("eq_tiff")).as("n_agree_tiff"))
   }
 
   /** Perceptual image signature (column-profile aHash) over

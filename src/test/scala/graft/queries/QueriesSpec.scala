@@ -202,6 +202,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF codec (ImageIO): lossless round-trip, agrees with the PPM raster") {
+    val content = Array.tabulate[Byte](200)(i => (i * 13 % 247).toByte)
+    val payload = Media.encodeTiff(content)
+    // a genuine TIFF container: II*\0 (little-endian) or MM\0* (big-endian)
+    val magic = payload.take(4).toSeq
+    assert(magic == Seq[Byte]('I', 'I', 42, 0) || magic == Seq[Byte]('M', 'M', 0, 42),
+      s"not a TIFF header: $magic")
+    val img = Media.decodeTiff(payload)
+    assert(img.width == Media.PpmWidth && img.height == 3)
+    assert(img.raster.take(200).toSeq == content.toSeq)
+    assert(img.raster.toSeq == Media.decodePpm(Media.encodePpm(content)).raster.toSeq)
+    intercept[IllegalArgumentException] {
+      Media.decodeTiff("definitely not a tiff".getBytes("US-ASCII"))
+    }
+  }
+
   test("WAV codec: encode/decode round-trips samples; chunk walk; malformed throw") {
     // round-trip: samples = content exactly (the RIFF even-byte pad is
     // container-only, never a sample), rate as stamped
