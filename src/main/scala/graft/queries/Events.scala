@@ -2213,7 +2213,45 @@ object Events {
         when(col("fresh"), col("p_cents")).as("prev_cents"))
   }
 
+  /** Multi-horizon lag features — the behavioral-model feature matrix:
+    * per active (user, day), today's count beside the SAME user's counts
+    * 1 and 7 days earlier, zero-coalesced (an inactive lag day is a 0
+    * feature, not a dropped row). Sparse formulation: features attach
+    * only to ACTIVE days via two key self-joins on the daily rollup —
+    * the dense per-user calendar grid (gapFill's idiom) is deliberately
+    * avoided here because feature stores index by active day.
+    *
+    * Scale shape: one data-sized rollup onto the (user, day) key space,
+    * then two self-joins of that key-sized frame against itself — AQE
+    * picks broadcast or co-shuffle by size, and both joins share one
+    * partitioning of the same frame (exchange reuse).
+    */
+  val lagFeatures: QueryDef = QueryDef(
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.user_id, a.day, a.n,
+      |       CAST(coalesce(b.n, 0) AS BIGINT) AS n_lag1,
+      |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_lag7
+      |FROM daily a
+      |LEFT JOIN daily b ON b.user_id = a.user_id AND b.day = a.day - 1
+      |LEFT JOIN daily c ON c.user_id = a.user_id AND c.day = a.day - 7""".stripMargin) {
+    (spark, dir) =>
+    val daily = readEvents(spark, dir)
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val lag1 = daily.select(col("user_id"), (col("day") + 1).as("day"), col("n").as("l1"))
+    val lag7 = daily.select(col("user_id"), (col("day") + 7).as("day"), col("n").as("l7"))
+    daily.join(lag1, Seq("user_id", "day"), "left")
+      .join(lag7, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("n"),
+        coalesce(col("l1"), lit(0L)).as("n_lag1"),
+        coalesce(col("l7"), lit(0L)).as("n_lag7"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_lag_features" -> lagFeatures,
     "q_asof_tolerance" -> asofTolerance,
     "q_type_corr" -> typeCorr,
     "q_user_journey" -> userJourney,

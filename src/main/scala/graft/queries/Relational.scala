@@ -928,7 +928,61 @@ object Relational {
         ntile(2).over(o).cast("long").as("half"))
   }
 
+  /** Item-item collaborative filtering — the classic co-occurrence
+    * recommender: for each of the first 50 parts, the top-3 parts by
+    * LIFT (co·10⁶ div (deg_u · deg_v), integer ppm — raw co-counts just
+    * recommend whatever is popular; normalizing by both degrees is the
+    * co-occurrence form of cosine/lift every production recommender
+    * applies), ties broken (lift desc, co desc, v) for a total order.
+    * The u < 50 cut keeps the gate output fixed-size; Catalyst pushes
+    * it through the aggregate into the probe scan — the full-catalog
+    * run is the same plan without the filter.
+    *
+    * Scale shape: the co-matrix builds from the order-keyed equi-join
+    * (bounded per-order fan-out, the copurchase rule), degrees are
+    * key-sized, the per-item top-k is the Partial WindowGroupLimit
+    * shape (one candidate set per item pre-shuffle). Nothing
+    * all-pairs: items never co-occurring never materialize.
+    */
+  val itemRecs: QueryDef = QueryDef(
+    """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS co
+      |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT l_partkey AS x, CAST(count(*) AS BIGINT) AS d FROM os GROUP BY 1),
+      |scored AS (
+      |  SELECT co.u, co.v, co.co,
+      |         CAST(co.co * 1000000 // (du.d * dv.d) AS BIGINT) AS lift_ppm
+      |  FROM co JOIN deg du ON du.x = co.u JOIN deg dv ON dv.x = co.v),
+      |r AS (SELECT u, v, co, lift_ppm,
+      |             row_number() OVER (PARTITION BY u
+      |                                ORDER BY lift_ppm DESC, co DESC, v) AS rn
+      |      FROM scored)
+      |SELECT u, v, co, lift_ppm FROM r WHERE rn <= 3 AND u < 50""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val os = spark.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = os.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(os.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+    val deg = os.groupBy(col("l_partkey").as("x")).agg(count(lit(1)).as("d"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("lift_ppm").desc, col("co").desc, col("v"))
+    co.join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("co"),
+        expr("co * 1000000 div (du * dv)").as("lift_ppm"))
+      .filter(col("u") < 50)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("u"), col("v"), col("co"), col("lift_ppm"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_item_recs" -> itemRecs,
     "q_rank_functions" -> rankFunctions,
     "q_typed_agg" -> typedAgg,
     "q_null_safe_join" -> nullSafeJoin,
