@@ -981,7 +981,79 @@ object Relational {
       .select(col("u"), col("v"), col("co"), col("lift_ppm"))
   }
 
+  /** k-anonymity audit (k = 5) over the (lang, source) quasi-identifier —
+    * the privacy gate a release pipeline runs beside the PII scrub:
+    * documents whose quasi-identifier combination matches fewer than k
+    * rows are re-identification risks, and the release decision needs the
+    * group count, the risky-group count, the affected row count, and the
+    * worst group size in one row. FILTER-ed aggregates keep it one pass
+    * over the key-sized group table.
+    *
+    * Scale shape: one data-sized rollup onto the quasi-identifier key
+    * space, then a 1-row fold of that key-sized frame — at any corpus
+    * size the audit costs one scan plus a |lang|·|source| aggregate.
+    */
+  val kAnonymity: QueryDef = QueryDef(
+    """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS n_risky_groups,
+      |       CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS n_risky_docs,
+      |       CAST(min(n) AS BIGINT) AS min_group
+      |FROM g""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("n") < 5, 1)).as("n_risky_groups"),
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).as("n_risky_docs"),
+        min(col("n")).as("min_group"))
+  }
+
+  /** Referential-integrity audit across the star schema's three FK edges
+    * (lineitem→orders, orders→customer, customer⇢orders activity) — the
+    * load-validation row every warehouse runs after ingest, stated as
+    * NOT EXISTS in the oracle and planned as LEFT ANTI joins here (the
+    * decontaminate rule: anti-join IS NOT EXISTS' null semantics). The
+    * totals ride along so the zero orphan counts are visibly zero
+    * against non-zero denominators, not a vacuous empty-input zero.
+    *
+    * Scale shape: three key joins, each broadcast or co-shuffled by AQE
+    * on table size; counts are 1-row aggregates crossed via broadcast.
+    */
+  val fkIntegrity: QueryDef = QueryDef(
+    """SELECT
+      |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |    AS orphan_lineitems,
+      |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |    AS orphan_orders,
+      |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+      |    AS inactive_customers,
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+      |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers""".stripMargin) {
+    (spark, dir) =>
+    val li = spark.read.parquet(t(dir, "lineitem")).select(col("l_orderkey"))
+    val o = spark.read.parquet(t(dir, "orders")).select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(t(dir, "customer")).select(col("c_custkey"))
+    def one(df: org.apache.spark.sql.DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    one(li.join(o.select(col("o_orderkey")),
+        li("l_orderkey") === o("o_orderkey"), "left_anti"), "orphan_lineitems")
+      .crossJoin(one(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"),
+        "orphan_orders"))
+      .crossJoin(one(c.join(o.select(col("o_custkey")),
+        c("c_custkey") === o("o_custkey"), "left_anti"), "inactive_customers"))
+      .crossJoin(one(li, "n_lineitems"))
+      .crossJoin(one(o, "n_orders"))
+      .crossJoin(one(c, "n_customers"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_k_anonymity" -> kAnonymity,
+    "q_fk_integrity" -> fkIntegrity,
     "q_item_recs" -> itemRecs,
     "q_rank_functions" -> rankFunctions,
     "q_typed_agg" -> typedAgg,
