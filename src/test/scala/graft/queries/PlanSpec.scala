@@ -638,6 +638,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("knullsafeeq") || p.contains("<=>") || p.contains("coalesce"), p)
   }
 
+  test("q_item_recs: per-item top-k prunes pre-shuffle, co-matrix never cartesian") {
+    val p = plan("q_item_recs")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_lag_features: both lag self-joins reuse one partitioning of the daily rollup") {
+    val p = plan("q_lag_features")
+    // the daily rollup's exchange must be computed once and reused by the
+    // second self-join, not re-shuffled per lag horizon
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
