@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in distributed batches.
   *
-  * FIVE real codecs ship (VERDICT r8 #4, r10 #3): binary PPM / P6
+  * SIX real codecs ship (VERDICT r8 #4, r10 #3): binary PPM / P6
   * ([[Media.encodePpm]] / [[Media.decodePpm]] — ASCII header parse with
   * comment handling, dimension/maxval validation, raw raster read),
   * 24-bit uncompressed BMP ([[Media.encodeBmp]] / [[Media.decodeBmp]] —

@@ -786,19 +786,37 @@ object Events {
       |  FROM (SELECT * FROM events WHERE event_type = 'click') a
       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       |    ON a.user_id = b.user_id AND b.ts < a.ts) t""".stripMargin) { (spark, dir) =>
+    lastPurchaseCarry(spark, dir)
+      .select(col("event_id"), col("p.id").as("prev_id"),
+        round(col("p.value"), 2).as("prev_value"))
+  }
+
+  /** The as-of carry shared by [[asofJoin]] and [[asofTolerance]]: for
+    * each CLICK, the latest strictly-earlier PURCHASE by the same user,
+    * carried as ONE struct under a RANGE frame (code-review r12, two
+    * latent divergences the generator's data happened to mask):
+    *   - the frame is `rangeBetween(unboundedPreceding, -1)` on tus, the
+    *     exact `b.ts < a.ts` of the oracle's ASOF — a ROWS frame means
+    *     "strictly earlier rows", which on a (user, tus) TIE may include
+    *     the tied purchase nondeterministically;
+    *   - the id/tus/value fields ride in a single struct, so they always
+    *     come from the SAME purchase — parallel ignoreNulls carries would
+    *     skip a latest purchase with a NULL value for one column while
+    *     the others still point at it.
+    */
+  private def lastPurchaseCarry(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = readEvents(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("tus"), col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
-      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
-    ev.withColumn("prev_id",
-        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("prev_value",
-        round(last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w), 2))
+      .rangeBetween(Window.unboundedPreceding, -1) // tus STRICTLY less
+    ev.withColumn("p",
+        last(when(col("event_type") === "purchase",
+          struct(col("event_id").as("id"), col("tus").as("t"), col("value"))),
+          ignoreNulls = true).over(w))
       .filter(col("event_type") === "click")
-      .select(col("event_id"), col("prev_id"), col("prev_value"))
   }
 
   /** Skew-salted aggregation: partial aggregation on (key, salt) spreads a
@@ -2194,37 +2212,33 @@ object Events {
       |  FROM (SELECT * FROM events WHERE event_type = 'click') a
       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       |    ON a.user_id = b.user_id AND b.ts < a.ts) t""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val TolUs = 3600000000L
-    val ev = readEvents(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
-      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
-    val isP = col("event_type") === "purchase"
-    ev.withColumn("p_id", last(when(isP, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("p_tus", last(when(isP, col("tus")), ignoreNulls = true).over(w))
-      .withColumn("p_cents", last(when(isP, col("cents")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "click")
-      .withColumn("fresh", col("p_tus").isNotNull && (col("tus") - col("p_tus")) <= TolUs)
+    lastPurchaseCarry(spark, dir)
+      .withColumn("fresh",
+        col("p").isNotNull && (col("tus") - col("p.t")) <= TolUs)
       .select(col("event_id"),
-        when(col("fresh"), col("p_id")).as("prev_id"),
-        when(col("fresh"), col("p_cents")).as("prev_cents"))
+        when(col("fresh"), col("p.id")).as("prev_id"),
+        when(col("fresh"),
+          expr("CAST(floor(p.value * 100 + 0.5) AS BIGINT)")).as("prev_cents"))
   }
 
   /** Multi-horizon lag features — the behavioral-model feature matrix:
     * per active (user, day), today's count beside the SAME user's counts
     * 1 and 7 days earlier, zero-coalesced (an inactive lag day is a 0
     * feature, not a dropped row). Sparse formulation: features attach
-    * only to ACTIVE days via two key self-joins on the daily rollup —
-    * the dense per-user calendar grid (gapFill's idiom) is deliberately
-    * avoided here because feature stores index by active day.
+    * only to ACTIVE days — the dense per-user calendar grid (gapFill's
+    * idiom) is deliberately avoided here because feature stores index by
+    * active day.
     *
     * Scale shape: one data-sized rollup onto the (user, day) key space,
-    * then two self-joins of that key-sized frame against itself — AQE
-    * picks broadcast or co-shuffle by size, and both joins share one
-    * partitioning of the same frame (exchange reuse).
+    * then BOTH lags as exact-offset RANGE frames (`RANGE BETWEEN k
+    * PRECEDING AND k PRECEDING` picks the row AT day − k or an empty
+    * frame) over ONE (user, day) sort — no joins at all. The oracle
+    * states the same relation as two key self-joins; a first cut
+    * implemented it that way too, and the plan pin exposed the cost: the
+    * shifted-key projections make the three aggregate subtrees distinct,
+    * so nothing reuses and events scans THREE times. The window form is
+    * one scan, one exchange, O(1) frame state per row.
     */
   val lagFeatures: QueryDef = QueryDef(
     """WITH daily AS (
@@ -2238,16 +2252,21 @@ object Events {
       |LEFT JOIN daily b ON b.user_id = a.user_id AND b.day = a.day - 1
       |LEFT JOIN daily c ON c.user_id = a.user_id AND c.day = a.day - 7""".stripMargin) {
     (spark, dir) =>
-    val daily = readEvents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    def at(k: Int) = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-k, -k)
+    // repartition on user_id ALONE before the rollup: hashpartitioning
+    // on the user already clusters every (user, day) group, so the
+    // aggregate accepts it AND the window's user-partitioning is
+    // satisfied by the same exchange — one shuffle total instead of a
+    // (user, day) agg exchange followed by a user window exchange.
+    readEvents(spark, dir)
       .select(col("user_id"), expr("tus div 86400000000").as("day"))
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
-    val lag1 = daily.select(col("user_id"), (col("day") + 1).as("day"), col("n").as("l1"))
-    val lag7 = daily.select(col("user_id"), (col("day") + 7).as("day"), col("n").as("l7"))
-    daily.join(lag1, Seq("user_id", "day"), "left")
-      .join(lag7, Seq("user_id", "day"), "left")
       .select(col("user_id"), col("day"), col("n"),
-        coalesce(col("l1"), lit(0L)).as("n_lag1"),
-        coalesce(col("l7"), lit(0L)).as("n_lag7"))
+        coalesce(sum(col("n")).over(at(1)), lit(0L)).as("n_lag1"),
+        coalesce(sum(col("n")).over(at(7)), lit(0L)).as("n_lag7"))
   }
 
   val defs: Map[String, QueryDef] = Map(

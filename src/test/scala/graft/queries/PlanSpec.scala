@@ -644,12 +644,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_lag_features: both lag self-joins reuse one partitioning of the daily rollup") {
+  test("q_lag_features: one scan, one exchange, both lags as range frames (no joins)") {
+    // The review-pass pin exposed the first-cut join formulation scanning
+    // events three times (shifted-key projections defeat exchange reuse);
+    // the range-frame form is pinned instead: a single parquet scan, a
+    // single user-day exchange, and NO join operator anywhere.
     val p = plan("q_lag_features")
-    // the daily rollup's exchange must be computed once and reused by the
-    // second self-join, not re-shuffled per lag horizon
-    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortAggregate"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"events must scan once:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"lag horizons must be window frames, not joins:\n$p")
+    assert(p.contains("Window"), p)
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
