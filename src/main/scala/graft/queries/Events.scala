@@ -2269,7 +2269,105 @@ object Events {
         coalesce(sum(col("n")).over(at(7)), lit(0L)).as("n_lag7"))
   }
 
+  /** Peak concurrency by sweep line — "how many sessions were open at
+    * once": 30-minute-gap sessions become [t0, t1] intervals, each
+    * interval emits a +1 at its start and a −1 just after its end, and a
+    * single time-ordered running sum's maximum is the answer (with the
+    * first instant it was reached, min-tie-broken). The classic
+    * interval-stacking algorithm — capacity planning's load curve —
+    * whose naive form (join every instant against every interval) is
+    * quadratic; the sweep is one sort of 2·|sessions| points.
+    *
+    * Scale shape: sessionization is the usual per-user window; the
+    * sweep's global order runs over SESSION-sized (not event-sized)
+    * deltas, first combined per timestamp (map-side combinable), and at
+    * real scale becomes the two-pass prefix sum (per-partition totals +
+    * broadcast offsets, the globalIndex shape) — the gate row keeps the
+    * single-partition window because |sessions| is planner-scale here.
+    */
+  val maxConcurrency: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |m AS (SELECT user_id, tus,
+      |             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+      |                  OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM ev),
+      |s AS (SELECT user_id, tus,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m),
+      |iv AS (SELECT user_id, sid, min(tus) AS t0, max(tus) AS t1 FROM s GROUP BY 1, 2),
+      |pts AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS d FROM iv
+      |        UNION ALL SELECT t1 + 1, CAST(-1 AS BIGINT) FROM iv),
+      |sweep AS (SELECT t, sum(d) AS dd FROM pts GROUP BY t),
+      |run AS (SELECT t, sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM sweep)
+      |SELECT CAST(max(conc) AS BIGINT) AS max_concurrent,
+      |       CAST(min(t) FILTER (WHERE conc = (SELECT max(conc) FROM run)) AS BIGINT)
+      |         AS first_peak_tus,
+      |       CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions
+      |FROM run""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 1800000000L
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+    val iv = readEvents(spark, dir)
+      .select(col("user_id"), col("tus"))
+      .withColumn("new_s",
+        when(col("tus") - lag(col("tus"), 1).over(perUser) > GapUs ||
+          lag(col("tus"), 1).over(perUser).isNull, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+    val sweep = iv.select(col("t0").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select((col("t1") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("dd"))
+    val run = sweep.withColumn("conc", sum(col("dd"))
+      .over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = run.agg(max(col("conc")).as("mc"))
+    run.crossJoin(broadcast(peak))
+      .agg(max(col("conc")).as("max_concurrent"),
+        min(when(col("conc") === col("mc"), col("t"))).as("first_peak_tus"))
+      .crossJoin(broadcast(iv.agg(count(lit(1)).as("n_sessions"))))
+  }
+
+  /** First-order Markov transition matrix over the per-user event stream
+    * — the behavior-model estimate behind next-action prediction and
+    * anomaly scoring: consecutive-pair counts under the (tus, event_id)
+    * total order, row-normalized to ppm (`div` both engines). [[seqMine]]
+    * surfaces the top trigram PATHS; this is the full order-1 MODEL, a
+    * |types|² matrix with exact integer estimates.
+    *
+    * Scale shape: one user exchange for the lead window, then an
+    * aggregate on the |types|² key space with the row totals joined
+    * key-sized. Map-side combine does all data-sized work.
+    */
+  val markovTransition: QueryDef = QueryDef(
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+      |p AS (SELECT event_type AS e1,
+      |             lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS e2
+      |      FROM ev),
+      |c AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS n FROM p
+      |      WHERE e2 IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT e1, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.e1, c.e2, c.n, CAST(c.n * 1000000 // r.tot AS BIGINT) AS p_ppm
+      |FROM c JOIN r ON r.e1 = c.e1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val c = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type").as("e1"), col("tus"), col("event_id"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n"))
+    val r = c.groupBy(col("e1")).agg(sum(col("n")).as("tot"))
+    c.join(r, "e1")
+      .select(col("e1"), col("e2"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_max_concurrency" -> maxConcurrency,
+    "q_markov_transition" -> markovTransition,
     "q_lag_features" -> lagFeatures,
     "q_asof_tolerance" -> asofTolerance,
     "q_type_corr" -> typeCorr,
