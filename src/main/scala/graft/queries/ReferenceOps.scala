@@ -153,6 +153,24 @@ object ReferenceOps {
     stencilRows.toDS().toDF("idx", "x", "y", "halvings")
   }
 
+  /** The same stencil prefix read through the DataSource V2 connector
+    * ([[graft.sources.StencilSource]]) — `spark.read.format(...)` over
+    * the UNBOUNDED generator table, with the LIMIT pushed into the scan
+    * (the connector refuses to plan without one). Hashing against the
+    * identical VALUES oracle as [[stencilPrefix]] proves the V2 path —
+    * TableProvider, ScanBuilder, pushed limit, InternalRow encoding of
+    * the offset array — emits bit-for-bit the rows the in-process
+    * iterator emits; ExtensionsSpec pins the no-limit refusal and the
+    * pushdown itself.
+    */
+  val stencilSource: QueryDef = QueryDef(stencilPrefix.oracle.get) { (spark, _) =>
+    spark.read.format("graft.sources.StencilSource")
+      .option("dims", 2).option("maxHalvings", 7)
+      .load()
+      .limit(stencilN)
+      .selectExpr("idx", "offset[0] AS x", "offset[1] AS y", "halvings")
+  }
+
   /** Contraction/halving distribution T5/T6 over the same prefix: how many
     * steps exist per halving level and the implied step scale 2^-h.
     */
@@ -296,6 +314,7 @@ object ReferenceOps {
     "q_dedup_anti" -> dedupAnti,
     "q_lineage_join" -> lineageJoin,
     "q_stencil_prefix" -> stencilPrefix,
+    "q_stencil_source" -> stencilSource,
     "q_contract_count" -> contractCount,
     "q_batch_eval" -> batchEval,
     "q_search_evals" -> searchEvals)

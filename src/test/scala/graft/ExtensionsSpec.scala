@@ -37,6 +37,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2).length == 2)
   }
 
+  test("StencilSource: unbounded table refuses to plan without a pushed limit") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.format("graft.sources.StencilSource")
+      .option("dims", 2).option("maxHalvings", 7).load()
+    // an innocent full-table action must fail LOUDLY at planning, not
+    // generate forever (the stream is infinite by design)
+    val e = intercept[Exception](df.count())
+    assert(e.getMessage != null && e.getMessage.contains("UNBOUNDED"),
+      s"expected the unbounded-table refusal, got: ${e.getMessage}")
+  }
+
+  test("StencilSource: the limit is pushed into the V2 scan and rows match the generator") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.format("graft.sources.StencilSource")
+      .option("dims", 3).option("maxHalvings", 5).load()
+      .limit(40)
+    // pushed limit is visible in the scan description...
+    assert(df.queryExecution.executedPlan.toString.contains("limit=40"),
+      df.queryExecution.executedPlan.toString)
+    // ...and the rows are the generator's, in order, with the array intact
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))
+    val want = new graft.stencil.RightHandedSimplexStencil(3, 5)
+      .stencilPoints.take(40).zipWithIndex
+      .map { case (s, i) => (i + 1, s.halvings, s.offset.toVector) }.toArray
+    assert(got.length == 40 && got.sameElements(want))
+  }
+
   test("IntMoments merge law: every split of the input folds to the same state") {
     import graft.functions.IntMoments
     // The q_typed_agg gate only exercises whatever split Spark's partial
