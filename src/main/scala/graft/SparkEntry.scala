@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
       graft.queries.Multimodal.defs ++ graft.queries.AnnIvf.defs ++
       graft.queries.Sources.defs ++ graft.queries.Relational.defs ++
-      graft.queries.Pipeline.defs ++ graft.queries.Graph.defs
+      graft.queries.Pipeline.defs ++ graft.queries.Graph.defs ++
+      graft.queries.SqlSurface.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

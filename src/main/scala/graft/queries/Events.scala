@@ -2365,7 +2365,109 @@ object Events {
         expr("n * 1000000 div tot").as("p_ppm"))
   }
 
+  /** The streaming state store read back as a TABLE — Spark's `statestore`
+    * data source over a finished query's checkpoint: the per-key
+    * aggregation buffers (group key struct → {count, sum} buffer struct)
+    * become ordinary rows, which is the production debugging/audit surface
+    * for stateful streams ("what does the store believe about key X", "is
+    * state size drifting") without re-running the query. The gate proves
+    * the state is not an approximation of the stream but the exact
+    * aggregate: the store contents must hash-match the batch oracle over
+    * the same input.
+    *
+    * The checkpoint is built once per source fingerprint (writeOnce): an
+    * update-mode count+fixed-sum per event type into a noop sink — the
+    * sink is irrelevant, the CHECKPOINT is the artifact. Scale shape: the
+    * state source reads one store per shuffle partition in parallel,
+    * data-proportional to live keys, not to stream history; the rollup
+    * after it is key-bounded.
+    */
+  val stateReader: QueryDef = QueryDef(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_fixed
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("statereader", dir, "events.parquet")
+    withEventReadConfs(spark) {
+      FileSources.writeOnce(out) { o =>
+        withStreamPartitions(spark, 4) {
+          val q = eventsStream(spark, dir)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sum_fixed"))
+            .writeStream
+            .outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", s"$o/chk")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+        }
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+      }
+    }
+    spark.read.format("statestore").load(s"$out/chk")
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.sum").as("sum_fixed"))
+  }
+
+  /** Chained stateful aggregations in ONE streaming query (Spark 3.4+
+    * multiple-stateful-operator support): 30-minute tumbling counts per
+    * event type feed a second event-time aggregation over 2-hour windows
+    * via `window_time()` — the streaming rollup cascade (minute → hour →
+    * day) that previously required one query + intermediate topic per
+    * level. Append mode end to end: the final 2-hour window whose end
+    * exceeds the terminal watermark is withheld by design, and the oracle
+    * states exactly that — all windows with `end ≤ ms-floored max event
+    * time` (0s delay), zero-delay watermark making the boundary
+    * deterministic on bounded input.
+    *
+    * Scale shape: each level is a keyed stateful aggregate with watermark
+    * eviction — state is live-window-bounded at both levels, and the
+    * second level's input is the first's FINALIZED windows (cardinality
+    * ~ windows × types, not events), so the cascade's cost decays
+    * geometrically — exactly why rollup cascades beat re-aggregating raw
+    * history at each granularity.
+    */
+  val streamChained: QueryDef = QueryDef(
+    """WITH b AS (SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS w30,
+      |                  event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events)
+      |SELECT w_start_us, total, n_buckets FROM (
+      |  SELECT (w30 // 7200000000) * 7200000000 AS w_start_us,
+      |         CAST(sum(n) AS BIGINT) AS total,
+      |         CAST(count(*) AS BIGINT) AS n_buckets
+      |  FROM b GROUP BY 1) g, wm
+      |WHERE g.w_start_us + 7200000000 <= wm.w""".stripMargin) { (spark, dir) =>
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        val chained = eventsStream(spark, dir)
+          .select(timestamp_micros(col("tus")).as("tts"), col("event_type"))
+          .withWatermark("tts", "0 seconds")
+          .groupBy(window(col("tts"), "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(window(window_time(col("window")), "2 hours"))
+          .agg(sum(col("n")).as("total"), count(lit(1)).as("n_buckets"))
+          .select(unix_micros(col("window.start")).as("w_start_us"),
+            col("total"), col("n_buckets"))
+        val q = chained.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_chained")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_stream_chained")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_state_reader" -> stateReader,
+    "q_stream_chained" -> streamChained,
     "q_max_concurrency" -> maxConcurrency,
     "q_markov_transition" -> markovTransition,
     "q_lag_features" -> lagFeatures,

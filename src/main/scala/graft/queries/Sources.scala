@@ -98,6 +98,37 @@ object Sources {
     * PartitionFilters prove it — see PlanSpec); oracle filters the flat
     * parquet the ordinary way.
     */
+  /** The `_metadata` hidden file columns — per-record physical provenance
+    * (file name, 0-based in-file row index) surfaced as ordinary columns,
+    * the mechanism behind record-level lineage and incremental reprocessing
+    * ("which file did this bad row come from") with NO extra scan cost:
+    * the constant file fields attach at read time and `row_index` is the
+    * scan's own record counter. The gate pins real semantics: documents
+    * rows were written in doc_id order, so Σ row_index per lang must equal
+    * the rank-by-doc_id sums the oracle computes from data alone, and the
+    * distinct-file count must be exactly the canonical table's single
+    * file — a fabricated row_index or leaked extra file flips the hash.
+    *
+    * Scale shape: zero added shuffle (metadata columns are scan-local);
+    * the rollup is a lang-keyed aggregate. On a 100 TB multi-file table
+    * the same query keys on `_metadata.file_path` to audit per-file row
+    * coverage against the ingestion manifest.
+    */
+  val fileMetadata: QueryDef = QueryDef(
+    """WITH d AS (SELECT lang, row_number() OVER (ORDER BY doc_id) - 1 AS ri
+      |           FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ri) AS BIGINT) AS sum_row_index,
+      |       CAST(1 AS BIGINT) AS n_files
+      |FROM d GROUP BY lang""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("_metadata.row_index").as("ri"),
+        col("_metadata.file_name").as("fn"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ri")).as("sum_row_index"),
+        countDistinct(col("fn")).as("n_files"))
+  }
+
   val partitionedScan: QueryDef = QueryDef(
     """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (spark, dir) =>
@@ -222,6 +253,7 @@ object Sources {
 
   val defs: Map[String, QueryDef] = Map(
     "q_join_dpp" -> joinDpp,
+    "q_file_metadata" -> fileMetadata,
     "q_observe_metrics" -> observeMetrics,
     "q_union_evolved" -> unionEvolved,
     "q_source_csv" -> csvRoundtrip,

@@ -656,6 +656,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q_recursive_cte: the spine is a UnionLoop, the rollup join broadcasts") {
+    val p = plan("q_recursive_cte")
+    assert(p.contains("UnionLoop"), s"recursion must plan as UnionLoop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ~80-row spine joins the month rollup broadcast-side:\n$p")
+  }
+
+  test("q_lateral_topk: the correlated LATERAL decorrelates to a pre-shuffle WindowGroupLimit") {
+    val p = plan("q_lateral_topk")
+    // The engine must NOT execute the subquery per outer row: the lateral
+    // rewrites into the same rank-truncated join shape as
+    // q_hash_sample_per_key — a Partial WindowGroupLimit prunes each key
+    // to 2 rows BEFORE the exchange, and the probe set joins broadcast.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_collation: the join keys are collated expressions, not a post-join filter") {
+    val p = plan("q_collation")
+    assert(p.contains("collate(w") && p.contains("UTF8_LCASE"),
+      s"collated equality must be the hash/sort join key itself:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_regression: one lineitem scan, map-side partial sufficient statistics") {
+    val p = plan("q_regression")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"sufficient statistics must come from ONE pass:\n$p")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_file_metadata: metadata columns ride the scan — no extra source or join") {
+    val p = plan("q_file_metadata")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("row_index"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -1141,4 +1141,48 @@ class QueriesSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSet
     assert(gotDim == expDim)
   }
+
+  test("UTF8_LCASE collation equates case variants that binary equality separates") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val words = Seq("Tokenizer", "TOKENIZER", "tokenizer", "Sampler").toDF("w")
+    val probe = Seq("tokenIZER").toDF("term")
+    val hits = words
+      .join(probe, org.apache.spark.sql.functions.expr(
+        "collate(w, 'UTF8_LCASE') = collate(term, 'UTF8_LCASE')"))
+      .count()
+    assert(hits == 3, "all three case variants must match the probe term")
+    val binary = words.join(probe,
+      org.apache.spark.sql.functions.col("w") === org.apache.spark.sql.functions.col("term")).count()
+    assert(binary == 0, "binary equality must match none (the collation is load-bearing)")
+  }
+
+  test("regression slope_ppm agrees with the closed-form double OLS to 1 ppm") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = SparkEntry.queries("q_regression")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, sx, sy, sxx, sxy) = (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble, r.getLong(4).toDouble, r.getLong(5).toDouble)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6
+      // decimal div truncates toward zero; the double recompute must land
+      // within one ppm of the exact integer quotient
+      assert(math.abs(slope - r.getLong(6)) <= 1.0,
+        s"group ${r.getString(0)}: decimal ${r.getLong(6)} vs double $slope")
+    }
+  }
+
+  test("recursion past cteRecursionLevelLimit fails loudly, never truncates") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try {
+      val e = intercept[Exception] {
+        SparkEntry.queries("q_recursive_cte")(spark, sf).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("recursion"),
+        s"expected a recursion-limit error, got: ${e.getMessage.take(200)}")
+    } finally spark.conf.set(key, prev)
+  }
 }
