@@ -1041,6 +1041,60 @@ object Events {
     (spark, dir) => runIntervalJoin(spark, dir, "inner", "graft_stream_join")
   }
 
+  /** LEFT SEMI stream-stream interval join — completes the interval-join
+    * matrix (inner/left/full above): each click emits AT MOST ONCE iff
+    * some purchase lands in its hour window, with no purchase columns in
+    * the output. Semi is the streaming spelling of a windowed EXISTS —
+    * the attribution predicate without the pair fan-out, which is the
+    * scale point: a user with c clicks and p purchases materializes
+    * min(c,·) rows instead of c×p, and the right side's state still
+    * evicts by watermark while contributing no output columns. Matched
+    * emission is watermark-independent on bounded input (the inner-row
+    * rule), so the oracle is a plain EXISTS with the same interval.
+    */
+  val streamJoinSemi: QueryDef = QueryDef(
+    """SELECT c.event_id AS click_id, c.user_id AS user_id,
+      |       epoch_us(c.ts) AS click_us
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+      |    AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000)""".stripMargin) {
+    (spark, dir) =>
+    withEventReadConfs(spark) {
+      requireSingleEventsFile(dir, "stream semi-join",
+        "the batch oracle cannot replay per-micro-batch watermark eviction")
+      def side(tpe: String, pre: String): DataFrame =
+        eventsStream(spark, dir)
+          .filter(col("event_type") === tpe)
+          .select(
+            col("event_id").as(s"${pre}_event_id"),
+            col("user_id").as(s"${pre}_user_id"),
+            col("tus").as(s"${pre}_tus"),
+            timestamp_micros(col("tus")).as(s"${pre}_tsw"))
+          .withWatermark(s"${pre}_tsw", "1 hour")
+      withStreamPartitions(spark, 4) {
+        val q = side("click", "c").join(
+            side("purchase", "p"),
+            col("c_user_id") === col("p_user_id") &&
+              col("p_tsw") >= col("c_tsw") &&
+              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
+            "left_semi")
+          .select(col("c_event_id").as("click_id"),
+            col("c_user_id").as("user_id"), col("c_tus").as("click_us"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_join_semi")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table("graft_stream_join_semi")
+    }
+  }
+
   /** LEFT OUTER stream-stream interval join — attribution including the
     * clicks that never converted: matched pairs emit exactly as in
     * [[streamJoin]]; a click with NO purchase in its hour window emits a
@@ -2497,6 +2551,7 @@ object Events {
     "q_json_extract" -> jsonExtract,
     "q_variant_extract" -> variantExtract,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_semi" -> streamJoinSemi,
     "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_join_full" -> streamJoinFull,
     "q_window_sessions" -> windowSessions,

@@ -861,7 +861,91 @@ object TextOps {
         countDistinct(md5(col("text"))).as("n_unique"))
   }
 
+  /** The engine-native frequent-items sketch (`approx_top_k`, Spark 4.1) —
+    * the built-in sibling of the hand-rolled CMS row: one pass, a fixed
+    * tracked-item budget, mergeable map-side. Gate technique as in
+    * [[cmsHeavyHitters]]/approxDistinct (no oracle can replay sketch
+    * internals): the EXACT top 10 tokens anchor the row, and the boolean
+    * asserts each appears in the sketch's top-20 — a doubled k so a
+    * count tie at the boundary cannot flip membership of a true heavy
+    * hitter. The tracked budget (100k) dwarfs this corpus's vocabulary,
+    * making sketch counts exact here; at a 100 TB vocabulary the budget
+    * stays FIXED and the error bound (n/tracked) grows linearly while
+    * heavy-hitter counts grow with n — membership of true top-10 items in
+    * a top-20 sketch is exactly the regime the sketch guarantees.
+    *
+    * Scale shape: the sketch side is ONE typed-imperative aggregate
+    * (fixed memory per partition, merged once) broadcast as a single row
+    * into the membership probe. The exact side (vocabulary-keyed count +
+    * TakeOrderedAndProject) is this row's gate anchor, not the production
+    * shape — a 100 TB profile runs the sketch pass ALONE, which is the
+    * entire reason it exists.
+    */
+  val approxTopk: QueryDef = QueryDef(
+    """SELECT token, n, TRUE AS in_sketch_top20
+      |FROM (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE regexp_matches(token, '^[a-z]{4,}$')
+      |  GROUP BY token ORDER BY n DESC, token LIMIT 10) h""".stripMargin) {
+    (spark, dir) =>
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").rlike("^[a-z]{4,}$"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+    val sketch = toks.agg(expr("approx_top_k(token, 20, 100000)").as("sk"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n"),
+        expr("exists(sk, s -> s.item = token)").as("in_sketch_top20"))
+  }
+
+  /** Token-distribution drift between two corpus slices — the
+    * data-quality diagnostic a training pipeline runs between ingestion
+    * snapshots or source mixes ("did the token mix shift?"): per-token
+    * rates in each slice on an integer ppm basis, ranked by absolute
+    * drift. Rates are `count·10⁶ div slice_total` — exact integer
+    * division on both engines, so the gate is partitioning- and
+    * engine-stable (a double ratio would flap in the last ulp).
+    *
+    * Scale shape: one token-keyed count per slice (map-side combinable),
+    * a two-row totals frame joined broadcast, and a
+    * TakeOrderedAndProject over the vocabulary-sized drift frame. At
+    * 100 TB the slices are partitions of one scan (`source` is a
+    * partition column), not two passes.
+    */
+  val termDrift: QueryDef = QueryDef(
+    """WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (SELECT source, tok, count(*) AS n FROM f
+      |      WHERE regexp_matches(tok, '^[a-z]{4,}$') GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(n) AS t FROM c GROUP BY 1),
+      |p AS (SELECT c.tok,
+      |             CAST(sum(CASE WHEN c.source = 'src0' THEN c.n * 1000000 // t ELSE 0 END) AS BIGINT) AS ppm0,
+      |             CAST(sum(CASE WHEN c.source = 'src1' THEN c.n * 1000000 // t ELSE 0 END) AS BIGINT) AS ppm1
+      |      FROM c JOIN tot ON c.source = tot.source GROUP BY c.tok)
+      |SELECT tok, ppm0, ppm1, CAST(abs(ppm0 - ppm1) AS BIGINT) AS drift_ppm
+      |FROM p ORDER BY drift_ppm DESC, tok LIMIT 15""".stripMargin) {
+    (spark, dir) =>
+    val counts = spark.read.parquet(t(dir, "documents"))
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]{4,}$"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("t"))
+    counts.join(broadcast(totals), "source")
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("source") === "src0", expr("n * 1000000 div t")).otherwise(0L)).as("ppm0"),
+        sum(when(col("source") === "src1", expr("n * 1000000 div t")).otherwise(0L)).as("ppm1"))
+      .select(col("tok"), col("ppm0"), col("ppm1"),
+        abs(col("ppm0") - col("ppm1")).as("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("tok")).limit(15)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_approx_topk" -> approxTopk,
+    "q_term_drift" -> termDrift,
     "q_corpus_stats" -> corpusStats,
     "q_vocab_build" -> vocabBuild,
     "q_oov_rate" -> oovRate,

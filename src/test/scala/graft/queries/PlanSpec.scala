@@ -696,6 +696,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_approx_topk: sketch is a map-side partial ObjectHashAggregate, exact side top-k prunes") {
+    val p = plan("q_approx_topk")
+    assert(p.contains("partial_approx_top_k"),
+      s"the sketch must combine map-side before the single-partition merge:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_term_drift: slice filter pushes to the scan; the shared counts exchange reuses at runtime") {
+    val df = SparkEntry.queries("q_term_drift")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.explainString(SimpleMode).contains("In(source, [src0,src1])"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"the (source, tok) counts subtree must be computed once:\n$executed")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
