@@ -171,6 +171,34 @@ object ReferenceOps {
       .selectExpr("idx", "offset[0] AS x", "offset[1] AS y", "halvings")
   }
 
+  /** The same prefix consumed as a STRUCTURED STREAMING query — the shape
+    * the reference actually runs (an endless point stream feeding
+    * evaluation waves): `readStream` over [[graft.sources.StencilSource]]'s
+    * MicroBatchStream, offsets = points emitted, 100 points per trigger,
+    * capped at [[stencilN]] so the bounded replay terminates. Five
+    * micro-batches must re-assemble bit-for-bit into the SAME VALUES
+    * oracle as [[stencilPrefix]]/[[stencilSource]] — proving offset-range
+    * planning, the cross-batch prefix cache, and the deterministic-replay
+    * recovery story (any [a, b) range re-emits identical points, so a
+    * restarted query cannot diverge). ExtensionsSpec pins the per-batch
+    * range mechanics directly.
+    */
+  val stencilStream: QueryDef = QueryDef(stencilPrefix.oracle.get) { (spark, _) =>
+    val q = spark.readStream.format("graft.sources.StencilSource")
+      .option("dims", 2).option("maxHalvings", 7)
+      .option("pointsPerBatch", 100).option("maxPoints", stencilN)
+      .load()
+      .selectExpr("idx", "offset[0] AS x", "offset[1] AS y", "halvings")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_stencil_stream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("graft_stencil_stream")
+  }
+
   /** Contraction/halving distribution T5/T6 over the same prefix: how many
     * steps exist per halving level and the implied step scale 2^-h.
     */
@@ -314,6 +342,7 @@ object ReferenceOps {
     "q_dedup_anti" -> dedupAnti,
     "q_lineage_join" -> lineageJoin,
     "q_stencil_prefix" -> stencilPrefix,
+    "q_stencil_stream" -> stencilStream,
     "q_stencil_source" -> stencilSource,
     "q_contract_count" -> contractCount,
     "q_batch_eval" -> batchEval,

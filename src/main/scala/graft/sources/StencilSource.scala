@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -47,12 +48,8 @@ class StencilSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val dims = Option(properties.get("dims")).map(_.toInt).getOrElse(2)
-    val mh = Option(properties.get("maxhalvings")).map(_.toInt).getOrElse(7)
-    require(dims >= 1, s"dims must be >= 1 (got $dims)")
-    new StencilSource.StencilTable(dims, mh)
-  }
+      properties: util.Map[String, String]): Table =
+    new StencilSource.StencilTable
 }
 
 object StencilSource {
@@ -62,60 +59,159 @@ object StencilSource {
     StructField("halvings", IntegerType, nullable = false),
     StructField("offset", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  private[sources] final class StencilTable(dims: Int, maxHalvings: Int)
-      extends Table with SupportsRead {
-    override def name(): String = s"stencil(dims=$dims, maxHalvings=$maxHalvings)"
+  /** Option parsing lives in [[Table.newScanBuilder]], NOT in
+    * `TableProvider.getTable`: the batch read path forwards reader options
+    * to both, but the STREAMING path resolves the table without them and
+    * only the per-scan `CaseInsensitiveStringMap` carries what the user
+    * passed (empirically: a `maxPoints` parsed at getTable time silently
+    * defaulted to unbounded under `readStream`, and the gate stream never
+    * terminated — the same reason Kafka parses its options in the scan
+    * builder).
+    */
+  private[sources] final class StencilTable extends Table with SupportsRead {
+    override def name(): String = "stencil"
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new StencilScanBuilder(dims, maxHalvings)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val dims = options.getInt("dims", 2)
+      val mh = options.getInt("maxHalvings", 7)
+      val perBatch = options.getLong("pointsPerBatch", 100L)
+      val maxPoints = options.getLong("maxPoints", Long.MaxValue)
+      require(dims >= 1, s"dims must be >= 1 (got $dims)")
+      require(perBatch >= 1, s"pointsPerBatch must be >= 1 (got $perBatch)")
+      new StencilScanBuilder(dims, mh, perBatch, maxPoints)
+    }
   }
 
-  private final class StencilScanBuilder(dims: Int, maxHalvings: Int)
+  private final class StencilScanBuilder(
+      dims: Int, maxHalvings: Int, perBatch: Long, maxPoints: Long)
       extends ScanBuilder with SupportsPushDownLimit {
     private var limit: Int = -1
     override def pushLimit(l: Int): Boolean = { limit = l; true } // fully pushed
-    override def build(): Scan = {
+    override def build(): Scan =
+      new StencilScan(dims, maxHalvings, limit, perBatch, maxPoints)
+  }
+
+  private final class StencilScan(
+      dims: Int, maxHalvings: Int, limit: Int, perBatch: Long, maxPoints: Long)
+      extends Scan with Batch {
+    override def readSchema(): StructType = Schema
+    // The batch path keeps the mandatory-limit contract: an unbounded scan
+    // refuses at physical planning (same observable behavior as the old
+    // build()-time refusal — count() fails loudly before generating).
+    // The STREAMING path legitimately has no limit: unboundedness is the
+    // normal condition of a stream, and termination belongs to the trigger
+    // (or the optional maxPoints cap), exactly as with Spark's rate source.
+    override def toBatch: Batch = {
       require(limit >= 0,
         "the stencil table is UNBOUNDED (the reference's lazy BFS generates " +
           "forever); add .limit(n) / LIMIT n directly over the relation so " +
           "the scan can push it down")
-      new StencilScan(dims, maxHalvings, limit)
+      this
     }
-  }
-
-  private final class StencilScan(dims: Int, maxHalvings: Int, limit: Int)
-      extends Scan with Batch {
-    override def readSchema(): StructType = Schema
-    override def toBatch: Batch = this
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new StencilMicroBatch(dims, maxHalvings, perBatch, maxPoints)
     override def description(): String =
       s"graft stencil prefix: dims=$dims maxHalvings=$maxHalvings limit=$limit"
     override def planInputPartitions(): Array[InputPartition] =
-      Array(StencilPartition(dims, maxHalvings, limit))
+      Array(StencilPartition(dims, maxHalvings, 0L, limit.toLong))
     override def createReaderFactory(): PartitionReaderFactory =
       StencilReaderFactory
   }
 
-  private final case class StencilPartition(dims: Int, maxHalvings: Int, limit: Int)
+  /** The infinite generator as a STRUCTURED STREAMING source — the shape
+    * the reference actually runs (its search loop consumes the stencil as
+    * an endless stream): offsets are "points emitted so far", each trigger
+    * advances by `pointsPerBatch` (capped by the optional `maxPoints`,
+    * after which the stream reports no new data — the bounded-replay mode
+    * the gate row uses), and recovery is exact because the generator is
+    * deterministic: replaying offset range [a, b) always yields the same
+    * points, which is the entire exactly-once story — no sink-side dedup
+    * needed.
+    */
+  private final class StencilMicroBatch(
+      dims: Int, maxHalvings: Int, perBatch: Long, maxPoints: Long)
+      extends MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+    override def initialOffset(): Offset = StencilOffset(0L)
+
+    /** STATELESS batch sizing via admission control: the next end offset is
+      * a pure function of the START offset Spark hands us — never of
+      * instance state. The first cut kept a mutable cursor advanced by
+      * `latestOffset()`; on restart Spark calls that BEFORE restoring the
+      * checkpointed position, so the fresh instance re-issued early
+      * offsets and a recovered query re-emitted committed ranges
+      * (observed: batch start=300, end=100, then a 300-row replay batch).
+      * `latestOffset(start, limit)` cannot regress by construction.
+      */
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+      StencilOffset(math.min(start.asInstanceOf[StencilOffset].n + perBatch, maxPoints))
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "admission-control source: Spark must call latestOffset(start, limit)")
+
+    override def deserializeOffset(json: String): Offset =
+      StencilOffset(json.trim.toLong)
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+      Array(StencilPartition(dims, maxHalvings,
+        start.asInstanceOf[StencilOffset].n, end.asInstanceOf[StencilOffset].n))
+    override def createReaderFactory(): PartitionReaderFactory = StencilReaderFactory
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  private final case class StencilOffset(n: Long)
+      extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = n.toString
+  }
+
+  /** One partition = the point range [start, end) of the deterministic
+    * sequence; `end` carries the batch limit for both the batch scan
+    * (start 0) and micro-batch ranges.
+    */
+  private final case class StencilPartition(
+      dims: Int, maxHalvings: Int, start: Long, end: Long)
       extends InputPartition
+
+  /** Per-JVM prefix cache keyed by (dims, maxHalvings) — the reference's
+    * prefix-replay rule (stencil.py:97-98, 202-203) applied across
+    * micro-batches: batch k must re-emit points [k·B, (k+1)·B) and a
+    * cache-less replay would regenerate the whole prefix per batch
+    * (quadratic over the stream's life). Each executor warms its own
+    * cache once and every later batch extends it incrementally. The
+    * synchronized slice is required because the underlying stencil
+    * supports one active iterator at a time; ranges are perBatch-bounded
+    * so the critical section is short.
+    */
+  private object StencilCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(Int, Int), RightHandedSimplexStencil]
+    def slice(dims: Int, mh: Int, start: Long, end: Long): Array[graft.stencil.StencilStep] = {
+      val st = cache.getOrElseUpdate((dims, mh), new RightHandedSimplexStencil(dims, mh))
+      st.synchronized {
+        st.stencilPoints.slice(start.toInt, end.toInt).toArray
+      }
+    }
+  }
 
   private object StencilReaderFactory extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[StencilPartition]
       new PartitionReader[InternalRow] {
-        private val it =
-          new RightHandedSimplexStencil(p.dims, p.maxHalvings)
-            .stencilPoints.take(p.limit).iterator
+        private val steps = StencilCache.slice(p.dims, p.maxHalvings, p.start, p.end)
         private var i = 0
         private var row: InternalRow = _
         override def next(): Boolean =
-          if (!it.hasNext) false
+          if (i >= steps.length) false
           else {
-            val s = it.next()
+            val s = steps(i)
             i += 1
             row = new GenericInternalRow(Array[Any](
-              i, s.halvings, ArrayData.toArrayData(s.offset)))
+              (p.start + i).toInt, s.halvings, ArrayData.toArrayData(s.offset)))
             true
           }
         override def get(): InternalRow = row

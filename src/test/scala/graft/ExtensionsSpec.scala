@@ -65,6 +65,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.length == 40 && got.sameElements(want))
   }
 
+  test("StencilSource streaming: deterministic offset ranges resume exactly-once across restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("stencil_stream").toString
+    def run(maxPts: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.StencilSource")
+        .option("dims", 2).option("maxHalvings", 7)
+        .option("pointsPerBatch", 100).option("maxPoints", maxPts)
+        .load()
+        .selectExpr("idx", "halvings", "offset[0] AS x", "offset[1] AS y")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/data").option("checkpointLocation", s"$root/chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // first run consumes [0, 300); the restarted query must resume at
+    // offset 300 from the checkpoint and append ONLY [300, 500) — the
+    // deterministic generator + offset log IS the exactly-once story
+    run(300)
+    run(500)
+    val got = spark.read.parquet(s"$root/data")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val want = new graft.stencil.RightHandedSimplexStencil(2, 7)
+      .stencilPoints.take(500).zipWithIndex
+      .map { case (st, i) => (i + 1, st.halvings, st.offset(0), st.offset(1)) }.toArray
+    assert(got.length == 500, s"expected exactly-once 500 rows, got ${got.length}")
+    assert(got.sameElements(want))
+  }
+
   test("IntMoments merge law: every split of the input folds to the same state") {
     import graft.functions.IntMoments
     // The q_typed_agg gate only exercises whatever split Spark's partial
