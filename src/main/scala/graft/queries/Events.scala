@@ -1602,6 +1602,59 @@ object Events {
     * error envelope) and the plan shape is IDENTICAL — this row pins the
     * truth the sketch would approximate.
     */
+  /** CUSUM changepoint localization per event type — the when did the
+    * distribution shift diagnostic beside [[madAnomalies]]' which points
+    * are outliers: daily event counts, centered CUSUM, and the day where
+    * |CUSUM| peaks (the classic single-changepoint estimator). Everything
+    * stays in exact integers by scaling instead of dividing: the centered
+    * deviation is `c_i·n − T` (count times n-days minus total — n× the
+    * usual `c_i − T/n`), so the running sum, the argmax, and the gate are
+    * bit-stable on both engines where a double mean would flap. Magnitude
+    * bound, stated: |cusum| ≤ T·n — at 10¹² daily events over 10⁴ days
+    * that is 10¹⁶, inside int64 with margin.
+    *
+    * Scale shape: one (type, day)-keyed count (map-side combinable), a
+    * type-keyed totals frame joined broadcast, and ONE window sort over
+    * the type×day frame (days-bounded, thousands of rows per key at any
+    * horizon) — the raw event scan never enters a window.
+    */
+  val changepoint: QueryDef = QueryDef(
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t
+      |      FROM d GROUP BY 1),
+      |cu AS (SELECT d.event_type, d.day,
+      |              sum(d.c * s.n - s.t) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |                                         ROWS UNBOUNDED PRECEDING) AS cusum
+      |       FROM d JOIN s ON d.event_type = s.event_type),
+      |r AS (SELECT event_type, day, abs(cusum) AS a,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY abs(cusum) DESC, day) AS rn
+      |      FROM cu)
+      |SELECT r.event_type, CAST(day AS BIGINT) AS cp_day,
+      |       CAST(a AS BIGINT) AS max_abs_cusum, s.n AS n_days
+      |FROM r JOIN s ON r.event_type = s.event_type WHERE rn = 1""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = readEvents(spark, dir)
+      .select(col("event_type"), expr("tus div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+      .withColumnRenamed("event_type", "et")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPeak = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_type"), col("day"), col("n"), col("t"),
+        sum(col("c") * col("n") - col("t")).over(byDay).as("cusum"))
+      .withColumn("rn", row_number().over(byPeak))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("cusum")).as("max_abs_cusum"), col("n").as("n_days"))
+  }
+
   val madAnomalies: QueryDef = QueryDef(
     """WITH v AS (SELECT event_type,
       |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
@@ -2545,6 +2598,7 @@ object Events {
     "q_retention" -> retention,
     "q_skew_metrics" -> skewMetrics,
     "q_mad_anomalies" -> madAnomalies,
+    "q_changepoint" -> changepoint,
     "q_approx_quantiles" -> approxQuantiles,
     "q_stream_static_join" -> streamStaticJoin,
     "q_approx_distinct" -> approxDistinct,
