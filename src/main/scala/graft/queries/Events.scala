@@ -979,11 +979,23 @@ object Events {
         s"(found $n data files in $dir/events.parquet); $why")
   }
 
+  /** Default pair projection for [[runIntervalJoin]] — inner/left/full
+    * rows carry both sides (semi passes its own left-only projection).
+    */
+  private val intervalPairProjection: DataFrame => DataFrame = _.select(
+    col("c_event_id").as("click_id"),
+    col("p_event_id").as("purchase_id"),
+    // coalesce is the identity for inner/left (c side never null);
+    // full-outer right-null rows carry the purchase's user
+    coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
+    expr("(p_tus - c_tus) div 1000000").as("lag_s"))
+
   private def runIntervalJoin(
       spark: SparkSession,
       dir: String,
       joinType: String,
-      sinkName: String): DataFrame = {
+      sinkName: String,
+      project: DataFrame => DataFrame = intervalPairProjection): DataFrame = {
     withEventReadConfs(spark) {
       // Precondition (ADVICE r8): the eviction-replay oracles assume ALL
       // input arrives in ONE micro-batch, so only the final watermark's
@@ -1009,14 +1021,7 @@ object Events {
             col("p_tsw") >= col("c_tsw") &&
             col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
           joinType)
-        val q = joined
-          .select(
-            col("c_event_id").as("click_id"),
-            col("p_event_id").as("purchase_id"),
-            // coalesce is the identity for inner/left (c side never null);
-            // full-outer right-null rows carry the purchase's user
-            coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
-            expr("(p_tus - c_tus) div 1000000").as("lag_s"))
+        val q = project(joined)
           .writeStream
           .outputMode("append")
           .format("memory")
@@ -1062,37 +1067,9 @@ object Events {
       |    AND epoch_ns(p.ts) >= epoch_ns(c.ts)
       |    AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000)""".stripMargin) {
     (spark, dir) =>
-    withEventReadConfs(spark) {
-      requireSingleEventsFile(dir, "stream semi-join",
-        "the batch oracle cannot replay per-micro-batch watermark eviction")
-      def side(tpe: String, pre: String): DataFrame =
-        eventsStream(spark, dir)
-          .filter(col("event_type") === tpe)
-          .select(
-            col("event_id").as(s"${pre}_event_id"),
-            col("user_id").as(s"${pre}_user_id"),
-            col("tus").as(s"${pre}_tus"),
-            timestamp_micros(col("tus")).as(s"${pre}_tsw"))
-          .withWatermark(s"${pre}_tsw", "1 hour")
-      withStreamPartitions(spark, 4) {
-        val q = side("click", "c").join(
-            side("purchase", "p"),
-            col("c_user_id") === col("p_user_id") &&
-              col("p_tsw") >= col("c_tsw") &&
-              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
-            "left_semi")
-          .select(col("c_event_id").as("click_id"),
-            col("c_user_id").as("user_id"), col("c_tus").as("click_us"))
-          .writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName("graft_stream_join_semi")
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
-      spark.table("graft_stream_join_semi")
-    }
+    runIntervalJoin(spark, dir, "left_semi", "graft_stream_join_semi",
+      project = _.select(col("c_event_id").as("click_id"),
+        col("c_user_id").as("user_id"), col("c_tus").as("click_us")))
   }
 
   /** LEFT OUTER stream-stream interval join — attribution including the
@@ -1602,6 +1579,39 @@ object Events {
     * error envelope) and the plan shape is IDENTICAL — this row pins the
     * truth the sketch would approximate.
     */
+  val madAnomalies: QueryDef = QueryDef(
+    """WITH v AS (SELECT event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+      |           FROM events),
+      |med AS (SELECT event_type, quantile_cont(v4, 0.5) AS med
+      |        FROM v GROUP BY event_type),
+      |dev AS (SELECT v.event_type, v4, med, abs(v4 - med) AS ad
+      |        FROM v JOIN med ON v.event_type = med.event_type),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT dev.event_type AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       any_value(dev.med) AS median_v4,
+      |       any_value(mad.mad) AS mad_v4,
+      |       CAST(sum(CASE WHEN ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_anomalies
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY dev.event_type""".stripMargin) { (spark, dir) =>
+    val v = readEvents(spark, dir)
+      .select(col("event_type"), floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+    val med = v.groupBy(col("event_type")).agg(expr("percentile(v4, 0.5)").as("med"))
+    val dev = v.join(med, Seq("event_type"))
+      .withColumn("ad", abs(col("v4") - col("med")))
+    val mad = dev.groupBy(col("event_type")).agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("any_value(med)").as("median_v4"),
+        expr("any_value(mad)").as("mad_v4"),
+        sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
+
   /** CUSUM changepoint localization per event type — the when did the
     * distribution shift diagnostic beside [[madAnomalies]]' which points
     * are outliers: daily event counts, centered CUSUM, and the day where
@@ -1653,38 +1663,6 @@ object Events {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("day").as("cp_day"),
         abs(col("cusum")).as("max_abs_cusum"), col("n").as("n_days"))
-  }
-
-  val madAnomalies: QueryDef = QueryDef(
-    """WITH v AS (SELECT event_type,
-      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
-      |           FROM events),
-      |med AS (SELECT event_type, quantile_cont(v4, 0.5) AS med
-      |        FROM v GROUP BY event_type),
-      |dev AS (SELECT v.event_type, v4, med, abs(v4 - med) AS ad
-      |        FROM v JOIN med ON v.event_type = med.event_type),
-      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
-      |        FROM dev GROUP BY event_type)
-      |SELECT dev.event_type AS event_type,
-      |       CAST(count(*) AS BIGINT) AS n,
-      |       any_value(dev.med) AS median_v4,
-      |       any_value(mad.mad) AS mad_v4,
-      |       CAST(sum(CASE WHEN ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_anomalies
-      |FROM dev JOIN mad ON dev.event_type = mad.event_type
-      |GROUP BY dev.event_type""".stripMargin) { (spark, dir) =>
-    val v = readEvents(spark, dir)
-      .select(col("event_type"), floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
-    val med = v.groupBy(col("event_type")).agg(expr("percentile(v4, 0.5)").as("med"))
-    val dev = v.join(med, Seq("event_type"))
-      .withColumn("ad", abs(col("v4") - col("med")))
-    val mad = dev.groupBy(col("event_type")).agg(expr("percentile(ad, 0.5)").as("mad"))
-    dev.join(mad, Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        expr("any_value(med)").as("median_v4"),
-        expr("any_value(mad)").as("mad_v4"),
-        sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_anomalies"))
   }
 
   /** Shuffle-key skew diagnostics: the per-key count distribution summary

@@ -98,6 +98,16 @@ object Sources {
     * PartitionFilters prove it — see PlanSpec); oracle filters the flat
     * parquet the ordinary way.
     */
+  val partitionedScan: QueryDef = QueryDef(
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (spark, dir) =>
+    FileSources.partitionedDocuments(spark, dir)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+
   /** The `_metadata` hidden file columns — per-record physical provenance
     * (file name, 0-based in-file row index) surfaced as ordinary columns,
     * the mechanism behind record-level lineage and incremental reprocessing
@@ -127,15 +137,6 @@ object Sources {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ri")).as("sum_row_index"),
         countDistinct(col("fn")).as("n_files"))
-  }
-
-  val partitionedScan: QueryDef = QueryDef(
-    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) { (spark, dir) =>
-    FileSources.partitionedDocuments(spark, dir)
-      .filter(col("lang") === "en")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
   /** Co-located bucketed join (zero Exchange); oracle joins the flat

@@ -866,13 +866,18 @@ object TextOps {
     * tracked-item budget, mergeable map-side. Gate technique as in
     * [[cmsHeavyHitters]]/approxDistinct (no oracle can replay sketch
     * internals): the EXACT top 10 tokens anchor the row, and the boolean
-    * asserts each appears in the sketch's top-20 — a doubled k so a
-    * count tie at the boundary cannot flip membership of a true heavy
-    * hitter. The tracked budget (100k) dwarfs this corpus's vocabulary,
-    * making sketch counts exact here; at a 100 TB vocabulary the budget
-    * stays FIXED and the error bound (n/tracked) grows linearly while
-    * heavy-hitter counts grow with n — membership of true top-10 items in
-    * a top-20 sketch is exactly the regime the sketch guarantees.
+    * asserts each appears in the sketch's top-100 WITH its exact count.
+    * k = 100 (not 10) because sketch order among EQUAL counts is
+    * arbitrary — membership of a true top-10 item can only flip if 90+
+    * tokens tie at the boundary count (code-review r12 downgraded the
+    * first cut's k=20, whose tie margin was only 10 deep). The count
+    * equality is deliberate load-bearing: the tracked budget (100k)
+    * dwarfs this corpus's vocabulary so the sketch is EXACT here, and if
+    * a regenerated corpus ever overflows the budget the row goes red
+    * instead of silently gating an undercount. At a 100 TB vocabulary
+    * the budget stays FIXED and the membership claim (not equality) is
+    * the one the sketch guarantees for true heavy hitters — the
+    * production profile drops the equality conjunct, disclosed here.
     *
     * Scale shape: the sketch side is ONE typed-imperative aggregate
     * (fixed memory per partition, merged once) broadcast as a single row
@@ -882,7 +887,7 @@ object TextOps {
     * entire reason it exists.
     */
   val approxTopk: QueryDef = QueryDef(
-    """SELECT token, n, TRUE AS in_sketch_top20
+    """SELECT token, n, TRUE AS sketch_agrees
       |FROM (
       |  SELECT token, CAST(count(*) AS BIGINT) AS n
       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
@@ -894,10 +899,10 @@ object TextOps {
       .filter(col("token").rlike("^[a-z]{4,}$"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(10)
-    val sketch = toks.agg(expr("approx_top_k(token, 20, 100000)").as("sk"))
+    val sketch = toks.agg(expr("approx_top_k(token, 100, 100000)").as("sk"))
     exact.crossJoin(broadcast(sketch))
       .select(col("token"), col("n"),
-        expr("exists(sk, s -> s.item = token)").as("in_sketch_top20"))
+        expr("exists(sk, s -> s.item = token AND s.count = n)").as("sketch_agrees"))
   }
 
   /** Token-distribution drift between two corpus slices — the

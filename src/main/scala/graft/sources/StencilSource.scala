@@ -115,7 +115,7 @@ object StencilSource {
     override def description(): String =
       s"graft stencil prefix: dims=$dims maxHalvings=$maxHalvings limit=$limit"
     override def planInputPartitions(): Array[InputPartition] =
-      Array(StencilPartition(dims, maxHalvings, 0L, limit.toLong))
+      Array(StencilPartition(dims, maxHalvings, 0L, limit.toLong, streaming = false))
     override def createReaderFactory(): PartitionReaderFactory =
       StencilReaderFactory
   }
@@ -147,8 +147,26 @@ object StencilSource {
       * (observed: batch start=300, end=100, then a 300-row replay batch).
       * `latestOffset(start, limit)` cannot regress by construction.
       */
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      StencilOffset(math.min(start.asInstanceOf[StencilOffset].n + perBatch, maxPoints))
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[StencilOffset].n
+      // Honor the PASSED limit, not just the captured pointsPerBatch:
+      // Trigger.AvailableNow's wrapper calls this once with
+      // ReadLimit.allAvailable() and treats the answer as the TERMINAL
+      // offset — answering one perBatch there silently truncates the run
+      // to a single batch (code-review r12). allAvailable on an uncapped
+      // stream is a contradiction the require below rejects loudly.
+      val step = limit match {
+        case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+          require(maxPoints != Long.MaxValue,
+            "Trigger.AvailableNow/Once on the UNCAPPED stencil stream would " +
+              "consume forever; set the maxPoints option")
+          maxPoints - s
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          r.maxRows()
+        case _ => perBatch
+      }
+      StencilOffset(math.min(s + math.max(step, 0L), maxPoints))
+    }
     override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
     override def latestOffset(): Offset =
       throw new UnsupportedOperationException(
@@ -158,7 +176,8 @@ object StencilSource {
       StencilOffset(json.trim.toLong)
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
       Array(StencilPartition(dims, maxHalvings,
-        start.asInstanceOf[StencilOffset].n, end.asInstanceOf[StencilOffset].n))
+        start.asInstanceOf[StencilOffset].n, end.asInstanceOf[StencilOffset].n,
+        streaming = true))
     override def createReaderFactory(): PartitionReaderFactory = StencilReaderFactory
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
@@ -174,41 +193,59 @@ object StencilSource {
     * (start 0) and micro-batch ranges.
     */
   private final case class StencilPartition(
-      dims: Int, maxHalvings: Int, start: Long, end: Long)
+      dims: Int, maxHalvings: Int, start: Long, end: Long, streaming: Boolean)
       extends InputPartition
 
-  /** Per-JVM prefix cache keyed by (dims, maxHalvings) — the reference's
-    * prefix-replay rule (stencil.py:97-98, 202-203) applied across
-    * micro-batches: batch k must re-emit points [k·B, (k+1)·B) and a
-    * cache-less replay would regenerate the whole prefix per batch
-    * (quadratic over the stream's life). Each executor warms its own
-    * cache once and every later batch extends it incrementally. The
-    * synchronized slice is required because the underlying stencil
-    * supports one active iterator at a time; ranges are perBatch-bounded
-    * so the critical section is short.
+  /** Per-JVM single-slot prefix cache — the reference's prefix-replay rule
+    * (stencil.py:97-98, 202-203) applied across MICRO-BATCHES ONLY: batch
+    * k re-emits points [k·B, (k+1)·B) and a cache-less replay would
+    * regenerate the whole prefix per batch (quadratic over the stream's
+    * life). One slot, replaced on a different (dims, maxHalvings) key
+    * (the SessionMemo eviction discipline): the cached stencil retains
+    * every step it has generated, so an unbounded per-key map would pin
+    * heap for the JVM's lifetime (code-review r12). Concurrent streams
+    * over DIFFERENT configs thrash the slot back to correct-but-quadratic
+    * replay — never to wrong rows. The batch scan path does NOT use the
+    * cache: it streams a fresh per-scan iterator (no whole-range Array,
+    * nothing retained after the scan).
     */
   private object StencilCache {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[(Int, Int), RightHandedSimplexStencil]
-    def slice(dims: Int, mh: Int, start: Long, end: Long): Array[graft.stencil.StencilStep] = {
-      val st = cache.getOrElseUpdate((dims, mh), new RightHandedSimplexStencil(dims, mh))
-      st.synchronized {
+    private var key: (Int, Int) = _
+    private var st: RightHandedSimplexStencil = _
+    def slice(dims: Int, mh: Int, start: Long, end: Long): Array[graft.stencil.StencilStep] =
+      synchronized {
+        // Long offsets, Int-indexed prefix cache: fail loudly at the 2^31
+        // boundary rather than silently wrapping into empty or replayed
+        // batches (code-review r12). A prefix that large is ~10^2 GB of
+        // steps — far past where a real consumer would have recentered.
+        require(end <= Int.MaxValue,
+          s"stencil prefix cache indexes by Int; offset $end exceeds 2^31-1")
+        if (st == null || key != ((dims, mh))) {
+          key = (dims, mh)
+          st = new RightHandedSimplexStencil(dims, mh)
+        }
         st.stencilPoints.slice(start.toInt, end.toInt).toArray
       }
-    }
   }
 
   private object StencilReaderFactory extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[StencilPartition]
       new PartitionReader[InternalRow] {
-        private val steps = StencilCache.slice(p.dims, p.maxHalvings, p.start, p.end)
+        // Batch scans (one partition per scan) stream a fresh bounded
+        // iterator; micro-batch ranges replay via the prefix cache.
+        private val it: Iterator[graft.stencil.StencilStep] =
+          if (!p.streaming)
+            new RightHandedSimplexStencil(p.dims, p.maxHalvings)
+              .stencilPoints.take(p.end.toInt).iterator
+          else
+            StencilCache.slice(p.dims, p.maxHalvings, p.start, p.end).iterator
         private var i = 0
         private var row: InternalRow = _
         override def next(): Boolean =
-          if (i >= steps.length) false
+          if (!it.hasNext) false
           else {
-            val s = steps(i)
+            val s = it.next()
             i += 1
             row = new GenericInternalRow(Array[Any](
               (p.start + i).toInt, s.halvings, ArrayData.toArrayData(s.offset)))

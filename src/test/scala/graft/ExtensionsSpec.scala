@@ -95,6 +95,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("StencilSource streaming: Trigger.AvailableNow consumes to maxPoints, not one batch") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // The AvailableNow wrapper calls latestOffset(start, ReadLimit.allAvailable())
+    // ONCE and treats the answer as the terminal offset — a source that
+    // answers with one pointsPerBatch there silently truncates the run
+    // (code-review r12). All 250 points must arrive, in order.
+    val q = spark.readStream.format("graft.sources.StencilSource")
+      .option("dims", 2).option("maxHalvings", 7)
+      .option("pointsPerBatch", 100).option("maxPoints", 250)
+      .load().selectExpr("idx")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stencil_avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val idx = spark.table("stencil_avail_now").collect().map(_.getInt(0)).sorted
+    assert(idx.length == 250 && idx.head == 1 && idx.last == 250,
+      s"expected the full 250-point prefix, got ${idx.length} rows")
+  }
+
   test("IntMoments merge law: every split of the input folds to the same state") {
     import graft.functions.IntMoments
     // The q_typed_agg gate only exercises whatever split Spark's partial

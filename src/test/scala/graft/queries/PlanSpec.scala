@@ -704,7 +704,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_term_drift: slice filter pushes to the scan; the shared counts exchange reuses at runtime") {
-    val df = SparkEntry.queries("q_term_drift")(spark, "/root/testdata/sf0.001")
+    val df = SparkEntry.queries("q_term_drift")(spark, sf)
     assert(df.queryExecution.explainString(SimpleMode).contains("In(source, [src0,src1])"))
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
