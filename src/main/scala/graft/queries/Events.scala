@@ -1072,6 +1072,84 @@ object Events {
         col("c_user_id").as("user_id"), col("c_tus").as("click_us")))
   }
 
+  /** Stream-stream JOIN feeding a windowed aggregation in the SAME
+    * streaming query — the other multiple-stateful-operator shape beside
+    * [[streamChained]]'s agg→agg cascade (Spark 3.4+): the interval join
+    * matches click→purchase pairs, and a downstream 1-hour event-time
+    * window on the CLICK time rolls them up (pair count + distinct
+    * converting users) without an intermediate topic or second query —
+    * the enrich-then-aggregate pipeline in one plan. The join's event-time
+    * columns carry the watermark through to the aggregation — SHIFTED by
+    * the join's state retention: a click still in join state can emit
+    * pairs with `c_tsw` as old as `wm − 1 h` (the interval's upper
+    * bound), so the aggregation finalizes only windows whose end clears
+    * the global `min(per-side ms-floored max) − 1 h delay` minus ANOTHER
+    * hour. The first oracle cut used the unshifted global watermark and
+    * went red at sf0.01 — a window 1.5 s below it was correctly withheld;
+    * that is the multi-stateful watermark-propagation rule, pinned here
+    * empirically. The oracle replays the batch join + rollup against the
+    * shifted watermark (NULL-guarded for an empty side, the left-outer
+    * rule).
+    *
+    * Scale shape: join state is interval-bounded per side, and the agg's
+    * input is MATCHED PAIRS (attribution-rate-sized, not event-sized) —
+    * the aggregation state is live-windows × nothing, because the join
+    * already collapsed the stream. One query, one checkpoint, two
+    * stateful operators sharing the watermark.
+    */
+  val streamJoinAgg: QueryDef = QueryDef(
+    """WITH c AS (SELECT user_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+      |              ELSE least(cm, pm) - 3600000 - 3600000 END AS wm_ms
+      |       FROM (SELECT (SELECT max(tns // 1000000) FROM c) AS cm,
+      |                    (SELECT max(tns // 1000000) FROM p) AS pm)),
+      |j AS (SELECT c.tns AS ctns, c.user_id
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.tns >= c.tns AND p.tns <= c.tns + 3600000000000),
+      |a AS (SELECT (ctns // 3600000000000) * 3600000 AS w_start_ms,
+      |             CAST(count(*) AS BIGINT) AS n_pairs,
+      |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |      FROM j GROUP BY 1)
+      |SELECT CAST(w_start_ms * 1000 AS BIGINT) AS w_start_us, n_pairs, n_users
+      |FROM a, wm WHERE w_start_ms + 3600000 <= wm.wm_ms""".stripMargin) {
+    (spark, dir) =>
+    withEventReadConfs(spark) {
+      requireSingleEventsFile(dir, "stream join+agg",
+        "the batch oracle cannot replay per-micro-batch watermark eviction")
+      def side(tpe: String, pre: String): DataFrame =
+        eventsStream(spark, dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${pre}_user_id"),
+            timestamp_micros(col("tus")).as(s"${pre}_tsw"))
+          .withWatermark(s"${pre}_tsw", "1 hour")
+      withStreamPartitions(spark, 4) {
+        val q = side("click", "c").join(
+            side("purchase", "p"),
+            col("c_user_id") === col("p_user_id") &&
+              col("p_tsw") >= col("c_tsw") &&
+              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
+            "inner")
+          .groupBy(window(col("c_tsw"), "1 hour"))
+          // countDistinct is unsupported in streaming aggs; collect_set +
+          // size is the exact form (state bounded by the window's user set)
+          .agg(count(lit(1)).as("n_pairs"),
+            collect_set(col("c_user_id")).as("users"))
+          .select(unix_micros(col("window.start")).as("w_start_us"),
+            col("n_pairs"), size(col("users")).cast("long").as("n_users"))
+        val run = q.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_join_agg")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try run.awaitTermination()
+        finally run.stop()
+      }
+      spark.table("graft_stream_join_agg")
+    }
+  }
+
   /** LEFT OUTER stream-stream interval join — attribution including the
     * clicks that never converted: matched pairs emit exactly as in
     * [[streamJoin]]; a click with NO purchase in its hour window emits a
@@ -2584,6 +2662,7 @@ object Events {
     "q_variant_extract" -> variantExtract,
     "q_stream_join" -> streamJoin,
     "q_stream_join_semi" -> streamJoinSemi,
+    "q_stream_join_agg" -> streamJoinAgg,
     "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_join_full" -> streamJoinFull,
     "q_window_sessions" -> windowSessions,
