@@ -664,6 +664,75 @@ object Relational {
     * query shape, which is precisely what `ANALYZE TABLE ... COMPUTE
     * STATISTICS FOR COLUMNS` runs underneath.
     */
+  /** The CATALOG statistics surface — `CREATE TABLE` + `ANALYZE TABLE
+    * ... COMPUTE STATISTICS FOR COLUMNS` + reading the stats back from
+    * `DESCRIBE EXTENDED`: the persistence layer that turns
+    * [[analyzeStats]]' ad-hoc profile into what the cost-based optimizer
+    * actually consumes (join reorder, broadcast selection, cardinality
+    * estimates — PlanSpec pins that a CBO filter estimate derived from
+    * these stats lands near truth). Gate discipline: min/max/null-count
+    * and the row count are EXACT in the catalog and hash directly;
+    * `distinct_count` is HyperLogLog-approximate by design, so it gates
+    * as a within-5%-of-truth boolean (the approxDistinct technique).
+    *
+    * Scale shape: ANALYZE is one scan + one combinable aggregate per
+    * table — the same pass a 100 TB warehouse schedules nightly; the
+    * DESCRIBE read-back is pure catalog metadata (driver-side strings,
+    * no data motion), which is the point: the optimizer prices a join
+    * without touching the data. Tables are dropped and re-created per
+    * call so a testdata regeneration can never serve stale stats.
+    */
+  val catalogStats: QueryDef = QueryDef(
+    """WITH s AS (SELECT count(*) AS n,
+      |                  min(o_orderkey) AS mino, max(o_orderkey) AS maxo,
+      |                  min(o_custkey) AS minc, max(o_custkey) AS maxc
+      |           FROM orders)
+      |SELECT col,
+      |       CAST(CASE col WHEN 'o_orderkey' THEN mino ELSE minc END AS BIGINT) AS min_v,
+      |       CAST(CASE col WHEN 'o_orderkey' THEN maxo ELSE maxc END AS BIGINT) AS max_v,
+      |       CAST(0 AS BIGINT) AS n_nulls,
+      |       CAST(n AS BIGINT) AS n_rows,
+      |       TRUE AS ndv_ok
+      |FROM s, (VALUES ('o_custkey'), ('o_orderkey')) c(col)""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val db = "graft_cbo"
+    val cols = Seq("o_orderkey", "o_custkey")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.orders")
+    spark.sql(s"CREATE TABLE $db.orders USING parquet LOCATION '${t(dir, "orders")}'")
+    // ANALYZE's NDV sketch obeys spark.sql.statistics.ndv.maxError as a
+    // RELATIVE STANDARD DEVIATION (default 0.05) — a 1σ parameter, not a
+    // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
+    // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
+    // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
+    val ndvKey = "spark.sql.statistics.ndv.maxError"
+    val ndvPrev = spark.conf.getOption(ndvKey)
+    spark.conf.set(ndvKey, "0.01")
+    try spark.sql(
+      s"ANALYZE TABLE $db.orders COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+    finally ndvPrev match {
+      case Some(v) => spark.conf.set(ndvKey, v)
+      case None    => spark.conf.unset(ndvKey)
+    }
+    // exact truths for the approximate-NDV band (one aggregate, the same
+    // anchor pattern as approxDistinct)
+    val truth = spark.table(s"$db.orders")
+      .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
+      .collect()(0)
+    val (nRows, exactNdv) =
+      (truth.getLong(0), Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2)))
+    val rows = cols.map { c =>
+      val kv = spark.sql(s"DESCRIBE EXTENDED $db.orders $c")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val ndv = kv("distinct_count").toLong
+      (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
+        math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
+    }
+    spark.sql(s"DROP TABLE $db.orders")
+    rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
+  }
+
   val analyzeStats: QueryDef = QueryDef(
     """WITH s AS (
       |  SELECT count(*) AS n_rows,
@@ -1063,6 +1132,7 @@ object Relational {
     "q_incr_agg" -> incrAgg,
     "q_skyline" -> skyline,
     "q_analyze_stats" -> analyzeStats,
+    "q_catalog_stats" -> catalogStats,
     "q_star_wide" -> starWide,
     "q_table_checksum" -> tableChecksum,
     "q_copurchase" -> copurchase,

@@ -712,6 +712,37 @@ class PlanSpec extends AnyFunSuite {
       s"the (source, tok) counts subtree must be computed once:\n$executed")
   }
 
+  test("q_catalog_stats feeds CBO: the filter cardinality estimate lands near truth") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // Build the analyzed catalog table via the query row itself (it
+    // creates, ANALYZEs, reads back, and drops — so re-create here), then
+    // assert the optimizer consumes the stats: with CBO on, the estimated
+    // row count of a selective filter must be defined and within 2x of
+    // the actual count — the property join reorder and broadcast
+    // selection price joins with at 100 TB.
+    SparkEntry.queries("q_catalog_stats")(spark, sf).collect()
+    spark.sql("DROP TABLE IF EXISTS graft_cbo.orders_pin")
+    spark.sql(s"CREATE TABLE graft_cbo.orders_pin USING parquet LOCATION '$sf/orders.parquet'")
+    spark.sql("ANALYZE TABLE graft_cbo.orders_pin COMPUTE STATISTICS FOR COLUMNS o_orderstatus")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.sql("SELECT * FROM graft_cbo.orders_pin WHERE o_orderstatus = 'F'")
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+      val actual = df.count()
+      assert(est.isDefined, "CBO must propagate a row-count estimate from the analyzed stats")
+      val e = est.get.toLong
+      assert(e >= actual / 2 && e <= actual * 2,
+        s"estimate $e vs actual $actual — stats not consumed or badly off")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_cbo.orders_pin")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
