@@ -948,7 +948,54 @@ object TextOps {
       .orderBy(col("drift_ppm").desc, col("tok")).limit(15)
   }
 
+  /** The hashing trick — tokens featurized into a FIXED 256-dimension
+    * count vector per language via `poly_hash(token) mod 256`, collisions
+    * and all: the classic vocabulary-free featurization (feature count
+    * independent of vocabulary size, no dictionary to build, ship, or
+    * keep consistent across reruns — the property that matters when the
+    * vocabulary is 10⁹ and growing). The full zero-filled lang × bucket
+    * grid is emitted (the type_corr rule: absent buckets are REAL zeros —
+    * a sparse inner join would silently drop exactly the dimensions a
+    * downstream model reads as features), and the oracle replays the
+    * identical code-point fold, so both engines land every token in the
+    * same bucket, collisions included.
+    *
+    * Scale shape: one scan + in-row hashing (codegen'd `poly_hash`), a
+    * map-side-combinable count onto a FIXED |langs|·256 key space, and a
+    * broadcast spine join for the zero-fill — the shuffle is
+    * dimensionality-bounded, not vocabulary-bounded, which is the entire
+    * point of the trick.
+    */
+  val featureHash: QueryDef = {
+    val hSql = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  |  list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  |  (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P})""".stripMargin
+    QueryDef(
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT lang, $hSql % 256 AS bucket, count(*) AS n
+         |      FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         |spine AS (SELECT l.lang, r.range AS bucket
+         |          FROM (SELECT DISTINCT lang FROM documents) l, range(0, 256) r)
+         |SELECT spine.lang, CAST(spine.bucket AS BIGINT) AS bucket,
+         |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |FROM spine LEFT JOIN c ON c.lang = spine.lang AND c.bucket = spine.bucket""".stripMargin) {
+      (spark, dir) =>
+      PolyHash.register(spark)
+      val counts = spark.read.parquet(t(dir, "documents"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("lang"), expr("poly_hash(tok) % 256").as("bucket"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cn"))
+      val spine = spark.read.parquet(t(dir, "documents"))
+        .select(col("lang")).distinct()
+        .crossJoin(spark.range(0, 256).select(col("id").as("bucket")))
+      spine.join(broadcast(counts), Seq("lang", "bucket"), "left")
+        .select(col("lang"), col("bucket"), coalesce(col("cn"), lit(0L)).as("n"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_feature_hash" -> featureHash,
     "q_approx_topk" -> approxTopk,
     "q_term_drift" -> termDrift,
     "q_corpus_stats" -> corpusStats,
