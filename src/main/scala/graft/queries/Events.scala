@@ -2099,6 +2099,68 @@ object Events {
     * grouped state row — state is four longs TOTAL, the cheapest stateful
     * query there is; complete-mode re-emission is a single row per batch.
     */
+  /** `foreachBatch` with batchId-keyed idempotent writes — THE production
+    * sink idiom for targets without a streaming connector (JDBC, REST,
+    * object-store merges): each micro-batch's per-type aggregate lands in
+    * a `batch=<id>` directory, and the write is made exactly-once BY
+    * CONSTRUCTION — a re-delivered batchId overwrites its own directory
+    * (dynamic partition overwrite on the batch column) instead of
+    * appending duplicates, which is precisely the contract Spark asks of
+    * a foreachBatch body (batches can replay after failure; the sink
+    * must be idempotent per batchId). The row re-aggregates what landed
+    * on disk across batch dirs; the oracle states the per-type totals
+    * from the canonical table, so a double-written batch or a lost one
+    * flips the hash.
+    *
+    * Scale shape: the foreachBatch body is a normal BATCH write per
+    * micro-batch (full batch-engine surface available — merges, JDBC
+    * transactions, dedup joins); state is carried by the checkpoint
+    * exactly as with built-in sinks. Write-once per source fingerprint,
+    * like every file-producing row.
+    */
+  val foreachBatchSink: QueryDef = QueryDef(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("foreachbatch", dir, "events.parquet")
+    withEventReadConfs(spark) {
+      FileSources.writeOnce(out) { o =>
+        withStreamPartitions(spark, 4) {
+          val q = eventsStream(spark, dir)
+            .select(col("event_id"), col("event_type"))
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              // idempotent per batchId: replays overwrite their own
+              // partition directory, never append beside it
+              batch.groupBy(col("event_type"))
+                .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+                .withColumn("batch", lit(batchId))
+                .write
+                .partitionBy("batch")
+                // Overwrite + dynamic = replace ONLY the partitions this
+                // batch carries (its own batch=<id> dir); Append would
+                // duplicate on replay, static Overwrite would erase
+                // every earlier batch
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(s"$o/data")
+              ()
+            }
+            .option("checkpointLocation", s"$o/chk")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally q.stop()
+        }
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+      }
+    }
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_id")).as("sum_id"))
+  }
+
   val streamChecksum: QueryDef = QueryDef(
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
@@ -2644,6 +2706,7 @@ object Events {
     "q_funnel_stream" -> funnelStream,
     "q_gap_fill" -> gapFill,
     "q_stream_checksum" -> streamChecksum,
+    "q_foreach_batch" -> foreachBatchSink,
     "q_funnel_tws" -> funnelTws,
     "q_autocorr" -> autocorr,
     "q_rolling_7d" -> rolling7d,
