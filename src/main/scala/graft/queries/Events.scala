@@ -1114,40 +1114,14 @@ object Events {
       |SELECT CAST(w_start_ms * 1000 AS BIGINT) AS w_start_us, n_pairs, n_users
       |FROM a, wm WHERE w_start_ms + 3600000 <= wm.wm_ms""".stripMargin) {
     (spark, dir) =>
-    withEventReadConfs(spark) {
-      requireSingleEventsFile(dir, "stream join+agg",
-        "the batch oracle cannot replay per-micro-batch watermark eviction")
-      def side(tpe: String, pre: String): DataFrame =
-        eventsStream(spark, dir)
-          .filter(col("event_type") === tpe)
-          .select(col("user_id").as(s"${pre}_user_id"),
-            timestamp_micros(col("tus")).as(s"${pre}_tsw"))
-          .withWatermark(s"${pre}_tsw", "1 hour")
-      withStreamPartitions(spark, 4) {
-        val q = side("click", "c").join(
-            side("purchase", "p"),
-            col("c_user_id") === col("p_user_id") &&
-              col("p_tsw") >= col("c_tsw") &&
-              col("p_tsw") <= col("c_tsw") + expr("INTERVAL 1 HOUR"),
-            "inner")
-          .groupBy(window(col("c_tsw"), "1 hour"))
-          // countDistinct is unsupported in streaming aggs; collect_set +
-          // size is the exact form (state bounded by the window's user set)
-          .agg(count(lit(1)).as("n_pairs"),
-            collect_set(col("c_user_id")).as("users"))
-          .select(unix_micros(col("window.start")).as("w_start_us"),
-            col("n_pairs"), size(col("users")).cast("long").as("n_users"))
-        val run = q.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName("graft_stream_join_agg")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try run.awaitTermination()
-        finally run.stop()
-      }
-      spark.table("graft_stream_join_agg")
-    }
+    runIntervalJoin(spark, dir, "inner", "graft_stream_join_agg",
+      project = _.groupBy(window(col("c_tsw"), "1 hour"))
+        // countDistinct is unsupported in streaming aggs; collect_set +
+        // size is the exact form (state bounded by the window's user set)
+        .agg(count(lit(1)).as("n_pairs"),
+          collect_set(col("c_user_id")).as("users"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("n_pairs"), size(col("users")).cast("long").as("n_users")))
   }
 
   /** LEFT OUTER stream-stream interval join — attribution including the
@@ -2099,6 +2073,47 @@ object Events {
     * grouped state row — state is four longs TOTAL, the cheapest stateful
     * query there is; complete-mode re-emission is a single row per batch.
     */
+  val streamChecksum: QueryDef = QueryDef(
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+       |       CAST(min(fp) AS BIGINT) AS min_fp,
+       |       CAST(max(fp) AS BIGINT) AS max_fp
+       |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(s, ''),
+       |                              c -> CAST(ascii(c) AS BIGINT))),
+       |             (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P}) AS fp
+       |      FROM (SELECT CAST(event_id AS VARCHAR) || '|' ||
+       |                   CAST(user_id AS VARCHAR) || '|' ||
+       |                   event_type || '|' ||
+       |                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+       |                   CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS s
+       |            FROM events) r) f""".stripMargin) { (spark, dir) =>
+    import graft.functions.PolyHash
+    PolyHash.register(spark)
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        val q = eventsStream(spark, dir)
+          .select(concat_ws("|",
+            col("event_id").cast("string"), col("user_id").cast("string"),
+            col("event_type"), col("tus").cast("string"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").cast("string")).as("s"))
+          .select(expr("poly_hash(s)").as("fp"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("graft_stream_checksum")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_stream_checksum")
+  }
+
+
   /** `foreachBatch` with batchId-keyed idempotent writes — THE production
     * sink idiom for targets without a streaming connector (JDBC, REST,
     * object-store merges): each micro-batch's per-type aggregate lands in
@@ -2159,46 +2174,6 @@ object Events {
     spark.read.parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_id")).as("sum_id"))
-  }
-
-  val streamChecksum: QueryDef = QueryDef(
-    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-       |       CAST(min(fp) AS BIGINT) AS min_fp,
-       |       CAST(max(fp) AS BIGINT) AS max_fp
-       |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |               list_transform(string_split(s, ''),
-       |                              c -> CAST(ascii(c) AS BIGINT))),
-       |             (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P}) AS fp
-       |      FROM (SELECT CAST(event_id AS VARCHAR) || '|' ||
-       |                   CAST(user_id AS VARCHAR) || '|' ||
-       |                   event_type || '|' ||
-       |                   CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-       |                   CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS s
-       |            FROM events) r) f""".stripMargin) { (spark, dir) =>
-    import graft.functions.PolyHash
-    PolyHash.register(spark)
-    withEventReadConfs(spark) {
-      withStreamPartitions(spark, 4) {
-        val q = eventsStream(spark, dir)
-          .select(concat_ws("|",
-            col("event_id").cast("string"), col("user_id").cast("string"),
-            col("event_type"), col("tus").cast("string"),
-            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").cast("string")).as("s"))
-          .select(expr("poly_hash(s)").as("fp"))
-          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
-            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
-          .writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName("graft_stream_checksum")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-      }
-    }
-    spark.table("graft_stream_checksum")
   }
 
   /** Last-touch attribution — the marketing/product analytics primitive:

@@ -664,6 +664,46 @@ object Relational {
     * query shape, which is precisely what `ANALYZE TABLE ... COMPUTE
     * STATISTICS FOR COLUMNS` runs underneath.
     */
+  val analyzeStats: QueryDef = QueryDef(
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |         count(DISTINCT l_orderkey) AS ndv_orderkey,
+      |         count(DISTINCT l_partkey) AS ndv_partkey,
+      |         count(DISTINCT l_suppkey) AS ndv_suppkey,
+      |         count(DISTINCT l_returnflag) AS ndv_returnflag,
+      |         min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+      |  FROM lineitem)
+      |SELECT col,
+      |       CAST(CASE col WHEN 'l_orderkey' THEN ndv_orderkey
+      |                     WHEN 'l_partkey' THEN ndv_partkey
+      |                     WHEN 'l_suppkey' THEN ndv_suppkey
+      |                     ELSE ndv_returnflag END AS BIGINT) AS ndv,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(min_partkey AS BIGINT) AS min_partkey,
+      |       CAST(max_partkey AS BIGINT) AS max_partkey
+      |FROM s, (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey'),
+      |                ('l_returnflag')) c(col)""".stripMargin) {
+    (spark, dir) =>
+    val s = spark.read.parquet(t(dir, "lineitem"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_suppkey")).as("ndv_suppkey"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"))
+    s.select(expr(
+      """stack(4,
+        |  'l_orderkey', ndv_orderkey,
+        |  'l_partkey', ndv_partkey,
+        |  'l_suppkey', ndv_suppkey,
+        |  'l_returnflag', ndv_returnflag) AS (col, ndv)""".stripMargin),
+      col("n_rows"), col("min_partkey"), col("max_partkey"))
+      .select(col("col"), col("ndv"), col("n_rows"),
+        col("min_partkey"), col("max_partkey"))
+  }
+
+
   /** The CATALOG statistics surface — `CREATE TABLE` + `ANALYZE TABLE
     * ... COMPUTE STATISTICS FOR COLUMNS` + reading the stats back from
     * `DESCRIBE EXTENDED`: the persistence layer that turns
@@ -720,8 +760,18 @@ object Relational {
     val truth = spark.table(s"$db.orders")
       .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
       .collect()(0)
-    val (nRows, exactNdv) =
-      (truth.getLong(0), Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2)))
+    val exactNdv = Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2))
+    // n_rows is read back from the CATALOG's Statistics line ("N bytes,
+    // M rows"), not re-counted — the value the CBO consumes is the value
+    // under test (code-review r12: the first cut hashed a fresh count and
+    // never read the stored statistic)
+    val statLine = spark.sql(s"DESCRIBE EXTENDED $db.orders")
+      .collect().collectFirst {
+        case r if r.getString(0) == "Statistics" => r.getString(1)
+      }.getOrElse(sys.error("ANALYZE left no Statistics entry in the catalog"))
+    val nRows = "(\\d+) rows".r.findFirstMatchIn(statLine)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"no row count in catalog statistics: $statLine"))
     val rows = cols.map { c =>
       val kv = spark.sql(s"DESCRIBE EXTENDED $db.orders $c")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -731,45 +781,6 @@ object Relational {
     }
     spark.sql(s"DROP TABLE $db.orders")
     rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
-  }
-
-  val analyzeStats: QueryDef = QueryDef(
-    """WITH s AS (
-      |  SELECT count(*) AS n_rows,
-      |         count(DISTINCT l_orderkey) AS ndv_orderkey,
-      |         count(DISTINCT l_partkey) AS ndv_partkey,
-      |         count(DISTINCT l_suppkey) AS ndv_suppkey,
-      |         count(DISTINCT l_returnflag) AS ndv_returnflag,
-      |         min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
-      |  FROM lineitem)
-      |SELECT col,
-      |       CAST(CASE col WHEN 'l_orderkey' THEN ndv_orderkey
-      |                     WHEN 'l_partkey' THEN ndv_partkey
-      |                     WHEN 'l_suppkey' THEN ndv_suppkey
-      |                     ELSE ndv_returnflag END AS BIGINT) AS ndv,
-      |       CAST(n_rows AS BIGINT) AS n_rows,
-      |       CAST(min_partkey AS BIGINT) AS min_partkey,
-      |       CAST(max_partkey AS BIGINT) AS max_partkey
-      |FROM s, (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey'),
-      |                ('l_returnflag')) c(col)""".stripMargin) {
-    (spark, dir) =>
-    val s = spark.read.parquet(t(dir, "lineitem"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
-        countDistinct(col("l_partkey")).as("ndv_partkey"),
-        countDistinct(col("l_suppkey")).as("ndv_suppkey"),
-        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
-        min(col("l_partkey")).as("min_partkey"),
-        max(col("l_partkey")).as("max_partkey"))
-    s.select(expr(
-      """stack(4,
-        |  'l_orderkey', ndv_orderkey,
-        |  'l_partkey', ndv_partkey,
-        |  'l_suppkey', ndv_suppkey,
-        |  'l_returnflag', ndv_returnflag) AS (col, ndv)""".stripMargin),
-      col("n_rows"), col("min_partkey"), col("max_partkey"))
-      .select(col("col"), col("ndv"), col("n_rows"),
-        col("min_partkey"), col("max_partkey"))
   }
 
   /** The SQL front door — the same engine surface every BI tool and ad-hoc

@@ -714,13 +714,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_catalog_stats feeds CBO: the filter cardinality estimate lands near truth") {
     spark.sparkContext.setLogLevel("ERROR")
-    // Build the analyzed catalog table via the query row itself (it
-    // creates, ANALYZEs, reads back, and drops — so re-create here), then
-    // assert the optimizer consumes the stats: with CBO on, the estimated
-    // row count of a selective filter must be defined and within 2x of
-    // the actual count — the property join reorder and broadcast
-    // selection price joins with at 100 TB.
-    SparkEntry.queries("q_catalog_stats")(spark, sf).collect()
+    // Assert the optimizer consumes ANALYZE stats: with CBO on, the
+    // estimated row count of a selective filter must be defined and
+    // within 2x of the actual count — the property join reorder and
+    // broadcast selection price joins with at 100 TB. (Independent of
+    // the q_catalog_stats row: only the database is shared.)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cbo")
     spark.sql("DROP TABLE IF EXISTS graft_cbo.orders_pin")
     spark.sql(s"CREATE TABLE graft_cbo.orders_pin USING parquet LOCATION '$sf/orders.parquet'")
     spark.sql("ANALYZE TABLE graft_cbo.orders_pin COMPUTE STATISTICS FOR COLUMNS o_orderstatus")
