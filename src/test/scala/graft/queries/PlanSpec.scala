@@ -742,6 +742,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_nested_fields: struct surgery is pure projection — one scan, zero exchanges") {
+    val p = plan("q_nested_fields")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("Exchange"), s"withField/dropFields must stay in the projection:\n$p")
+  }
+
+  test("q_map_ops: one data scan; the map layer is in-row (analyzed plan) and may fuse away") {
+    val df = SparkEntry.queries("q_map_ops")(spark, sf)
+    val physical = df.queryExecution.explainString(SimpleMode)
+    assert(physical.linesIterator.count(_.contains("FileScan parquet")) == 1, physical)
+    // Catalyst is free to rewrite map_filter/transform_values over
+    // map_from_entries into array ops before the explode — the API
+    // surface under test is the ANALYZED plan; the physical fusion is a
+    // feature, not a regression.
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("map_from_entries") && analyzed.contains("map_filter")
+      && analyzed.contains("transform_values"), analyzed)
+  }
+
+  test("q_sql_udf: the SQL functions inline — no ScalaUDF, top-k without a global sort") {
+    val p = plan("q_sql_udf")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL UDFs must inline into the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
