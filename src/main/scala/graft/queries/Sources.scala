@@ -139,6 +139,60 @@ object Sources {
         countDistinct(col("fn")).as("n_files"))
   }
 
+  /** Malformed-record tolerance — the PERMISSIVE/`_corrupt_record`
+    * contract every 100 TB ingestion leans on (real feeds carry broken
+    * lines; a pipeline that FAILFASTs on row one ingests nothing, one
+    * that silently drops can't audit what it lost): a CSV derived from
+    * documents with every `doc_id % 7 == 0` line deliberately corrupted
+    * (non-numeric id field), read back under PERMISSIVE with a corrupt-
+    * record column. Parse failures surface as NULL-typed-fields +
+    * captured raw line, so the gate can count and checksum BOTH
+    * populations — the oracle recomputes them from the corruption rule.
+    * QueriesSpec pins the sibling modes on the same file: DROPMALFORMED
+    * keeps exactly the good rows, FAILFAST refuses the file loudly.
+    *
+    * Scale shape: scan-speed parse with per-row error capture — no
+    * shuffle before the 1-row rollup; the corrupt population rides the
+    * same scan as the good one (the observe() principle: auditing costs
+    * zero extra passes).
+    */
+  val csvMalformed: QueryDef = QueryDef(
+    """SELECT CAST(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+      |       CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS sum_ids_good,
+      |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars_good
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("graft_docs_tmp")
+    val out = FileSources.cacheDir("csvbad", dir, "documents.parquet")
+    FileSources.writeOnce(out) { o =>
+      spark.sql(
+        """SELECT CASE WHEN doc_id % 7 = 0
+          |            THEN concat('x', CAST(doc_id AS STRING), ',', CAST(n_chars AS STRING))
+          |            ELSE concat(CAST(doc_id AS STRING), ',', CAST(n_chars AS STRING))
+          |       END AS value
+          |FROM graft_docs_tmp""".stripMargin)
+        .coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(o)
+    }
+    spark.catalog.dropTempView("graft_docs_tmp")
+    spark.read
+      .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      // the id sum is not decoration: CSV corruption is detected only for
+      // COLUMNS THE QUERY PARSES (column pruning reaches the parser), so a
+      // gate that never read doc_id saw zero corrupt records — the broken
+      // field was simply never parsed. Aggregating doc_id forces the full
+      // parse and makes the corrupt population real.
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("sum_ids_good"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars_good"))
+  }
+
   /** Co-located bucketed join (zero Exchange); oracle joins the flat
     * parquet tables.
     */
@@ -258,6 +312,7 @@ object Sources {
     "q_observe_metrics" -> observeMetrics,
     "q_union_evolved" -> unionEvolved,
     "q_source_csv" -> csvRoundtrip,
+    "q_csv_malformed" -> csvMalformed,
     "q_source_json" -> jsonRoundtrip,
     "q_source_orc" -> orcRoundtrip,
     "q_source_text" -> textRoundtrip,

@@ -1185,4 +1185,34 @@ class QueriesSpec extends AnyFunSuite {
         s"expected a recursion-limit error, got: ${e.getMessage.take(200)}")
     } finally spark.conf.set(key, prev)
   }
+
+  test("CSV parse modes agree on the malformed file: DROPMALFORMED keeps the good rows, FAILFAST throws") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // materialize the corrupted file + the PERMISSIVE truth via the row
+    val r = SparkEntry.queries("q_csv_malformed")(spark, sf).collect()(0)
+    val (nGood, nCorrupt) = (r.getLong(0), r.getLong(1))
+    assert(nCorrupt > 0, "the fixture must actually contain corrupt rows")
+    val out = graft.sources.FileSources.cacheDir("csvbad", sf, "documents.parquet")
+    // count()/count(*) prunes every column and the CSV parser only flags
+    // corruption for columns it parses (the row's own lesson) — aggregate
+    // doc_id so all three modes actually parse the broken field
+    val dropped = spark.read.schema("doc_id LONG, n_chars LONG")
+      .option("mode", "DROPMALFORMED").csv(out)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col("doc_id")).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("doc_id")).as("s"))
+      .collect()(0)
+    assert(dropped.getLong(0) == nGood,
+      s"DROPMALFORMED kept ${dropped.getLong(0)} rows, PERMISSIVE counted $nGood good")
+    assert(dropped.getLong(1) == r.getLong(2),
+      "DROPMALFORMED and PERMISSIVE must agree on WHICH rows are good (id sums differ)")
+    val e = intercept[Exception] {
+      spark.read.schema("doc_id LONG, n_chars LONG")
+        .option("mode", "FAILFAST").csv(out)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("doc_id"))).collect()
+    }
+    assert(e.getMessage != null, "FAILFAST must refuse the file loudly")
+  }
 }
