@@ -232,6 +232,51 @@ object Relational {
         "metric", "value")
   }
 
+  /** Range-partitioned sorted layout — the 1-D sibling of the Z-order
+    * pass and the way sorted tables are actually PRODUCED at scale:
+    * `repartitionByRange` (sampled range boundaries, one exchange) +
+    * `sortWithinPartitions` + write, yielding files whose key ranges are
+    * pairwise DISJOINT — the property that turns a key predicate into
+    * file skipping and a merge join into a zip. The gate proves the
+    * layout, not just the data: per-file [min, max] spans are read back
+    * (a files-count-sized driver frame — planner metadata, the zone-map
+    * rule) and the emitted `disjoint` flag asserts no two files overlap;
+    * the rollup re-reads the laid-out copy so lost/duplicated rows flip
+    * the hash.
+    *
+    * Scale shape: ONE range exchange (with AQE-sampled boundaries) + an
+    * in-partition sort — the minimum physical work a global sort can
+    * cost; everything after is scan metadata.
+    */
+  val rangeLayout: QueryDef = QueryDef(
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+      |       TRUE AS disjoint
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("rangelayout", dir, "orders.parquet")
+    FileSources.writeOnce(out) { o =>
+      spark.read.parquet(t(dir, "orders"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
+    }
+    val laid = spark.read.parquet(out)
+    // per-file spans: files-count-sized driver step (layout metadata)
+    val spans = laid
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val disjoint = spans.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _                         => true
+    }
+    laid.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_c"))
+      .withColumn("disjoint", lit(disjoint))
+  }
+
   /** Z-order (Morton-curve) clustering assignment + the zone maps it buys
     * — the data-layout pass behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
     * quantize two columns to 8 bits each against their corpus min/max,
@@ -1154,6 +1199,7 @@ object Relational {
     "q_zorder_prune" -> zorderPrune,
     "q_zorder_join" -> zorderJoin,
     "q_zorder_layout" -> zorderLayout,
+    "q_range_layout" -> rangeLayout,
     "q_rollup" -> rollup,
     "q_cube" -> cube_,
     "q_window_frame" -> windowFrame,

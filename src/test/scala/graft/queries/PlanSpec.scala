@@ -768,6 +768,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_nested_prune: the scan reads ONLY the touched nested leaves") {
+    val p = plan("q_nested_prune")
+    assert(p.contains("ReadSchema: struct<s:struct<fin:struct<bal_c:bigint,nation:"),
+      s"nested pruning must narrow the scan to the two touched leaves:\n$p")
+    assert(!p.contains("c_name") && !p.contains("c_mktsegment"),
+      s"untouched struct fields must not survive into the plan:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
