@@ -162,20 +162,16 @@ object Sources {
       |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS sum_ids_good,
       |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars_good
       |FROM documents""".stripMargin) { (spark, dir) =>
-    spark.read.parquet(s"$dir/documents.parquet")
-      .createOrReplaceTempView("graft_docs_tmp")
     val out = FileSources.cacheDir("csvbad", dir, "documents.parquet")
     FileSources.writeOnce(out) { o =>
-      spark.sql(
-        """SELECT CASE WHEN doc_id % 7 = 0
-          |            THEN concat('x', CAST(doc_id AS STRING), ',', CAST(n_chars AS STRING))
-          |            ELSE concat(CAST(doc_id AS STRING), ',', CAST(n_chars AS STRING))
-          |       END AS value
-          |FROM graft_docs_tmp""".stripMargin)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat(
+          when(col("doc_id") % 7 === 0, concat(lit("x"), col("doc_id").cast("string")))
+            .otherwise(col("doc_id").cast("string")),
+          lit(","), col("n_chars").cast("string")).as("value"))
         .coalesce(2)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(o)
     }
-    spark.catalog.dropTempView("graft_docs_tmp")
     spark.read
       .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
       .option("mode", "PERMISSIVE")

@@ -1213,6 +1213,11 @@ class QueriesSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("doc_id"))).collect()
     }
-    assert(e.getMessage != null, "FAILFAST must refuse the file loudly")
+    // the parse error arrives wrapped ([FAILED_READ_FILE] -> cause) —
+    // walk the chain for the malformed-record class
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => String.valueOf(x.getMessage).toLowerCase).mkString(" | ")
+    assert(msgs.contains("malformed"),
+      s"FAILFAST must refuse with a malformed-record error, got: ${msgs.take(300)}")
   }
 }
