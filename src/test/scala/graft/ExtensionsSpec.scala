@@ -116,6 +116,32 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected the full 250-point prefix, got ${idx.length} rows")
   }
 
+  test("StencilSource streaming: alternating configs thrash the single-slot cache, never the rows") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // The prefix cache holds ONE (dims, maxHalvings) config; running two
+    // configs alternately evicts it every time — the documented contract
+    // is correct-but-quadratic replay, so the rows must stay bit-exact.
+    def run(dims: Int, mh: Int, name: String): Array[(Int, Int, Vector[Double])] = {
+      val q = spark.readStream.format("graft.sources.StencilSource")
+        .option("dims", dims).option("maxHalvings", mh)
+        .option("pointsPerBatch", 40).option("maxPoints", 120)
+        .load()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))
+        .sortBy(_._1)
+    }
+    val a1 = run(2, 7, "thrash_a1")
+    val b1 = run(3, 5, "thrash_b1")
+    val a2 = run(2, 7, "thrash_a2")
+    assert(a1.sameElements(a2), "config A must replay identically after eviction by config B")
+    val want = new graft.stencil.RightHandedSimplexStencil(3, 5)
+      .stencilPoints.take(120).zipWithIndex
+      .map { case (st, i) => (i + 1, st.halvings, st.offset.toVector) }.toArray
+    assert(b1.sameElements(want), "config B rows must match the generator")
+  }
+
   test("IntMoments merge law: every split of the input folds to the same state") {
     import graft.functions.IntMoments
     // The q_typed_agg gate only exercises whatever split Spark's partial
