@@ -1092,10 +1092,25 @@ object Events {
     * rule).
     *
     * Scale shape: join state is interval-bounded per side, and the agg's
-    * input is MATCHED PAIRS (attribution-rate-sized, not event-sized) —
-    * the aggregation state is live-windows × nothing, because the join
-    * already collapsed the stream. One query, one checkpoint, two
-    * stateful operators sharing the watermark.
+    * input is MATCHED PAIRS (attribution-rate-sized, not event-sized).
+    * The distinct-user count is a TWO-STAGE aggregate — stage one keyed
+    * on (window, user_id) counting that user's pairs, stage two rolling
+    * the finalized per-user rows up to `sum → n_pairs` / `count →
+    * n_users` per window via the [[streamChained]] `window_time()`
+    * cascade — because exact streaming `countDistinct` is unsupported
+    * and the naive exact form (`collect_set(user_id)` per window) packs
+    * one window's entire distinct-user set into a SINGLE state value: at
+    * 100× scale an hour window's users is the active user base, so that
+    * one array is an executor-OOM + maximal-skew concentration (VERDICT
+    * r12 #1). The two-stage form holds the same total state cardinality
+    * spread across (window, user) keys — each value a fixed-width count —
+    * and its output hashes identically against the unchanged oracle.
+    * One query, one checkpoint, THREE stateful operators (join → agg →
+    * agg) sharing the watermark; stage two adds no extra withholding
+    * because stage one finalizes a window only once the shifted
+    * watermark clears its end, which is the same boundary stage two
+    * needs (pinned by the sf0.01/sf0.1 gates and StreamingSpec's
+    * two-stateful-aggregate plan pin).
     */
   val streamJoinAgg: QueryDef = QueryDef(
     """WITH c AS (SELECT user_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'click'),
@@ -1115,13 +1130,13 @@ object Events {
       |FROM a, wm WHERE w_start_ms + 3600000 <= wm.wm_ms""".stripMargin) {
     (spark, dir) =>
     runIntervalJoin(spark, dir, "inner", "graft_stream_join_agg",
-      project = _.groupBy(window(col("c_tsw"), "1 hour"))
-        // countDistinct is unsupported in streaming aggs; collect_set +
-        // size is the exact form (state bounded by the window's user set)
-        .agg(count(lit(1)).as("n_pairs"),
-          collect_set(col("c_user_id")).as("users"))
+      project = _.groupBy(window(col("c_tsw"), "1 hour"), col("c_user_id"))
+        .agg(count(lit(1)).as("u_pairs"))
+        .groupBy(window(window_time(col("window")), "1 hour"))
+        .agg(sum(col("u_pairs")).as("n_pairs"),
+          count(lit(1)).as("n_users"))
         .select(unix_micros(col("window.start")).as("w_start_us"),
-          col("n_pairs"), size(col("users")).cast("long").as("n_users")))
+          col("n_pairs"), col("n_users")))
   }
 
   /** LEFT OUTER stream-stream interval join — attribution including the

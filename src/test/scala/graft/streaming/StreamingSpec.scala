@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("q_stream_join_agg runs join -> agg -> agg: TWO stateful aggregates, no collect_set") {
+    spark.sparkContext.setLogLevel("WARN")
+    // The state-shape pin for VERDICT r12 #1: the distinct-user count must
+    // be the two-stage streaming aggregate (state spread across
+    // (window, user) keys, fixed-width values), NOT a per-window
+    // collect_set whose single state value grows with the window's
+    // distinct-user set. Pinned via the progress event's stateOperators:
+    // one symmetric hash join + exactly two stateStoreSave aggregates.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "graft_stream_join_agg") captured.add(e.progress): Unit
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = graft.queries.Events.streamJoinAgg.fn(spark, sf)
+      assert(out.collect().nonEmpty, "no finalized windows emitted")
+      // listener delivery is async; poll for a progress with state operators
+      val deadline = System.nanoTime() + 30e9.toLong
+      def ops(): Option[Array[org.apache.spark.sql.streaming.StateOperatorProgress]] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.map(_.stateOperators).find(_.nonEmpty)
+      }
+      while (ops().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val names = ops().getOrElse(fail("no stateOperators progress captured"))
+        .map(_.operatorName).sorted.toSeq
+      assert(names == Seq("stateStoreSave", "stateStoreSave", "symmetricHashJoin"),
+        s"state shape changed: $names")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming session_window emits exactly when the watermark REACHES window end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, count, session_window, timestamp_seconds}
