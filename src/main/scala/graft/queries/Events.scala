@@ -802,7 +802,15 @@ object Events {
     *   - the id/tus/value fields ride in a single struct, so they always
     *     come from the SAME purchase — parallel ignoreNulls carries would
     *     skip a latest purchase with a NULL value for one column while
-    *     the others still point at it.
+    *     the others still point at it;
+    *   - the carry is `max` over a (t, id, …)-ordered struct, not
+    *     `last(…)`: when one user has TWO purchases at the identical tus,
+    *     `last` picks between them by partition-file order — unstable
+    *     under retry — while struct-max breaks the tie by highest
+    *     event_id, deterministically (ADVICE r12 #3). The DuckDB ASOF
+    *     oracle is still ambiguous on such a tie (the generator produces
+    *     none — AsofSemanticsSpec pins that precondition), but a future
+    *     tie now yields a LOUD deterministic diff, never a flapping gate.
     */
   private def lastPurchaseCarry(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -813,9 +821,9 @@ object Events {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
       .rangeBetween(Window.unboundedPreceding, -1) // tus STRICTLY less
     ev.withColumn("p",
-        last(when(col("event_type") === "purchase",
-          struct(col("event_id").as("id"), col("tus").as("t"), col("value"))),
-          ignoreNulls = true).over(w))
+        max(when(col("event_type") === "purchase",
+          struct(col("tus").as("t"), col("event_id").as("id"), col("value"))))
+          .over(w))
       .filter(col("event_type") === "click")
   }
 

@@ -80,6 +80,14 @@ object StencilSource {
       val maxPoints = options.getLong("maxPoints", Long.MaxValue)
       require(dims >= 1, s"dims must be >= 1 (got $dims)")
       require(perBatch >= 1, s"pointsPerBatch must be >= 1 (got $perBatch)")
+      // Fail at PLANNING, not hours into the stream (ADVICE r12 #4): the
+      // prefix cache indexes by Int, and the mid-stream `end <= Int.MaxValue`
+      // guard would otherwise be the FIRST signal of a too-large maxPoints —
+      // after 2^31 points of quadratic-replay slowdown.
+      require(maxPoints <= Int.MaxValue || maxPoints == Long.MaxValue,
+        s"maxPoints must be <= ${Int.MaxValue} (got $maxPoints): the stencil " +
+          "prefix cache is Int-indexed; an unbounded batch scan is refused by " +
+          "the limit-pushdown contract instead")
       new StencilScanBuilder(dims, mh, perBatch, maxPoints)
     }
   }

@@ -59,8 +59,8 @@ class AsofSemanticsSpec extends AnyFunSuite {
     d
   }
 
-  private def resultMap(q: String): Map[Long, (Option[Long], Option[Long])] =
-    graft.SparkEntry.queries(q)(spark, dir).collect().map { r =>
+  private def resultMap(q: String, inDir: String = dir): Map[Long, (Option[Long], Option[Long])] =
+    graft.SparkEntry.queries(q)(spark, inDir).collect().map { r =>
       val id = r.getLong(0)
       val prevId = if (r.isNullAt(1)) None else Some(r.getLong(1))
       val third = if (r.isNullAt(2)) None
@@ -88,5 +88,43 @@ class AsofSemanticsSpec extends AnyFunSuite {
     assert(m(21L) == (Some(20L), None))
     assert(m(32L) == (Some(31L), None))
     assert(m(41L) == (Some(40L), Some(200L)), "asofJoin has no tolerance cutoff")
+  }
+
+  test("two purchases at an identical tus carry DETERMINISTICALLY (highest id)") {
+    // ADVICE r12 #3: `last(...)` under the RANGE frame picked between
+    // tied purchases by partition-file order. The struct-max carry must
+    // pick the highest event_id, every run, regardless of file layout.
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-asof-tie").toString
+    // two single-row files in OPPOSITE id order so file order cannot fake
+    // determinism, plus the click after the tie
+    Seq((51L, 1000L, 5L, "purchase", 7.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    Seq((50L, 1000L, 5L, "purchase", 3.0), (52L, 2000L, 5L, "click", 1.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$d/events.parquet")
+    (1 to 3).foreach { _ =>
+      val m = resultMap("q_asof_join", d)
+      assert(m(52L) == (Some(51L), Some(700L)),
+        "tie must break by highest event_id (51), deterministically")
+    }
+  }
+
+  test("generated testdata keeps the tie-free precondition the ASOF oracle needs") {
+    // The DuckDB ASOF oracle is ambiguous on a (user, purchase, tus) tie,
+    // so the gate's determinism rests on the generator never producing
+    // one — pin that precondition like the min(tus)>=0 canary.
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = Events.readEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tus")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0L,
+      s"$dup duplicate (user, purchase, tus) pairs — the ASOF oracle is now ambiguous")
   }
 }
