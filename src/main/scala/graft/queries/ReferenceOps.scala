@@ -199,6 +199,98 @@ object ReferenceOps {
     spark.table("graft_stencil_stream")
   }
 
+  /** The reference's ACTUAL workload as ONE structured-streaming program
+    * (search.py:205-358's driver loop re-composed from this engine's two
+    * flagship surfaces): the DSv2 stencil micro-batch stream feeds
+    * [[graft.spark.SparkClient]] evaluation WAVES through `foreachBatch`,
+    * and each wave's evaluations land in a batchId-keyed exactly-once
+    * parquet sink — the [[Events.foreachBatchSink]] discipline (dynamic
+    * partition overwrite of the batch's own `batch=<id>` dir, so a
+    * replayed micro-batch overwrites itself, never appends beside
+    * itself). Points are the golden 500-step d=2 stencil prefix around
+    * the flagship start (10, 15) with unit steps — the first-wave
+    * geometry of [[searchEvals]]' reference run; costs are the sphere
+    * objective evaluated ON EXECUTORS by `Objective.applyBatch` inside a
+    * SparkClient wave (the same mapPartitions path every convergence
+    * test exercises). The oracle derives (x, y, cost) in SQL from the
+    * SAME golden VALUES as [[stencilPrefix]]: identical IEEE double
+    * literals, identical add/multiply order on both engines.
+    *
+    * Restart story (pinned by SearchStreamSpec): the committed offset
+    * cursor is the only state, and any offset range replays bit-for-bit
+    * (pure generator), so a stream stopped after N points and restarted
+    * with a larger maxPoints resumes at N+1 — the sink holds every idx
+    * exactly once with no dedup anywhere.
+    *
+    * Scale shape: the per-batch `collect` is WAVE-sized by construction
+    * (pointsPerBatch = the reference client's feed granularity — a
+    * driver-side orchestration step, not a data-plane collect); the
+    * objective evaluation and the sink write are executor-side. At 100 TB
+    * the same program holds: waves stay client-bounded while wave
+    * CONCURRENCY (SparkClient's in-flight job queue) fills the cluster.
+    */
+  private[queries] def runSearchStream(
+      spark: SparkSession, out: String, maxPoints: Int): Unit = {
+    val client = new graft.spark.SparkClient(spark)
+    try {
+      val objective = Objective(x => x.map(v => v * v).sum)
+      val (cx, cy) = (10.0, 15.0)
+      val q = spark.readStream.format("graft.sources.StencilSource")
+        .option("dims", 2).option("maxHalvings", 7)
+        .option("pointsPerBatch", 100).option("maxPoints", maxPoints)
+        .load()
+        .selectExpr("idx", "offset[0] AS ox", "offset[1] AS oy")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val rows = batch.collect() // one wave: pointsPerBatch rows
+          if (rows.nonEmpty) {
+            val pts: IndexedSeq[Array[Double]] = rows.toIndexedSeq
+              .map(r => Array(cx + r.getDouble(1), cy + r.getDouble(2)))
+            val id = client.submit(objective, pts)
+            var costs: Array[Double] = null
+            while (costs == null)
+              client.nextBatch(block = true).foreach {
+                case (rid, cs) => if (rid == id) costs = cs
+              }
+            val sess = batch.sparkSession
+            import sess.implicits._
+            rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+              (r.getInt(0), pts(i)(0), pts(i)(1), costs(i))
+            }
+              .toDF("idx", "x", "y", "cost")
+              .withColumn("batch", lit(batchId))
+              .coalesce(1)
+              .write
+              .partitionBy("batch")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(s"$out/data")
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$out/chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally client.shutdown()
+  }
+
+  val searchStream: QueryDef = QueryDef(
+    s"""SELECT idx, 10.0 + x AS x, 15.0 + y AS y,
+       |       (10.0 + x)*(10.0 + x) + (15.0 + y)*(15.0 + y) AS cost
+       |FROM (${stencilPrefix.oracle.get}) sp""".stripMargin) { (spark, _) =>
+    import graft.sources.FileSources
+    // deterministic generator input: fingerprint = the (dims, n) config,
+    // not a source file; sibling convention matches FileSources.cacheDir
+    val out = s"/tmp/graft_searchstream_${java.lang.Long.toHexString(stencilN * 31L + 2L)}"
+    FileSources.writeOnce(out) { o =>
+      runSearchStream(spark, o, stencilN)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+    }
+    spark.read.parquet(s"$out/data")
+      .select(col("idx"), col("x"), col("y"), col("cost"))
+  }
+
   /** Contraction/halving distribution T5/T6 over the same prefix: how many
     * steps exist per halving level and the implied step scale 2^-h.
     */
@@ -344,6 +436,7 @@ object ReferenceOps {
     "q_stencil_prefix" -> stencilPrefix,
     "q_stencil_stream" -> stencilStream,
     "q_stencil_source" -> stencilSource,
+    "q_search_stream" -> searchStream,
     "q_contract_count" -> contractCount,
     "q_batch_eval" -> batchEval,
     "q_search_evals" -> searchEvals)
