@@ -296,6 +296,97 @@ object Relational {
       .withColumn("disjoint", lit(disjoint))
   }
 
+  /** Liquid-clustering-style INCREMENTAL re-layout — what OPTIMIZE does
+    * the second time, composing [[rangeLayout]]'s clustered write with the
+    * compaction discipline on a generation-partitioned table:
+    *
+    *   1. gen=0 — the stable clustered base (range-partitioned, sorted,
+    *      disjoint file spans), 90% of orders;
+    *   2. gen=1 — a small unsorted DELTA ingested beside it (the
+    *      append-only reality every clustered table lives with: its spans
+    *      overlap everything);
+    *   3. the incremental OPTIMIZE — re-cluster ONLY the delta (the read
+    *      is path-scoped to gen=1, so the maintenance job's cost is
+    *      delta-sized, never table-sized — the entire liquid-clustering
+    *      pitch) into sorted gen=2 files and retire gen=1.
+    *
+    * The gate proves the three invariants a table service must hold:
+    * the rollup over the final table equals the canonical orders rollup
+    * (no row lost or duplicated across the generation swap), `stable_ok`
+    * asserts gen=0's files are BYTE-UNTOUCHED after the optimize (name,
+    * length, mtime captured before, compared after — rewriting the stable
+    * base is the failure mode that makes naive OPTIMIZE O(table)), and
+    * `gens_ok` asserts every surviving generation is internally
+    * span-disjoint (each generation prunes like [[rangeLayout]]; cross-gen
+    * overlap is the accepted liquid trade until the next full rewrite).
+    * Proven once at write time, persisted in a `_LIQUID` marker; `_SUCCESS`
+    * is created LAST so there is no torn-cache window at all (the
+    * rangeLayout lesson, closed by ordering instead of repair).
+    *
+    * Scale shape: the base write is one range exchange; the optimize is
+    * one delta-sized range exchange plus driver-side fs metadata; the
+    * final read is a plain clustered scan. Nothing rescans the base.
+    */
+  val liquidLayout: QueryDef = QueryDef(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c,
+       |       TRUE AS stable_ok, TRUE AS gens_ok
+       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("liquidlayout", dir, "orders.parquet")
+    val marker = java.nio.file.Paths.get(out, "_LIQUID")
+    def fileState(gen: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$out/data/gen=$gen")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    def genDisjoint(gen: Int): Boolean = {
+      val spans = spark.read.parquet(s"$out/data/gen=$gen")
+        .groupBy(col("_metadata.file_name"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      spans.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => hi1 < lo2
+        case _                         => true
+      }
+    }
+    FileSources.writeOnce(out) { _ =>
+      val orders = spark.read.parquet(t(dir, "orders"))
+      def writeGen(df: DataFrame, gen: Int, nParts: Int, sorted: Boolean): Unit = {
+        val ranged =
+          if (sorted) df.repartitionByRange(nParts, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey"))
+          else df.repartition(nParts)
+        ranged.withColumn("gen", lit(gen))
+          .write.partitionBy("gen")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$out/data")
+      }
+      // 1. stable clustered base + 2. unsorted delta beside it
+      writeGen(orders.filter(col("o_orderkey") % 10 =!= 0), gen = 0, nParts = 8, sorted = true)
+      writeGen(orders.filter(col("o_orderkey") % 10 === 0), gen = 1, nParts = 2, sorted = false)
+      val stableBefore = fileState(0)
+      // 3. incremental OPTIMIZE: path-scoped to the delta generation —
+      // the base is never opened, so the job is delta-sized by construction
+      writeGen(spark.read.parquet(s"$out/data/gen=1").drop("gen"),
+        gen = 2, nParts = 2, sorted = true)
+      FileSources.deleteRecursively(new java.io.File(s"$out/data/gen=1"))
+      val stableOk = fileState(0) == stableBefore && stableBefore.nonEmpty
+      val gensOk = genDisjoint(0) && genDisjoint(2)
+      java.nio.file.Files.write(marker, s"$stableOk,$gensOk".getBytes)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS")): Unit
+    }
+    val Array(stableOk, gensOk) =
+      new String(java.nio.file.Files.readAllBytes(marker)).trim.split(",").map(_.toBoolean)
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_c"))
+      .withColumn("stable_ok", lit(stableOk))
+      .withColumn("gens_ok", lit(gensOk))
+  }
+
   /** Z-order (Morton-curve) clustering assignment + the zone maps it buys
     * — the data-layout pass behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
     * quantize two columns to 8 bits each against their corpus min/max,
@@ -1234,6 +1325,7 @@ object Relational {
     "q_zorder_join" -> zorderJoin,
     "q_zorder_layout" -> zorderLayout,
     "q_range_layout" -> rangeLayout,
+    "q_liquid_layout" -> liquidLayout,
     "q_rollup" -> rollup,
     "q_cube" -> cube_,
     "q_window_frame" -> windowFrame,
