@@ -283,8 +283,16 @@ object Bench {
     // FULL record — every query's median, calibrations, and the rerun
     // identities above — is written into the repo for the judge to read
     // alongside the tail artifact. Overwritten per run; committed per round.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"BENCH_full_$tag.json"), json)
+    // Anchored to a VERIFIED repo root (code-review r13): a cwd-relative
+    // write from a different launch directory would silently strand the
+    // sidecar while the judge reads a stale committed copy — better to
+    // warn loudly and rely on the /tmp record above.
+    val root = java.nio.file.Paths.get(sys.props("user.dir"))
+    if (java.nio.file.Files.exists(root.resolve("build.sbt")))
+      java.nio.file.Files.writeString(root.resolve(s"BENCH_full_$tag.json"), json): Unit
+    else
+      System.err.println(
+        s"[bench] cwd $root is not the repo root; full record only at /tmp/graft_bench_$tag.json")
   }
 
   /** Spawn one child JVM (same java, classpath, module opens, pinned heap)

@@ -2321,6 +2321,9 @@ object Events {
       .limit(20)
   }
 
+  /** Per-user history budget enforced by [[userJourney]] — see its doc. */
+  val JourneyCap = 80
+
   /** Ordered event-path reconstruction per user — the journey string every
     * product-analytics tool renders and the sequence-model training
     * pipeline serializes (the event-stream analog of packing token
@@ -2350,8 +2353,6 @@ object Events {
     * which was collapsing almost nothing (a user's events scatter across
     * time-ordered input splits). No global sort anywhere.
     */
-  val JourneyCap = 80
-
   val userJourney: QueryDef = QueryDef(
     s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

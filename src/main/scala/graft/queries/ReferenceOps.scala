@@ -229,15 +229,17 @@ object ReferenceOps {
     * the same program holds: waves stay client-bounded while wave
     * CONCURRENCY (SparkClient's in-flight job queue) fills the cluster.
     */
+  private val SearchStreamConf = (2, 7, 100, (10.0, 15.0)) // dims, maxHalvings, perBatch, start
+
   private[queries] def runSearchStream(
       spark: SparkSession, out: String, maxPoints: Int): Unit = {
     val client = new graft.spark.SparkClient(spark)
     try {
       val objective = Objective(x => x.map(v => v * v).sum)
-      val (cx, cy) = (10.0, 15.0)
+      val (dims, mh, perBatch, (cx, cy)) = SearchStreamConf
       val q = spark.readStream.format("graft.sources.StencilSource")
-        .option("dims", 2).option("maxHalvings", 7)
-        .option("pointsPerBatch", 100).option("maxPoints", maxPoints)
+        .option("dims", dims).option("maxHalvings", mh)
+        .option("pointsPerBatch", perBatch).option("maxPoints", maxPoints)
         .load()
         .selectExpr("idx", "offset[0] AS ox", "offset[1] AS oy")
         .writeStream
@@ -278,11 +280,21 @@ object ReferenceOps {
   val searchStream: QueryDef = QueryDef(
     s"""SELECT idx, 10.0 + x AS x, 15.0 + y AS y,
        |       (10.0 + x)*(10.0 + x) + (15.0 + y)*(15.0 + y) AS cost
-       |FROM (${stencilPrefix.oracle.get}) sp""".stripMargin) { (spark, _) =>
+       |FROM (${stencilPrefix.oracle.get}) sp""".stripMargin) { (spark, dir) =>
     import graft.sources.FileSources
-    // deterministic generator input: fingerprint = the (dims, n) config,
-    // not a source file; sibling convention matches FileSources.cacheDir
-    val out = s"/tmp/graft_searchstream_${java.lang.Long.toHexString(stencilN * 31L + 2L)}"
+    // The result is dataset-independent (pure generator), but the cache
+    // path still embeds the sf DIR like every cacheDir row (code-review
+    // r13): two concurrent JVMs verifying different SFs — the driver's
+    // normal mode — would otherwise share one checkpoint dir with no
+    // cross-JVM locking (interleaved offset logs, raced batch=N
+    // partitions). The fingerprint also hashes every run parameter
+    // (dims, maxHalvings, pointsPerBatch, n, start point), so editing any
+    // of them invalidates the cache instead of silently reusing it.
+    val out = {
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fp = s"$SearchStreamConf,$stencilN".hashCode.toLong & 0xffffffffL
+      s"/tmp/graft_searchstream${sf}_${java.lang.Long.toHexString(fp)}"
+    }
     FileSources.writeOnce(out) { o =>
       runSearchStream(spark, o, stencilN)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit

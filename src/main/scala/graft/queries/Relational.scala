@@ -284,12 +284,16 @@ object Relational {
     }
     // Torn-cache repair (ADVICE r12 #2): the parquet write itself drops
     // `_SUCCESS`, so a crash between it and the marker write leaves a dir
-    // writeOnce considers complete but with no verdict. Recompute (and
-    // persist) instead of failing on every subsequent invocation.
-    val disjoint =
+    // writeOnce considers complete but with no verdict. A MISSING marker
+    // and a GARBLED one (created-but-empty after a disk-full/power-loss
+    // inside Files.write — code-review r13) are the same torn state:
+    // recompute (and persist) instead of failing on every invocation.
+    val disjoint = (
       if (java.nio.file.Files.exists(marker))
-        new String(java.nio.file.Files.readAllBytes(marker)).trim.toBoolean
-      else proveDisjoint()
+        scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(marker)).trim.toBoolean).toOption
+      else None
+    ).getOrElse(proveDisjoint())
     spark.read.parquet(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_c"))
@@ -351,6 +355,21 @@ object Relational {
         case _                         => true
       }
     }
+    def parseMarker(): Option[(Boolean, Boolean)] =
+      if (!java.nio.file.Files.exists(marker)) None
+      else scala.util.Try {
+        val Array(a, b) = new String(java.nio.file.Files.readAllBytes(marker))
+          .trim.split(",").map(_.toBoolean)
+        (a, b)
+      }.toOption
+    // The _SUCCESS-last ordering makes a TORN marker impossible, but a
+    // garbled one (bit rot, manual edit) beside _SUCCESS would otherwise
+    // throw forever — its verdict can't be recomputed post-hoc (gen=0
+    // mtimes are gone), so clear the cache and let writeOnce rebuild
+    // (code-review r13, the rangeLayout repair's sibling).
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")) &&
+        parseMarker().isEmpty)
+      FileSources.deleteRecursively(new java.io.File(out))
     FileSources.writeOnce(out) { _ =>
       val orders = spark.read.parquet(t(dir, "orders"))
       def writeGen(df: DataFrame, gen: Int, nParts: Int, sorted: Boolean): Unit = {
@@ -378,8 +397,8 @@ object Relational {
       java.nio.file.Files.write(marker, s"$stableOk,$gensOk".getBytes)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS")): Unit
     }
-    val Array(stableOk, gensOk) =
-      new String(java.nio.file.Files.readAllBytes(marker)).trim.split(",").map(_.toBoolean)
+    val (stableOk, gensOk) = parseMarker().getOrElse(
+      sys.error(s"unreadable _LIQUID marker at $out after rebuild"))
     spark.read.parquet(s"$out/data")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_c"))
@@ -911,45 +930,51 @@ object Relational {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '${t(dir, "orders")}'")
-    // ANALYZE's NDV sketch obeys spark.sql.statistics.ndv.maxError as a
-    // RELATIVE STANDARD DEVIATION (default 0.05) — a 1σ parameter, not a
-    // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
-    // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
-    // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
-    val ndvKey = "spark.sql.statistics.ndv.maxError"
-    val ndvPrev = spark.conf.getOption(ndvKey)
-    spark.conf.set(ndvKey, "0.01")
-    try spark.sql(
-      s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
-    finally ndvPrev match {
-      case Some(v) => spark.conf.set(ndvKey, v)
-      case None    => spark.conf.unset(ndvKey)
-    }
-    // exact truths for the approximate-NDV band (one aggregate, the same
-    // anchor pattern as approxDistinct)
-    val truth = spark.table(s"$tbl")
-      .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
-      .collect()(0)
-    val exactNdv = Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2))
-    // n_rows is read back from the CATALOG's Statistics line ("N bytes,
-    // M rows"), not re-counted — the value the CBO consumes is the value
-    // under test (code-review r12: the first cut hashed a fresh count and
-    // never read the stored statistic)
-    val statLine = spark.sql(s"DESCRIBE EXTENDED $tbl")
-      .collect().collectFirst {
-        case r if r.getString(0) == "Statistics" => r.getString(1)
-      }.getOrElse(sys.error("ANALYZE left no Statistics entry in the catalog"))
-    val nRows = "(\\d+) rows".r.findFirstMatchIn(statLine)
-      .map(_.group(1).toLong)
-      .getOrElse(sys.error(s"no row count in catalog statistics: $statLine"))
-    val rows = cols.map { c =>
-      val kv = spark.sql(s"DESCRIBE EXTENDED $tbl $c")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      val ndv = kv("distinct_count").toLong
-      (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
-        math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
-    }
-    spark.sql(s"DROP TABLE $tbl")
+    // DROP rides a finally (code-review r13): the fixed-name scheme
+    // self-healed leaks via next run's DROP-then-CREATE; fingerprinted
+    // names never collide again, so any failure between CREATE and the
+    // read-back (ANALYZE error, missing Statistics line) must clean up
+    // here or the orphan accumulates in the shared metastore forever.
+    val rows = try {
+      // ANALYZE's NDV sketch obeys spark.sql.statistics.ndv.maxError as a
+      // RELATIVE STANDARD DEVIATION (default 0.05) — a 1σ parameter, not a
+      // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
+      // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
+      // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
+      val ndvKey = "spark.sql.statistics.ndv.maxError"
+      val ndvPrev = spark.conf.getOption(ndvKey)
+      spark.conf.set(ndvKey, "0.01")
+      try spark.sql(
+        s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+      finally ndvPrev match {
+        case Some(v) => spark.conf.set(ndvKey, v)
+        case None    => spark.conf.unset(ndvKey)
+      }
+      // exact truths for the approximate-NDV band (one aggregate, the same
+      // anchor pattern as approxDistinct)
+      val truth = spark.table(s"$tbl")
+        .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
+        .collect()(0)
+      val exactNdv = Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2))
+      // n_rows is read back from the CATALOG's Statistics line ("N bytes,
+      // M rows"), not re-counted — the value the CBO consumes is the value
+      // under test (code-review r12: the first cut hashed a fresh count and
+      // never read the stored statistic)
+      val statLine = spark.sql(s"DESCRIBE EXTENDED $tbl")
+        .collect().collectFirst {
+          case r if r.getString(0) == "Statistics" => r.getString(1)
+        }.getOrElse(sys.error("ANALYZE left no Statistics entry in the catalog"))
+      val nRows = "(\\d+) rows".r.findFirstMatchIn(statLine)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"no row count in catalog statistics: $statLine"))
+      cols.map { c =>
+        val kv = spark.sql(s"DESCRIBE EXTENDED $tbl $c")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val ndv = kv("distinct_count").toLong
+        (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
+          math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
     rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
   }
 
