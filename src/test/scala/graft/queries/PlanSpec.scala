@@ -811,4 +811,14 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q_user_journey's cap window rides the aggregate's exchange (exactly 1 shuffle)") {
+    // The r13 history cap added a row_number window BEFORE the per-user
+    // aggregate; both partition on user_id, so the window's sort must
+    // reuse the aggregate's hash exchange — a second Exchange would mean
+    // the cap doubled the query's shuffle cost.
+    val p = plan("q_user_journey")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("Window"), s"cap window missing:\n$p")
+  }
 }
