@@ -48,6 +48,23 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected the unbounded-table refusal, got: ${e.getMessage}")
   }
 
+  test("StencilSource: maxPoints beyond the Int-indexed cache fails at PLANNING") {
+    // ADVICE r12 #4: a too-large maxPoints used to abort only when the
+    // offset finally crossed 2^31 — hours into the stream, after the
+    // quadratic-replay slowdown. It must refuse in newScanBuilder.
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.StencilSource")
+        .option("dims", 2).option("maxHalvings", 7)
+        .option("maxPoints", Int.MaxValue.toLong + 1)
+        .load().limit(1).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    assert(msgs.contains("maxPoints must be <="),
+      s"expected the plan-time maxPoints refusal, got: ${msgs.take(300)}")
+  }
+
   test("StencilSource: the limit is pushed into the V2 scan and rows match the generator") {
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.format("graft.sources.StencilSource")
