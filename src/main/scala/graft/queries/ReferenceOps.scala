@@ -229,7 +229,14 @@ object ReferenceOps {
     * the same program holds: waves stay client-bounded while wave
     * CONCURRENCY (SparkClient's in-flight job queue) fills the cluster.
     */
-  private val SearchStreamConf = (2, 7, 100, (10.0, 15.0)) // dims, maxHalvings, perBatch, start
+  /** (dims, maxHalvings, pointsPerBatch, start point). dims and
+    * maxHalvings are additionally PINNED BY THE ORACLE's shape (it reuses
+    * [[stencilPrefix]]'s d=2/mh=7 golden VALUES and the x/y column pair) —
+    * changing them means regenerating that golden prefix, not just
+    * editing this tuple. The start point and perBatch flow from here into
+    * both the program and the oracle/cache key, so they ARE tunable.
+    */
+  private val SearchStreamConf = (2, 7, 100, (10.0, 15.0))
 
   private[queries] def runSearchStream(
       spark: SparkSession, out: String, maxPoints: Int): Unit = {
@@ -277,10 +284,12 @@ object ReferenceOps {
     } finally client.shutdown()
   }
 
-  val searchStream: QueryDef = QueryDef(
-    s"""SELECT idx, 10.0 + x AS x, 15.0 + y AS y,
-       |       (10.0 + x)*(10.0 + x) + (15.0 + y)*(15.0 + y) AS cost
-       |FROM (${stencilPrefix.oracle.get}) sp""".stripMargin) { (spark, dir) =>
+  val searchStream: QueryDef = QueryDef({
+    val (_, _, _, (cx, cy)) = SearchStreamConf
+    s"""SELECT idx, $cx + x AS x, $cy + y AS y,
+       |       ($cx + x)*($cx + x) + ($cy + y)*($cy + y) AS cost
+       |FROM (${stencilPrefix.oracle.get}) sp""".stripMargin
+  }) { (spark, dir) =>
     import graft.sources.FileSources
     // The result is dataset-independent (pure generator), but the cache
     // path still embeds the sf DIR like every cacheDir row (code-review

@@ -368,8 +368,14 @@ object Relational {
     // mtimes are gone), so clear the cache and let writeOnce rebuild
     // (code-review r13, the rangeLayout repair's sibling).
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")) &&
-        parseMarker().isEmpty)
+        parseMarker().isEmpty) {
       FileSources.deleteRecursively(new java.io.File(out))
+      // deleteRecursively ignores per-file failures (shared-/tmp permission
+      // edge): if _SUCCESS survived, writeOnce would skip the rebuild and
+      // the sys.error below would throw forever — fail HERE with the cause.
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")),
+        s"could not clear corrupt liquid-layout cache at $out; remove it by hand")
+    }
     FileSources.writeOnce(out) { _ =>
       val orders = spark.read.parquet(t(dir, "orders"))
       def writeGen(df: DataFrame, gen: Int, nParts: Int, sorted: Boolean): Unit = {
@@ -974,7 +980,12 @@ object Relational {
         (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
           math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
       }
-    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+    } finally {
+      // Try-wrapped (code-review r13 #2): if the metastore broke mid-ANALYZE,
+      // the DROP fails for the same reason — propagating ITS exception would
+      // mask the root-cause diagnostic the finally exists to clean up after.
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tbl")): Unit
+    }
     rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
   }
 
