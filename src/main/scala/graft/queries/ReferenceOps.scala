@@ -225,9 +225,15 @@ object ReferenceOps {
     * Scale shape: the per-batch `collect` is WAVE-sized by construction
     * (pointsPerBatch = the reference client's feed granularity — a
     * driver-side orchestration step, not a data-plane collect); the
-    * objective evaluation and the sink write are executor-side. At 100 TB
-    * the same program holds: waves stay client-bounded while wave
-    * CONCURRENCY (SparkClient's in-flight job queue) fills the cluster.
+    * objective evaluation and the sink write are executor-side. Stated
+    * honestly: `foreachBatch` SERIALIZES waves — one wave is in flight
+    * per micro-batch, so occupancy inside a wave comes from
+    * `pointsPerBatch` (its partitions fan out across executors), not
+    * from SparkClient's multi-wave queue; the batch path
+    * ([[searchEvals]]/q_search_e2e) is where concurrent-wave occupancy
+    * lives. That is the right trade HERE: the stream buys exactly-once
+    * restartable evaluation accounting, and a slow objective scales
+    * inside the wave by raising pointsPerBatch/evalPartitions.
     */
   /** (dims, maxHalvings, pointsPerBatch, start point). dims and
     * maxHalvings are additionally PINNED BY THE ORACLE's shape (it reuses
