@@ -289,7 +289,13 @@ object Bench {
     // warn loudly and rely on the /tmp record above.
     val root = java.nio.file.Paths.get(sys.props("user.dir"))
     if (java.nio.file.Files.exists(root.resolve("build.sbt")))
-      java.nio.file.Files.writeString(root.resolve(s"BENCH_full_$tag.json"), json): Unit
+      // Try-wrapped: a read-only checkout must not fail a finished
+      // minutes-long bench AFTER both JSON result lines already printed —
+      // warn and fall back to the /tmp record, like the wrong-cwd branch.
+      scala.util.Try(
+        java.nio.file.Files.writeString(root.resolve(s"BENCH_full_$tag.json"), json))
+        .failed.foreach(e => System.err.println(
+          s"[bench] sidecar write failed (${e.getMessage}); full record at /tmp/graft_bench_$tag.json"))
     else
       System.err.println(
         s"[bench] cwd $root is not the repo root; full record only at /tmp/graft_bench_$tag.json")

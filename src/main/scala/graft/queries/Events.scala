@@ -2344,10 +2344,12 @@ object Events {
     * NARRATED this budget ("a user too big for memory is a data-quality
     * problem upstream"); a 100 TB pipeline ships the cap + flag, because
     * one bot account with 10⁸ events is otherwise a single-key OOM
-    * (VERDICT r12 #2). The cap sits above the P99 honest-user history
-    * (86 events at every SF) and below nothing the generator produces by
-    * much (max 99 at sf0.1), so both branches are exercised by the gate
-    * itself, not only by the over-budget QueriesSpec case. The window
+    * (VERDICT r12 #2). The cap is deliberately set INSIDE the generator's
+    * per-user tail (P99 ≈ 86, max 88-99 across SFs) so the truncation
+    * branch is exercised by the gate itself at EVERY scale factor, not
+    * only by the over-budget QueriesSpec case — a production deployment
+    * sets the cap above its honest-user P99 instead; here the few
+    * truncated users are the harness's test surface. The window
     * sort rides the same user_id exchange the aggregate needs — no second
     * shuffle; what the cap costs is the map-side partial collect_list,
     * which was collapsing almost nothing (a user's events scatter across

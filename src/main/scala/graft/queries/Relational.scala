@@ -232,6 +232,23 @@ object Relational {
         "metric", "value")
   }
 
+  /** Per-file [min, max] spans of `key` under `path` are pairwise STRICTLY
+    * disjoint — the layout property [[rangeLayout]] and [[liquidLayout]]
+    * both prove once at write time (a files-count-sized driver frame:
+    * planner metadata, the zone-map rule). One implementation so a future
+    * span-logic fix (null keys, empty file sets) lands everywhere.
+    */
+  private def spansDisjoint(spark: SparkSession, path: String, key: String): Boolean = {
+    val spans = spark.read.parquet(path)
+      .groupBy(col("_metadata.file_name"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _                         => true
+    }
+  }
+
   /** Range-partitioned sorted layout — the 1-D sibling of the Z-order
     * pass and the way sorted tables are actually PRODUCED at scale:
     * `repartitionByRange` (sampled range boundaries, one exchange) +
@@ -264,14 +281,7 @@ object Relational {
     // invocation would re-scan the copy for an invariant that cannot
     // change (code-review r12).
     def proveDisjoint(): Boolean = {
-      val spans = spark.read.parquet(out)
-        .groupBy(col("_metadata.file_name").as("f"))
-        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
-        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val ok = spans.sliding(2).forall {
-        case Array((_, hi1), (lo2, _)) => hi1 < lo2
-        case _                         => true
-      }
+      val ok = spansDisjoint(spark, out, "o_orderkey")
       java.nio.file.Files.write(marker, ok.toString.getBytes)
       ok
     }
@@ -345,16 +355,8 @@ object Relational {
         .filter(f => f.getName.endsWith(".parquet"))
         .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
     }
-    def genDisjoint(gen: Int): Boolean = {
-      val spans = spark.read.parquet(s"$out/data/gen=$gen")
-        .groupBy(col("_metadata.file_name"))
-        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
-        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      spans.sliding(2).forall {
-        case Array((_, hi1), (lo2, _)) => hi1 < lo2
-        case _                         => true
-      }
-    }
+    def genDisjoint(gen: Int): Boolean =
+      spansDisjoint(spark, s"$out/data/gen=$gen", "o_orderkey")
     def parseMarker(): Option[(Boolean, Boolean)] =
       if (!java.nio.file.Files.exists(marker)) None
       else scala.util.Try {
@@ -398,6 +400,12 @@ object Relational {
       writeGen(spark.read.parquet(s"$out/data/gen=1").drop("gen"),
         gen = 2, nParts = 2, sorted = true)
       FileSources.deleteRecursively(new java.io.File(s"$out/data/gen=1"))
+      // The retirement MUST be verified (code-review r13 #3):
+      // deleteRecursively ignores per-file failures, and a surviving gen=1
+      // file would double-count the delta in every future read — with the
+      // marker and _SUCCESS still written, permanently. Fail before either.
+      require(!new java.io.File(s"$out/data/gen=1").exists(),
+        s"could not retire $out/data/gen=1; clear the dir by hand and re-run")
       val stableOk = fileState(0) == stableBefore && stableBefore.nonEmpty
       val gensOk = genDisjoint(0) && genDisjoint(2)
       java.nio.file.Files.write(marker, s"$stableOk,$gensOk".getBytes)
@@ -928,8 +936,7 @@ object Relational {
     // it only distorts a CONCURRENT ANALYZE in this same session, which
     // the per-dir naming already serializes per input.
     val tbl = {
-      val src = new java.io.File(t(dir, "orders"))
-      val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
+      val fp = graft.sources.FileSources.fingerprint(new java.io.File(t(dir, "orders")))
       s"$db.orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     }
     val cols = Seq("o_orderkey", "o_custkey")

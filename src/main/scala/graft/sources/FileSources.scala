@@ -24,10 +24,16 @@ object FileSources {
     * for any derived-dataset writer keyed on a source parquet — also used
     * by the streaming-dedup chunk preparation (graft.queries.Events).
     */
+  /** Source-file fingerprint shared by every cache/table-identity consumer
+    * (cacheDir here; the CBO table name in Relational): one formula, so a
+    * future scheme change (e.g. content hashing) updates every consumer.
+    */
+  private[graft] def fingerprint(src: java.io.File): String =
+    java.lang.Long.toHexString(src.length * 31 + src.lastModified)
+
   private[graft] def cacheDir(tag: String, dir: String, srcName: String): String = {
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val src = new java.io.File(s"$dir/$srcName")
-    val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
+    val fp = fingerprint(new java.io.File(s"$dir/$srcName"))
     s"/tmp/graft_$tag${sf}_$fp"
   }
 

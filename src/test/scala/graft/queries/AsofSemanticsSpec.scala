@@ -120,11 +120,15 @@ class AsofSemanticsSpec extends AnyFunSuite {
     // one — pin that precondition like the min(tus)>=0 canary.
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions.{col, count, lit}
-    val dup = Events.readEvents(spark, "/root/testdata/sf0.001")
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("tus")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    assert(dup == 0L,
-      s"$dup duplicate (user, purchase, tus) pairs — the ASOF oracle is now ambiguous")
+    // all three SFs — the gate runs at sf0.01/sf0.1 where ties are MORE
+    // likely (denser per-user timelines), not only at the toy scale
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dup = Events.readEvents(spark, s"/root/testdata/$sf")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tus")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      assert(dup == 0L,
+        s"$dup duplicate (user, purchase, tus) pairs at $sf — the ASOF oracle is now ambiguous")
+    }
   }
 }
