@@ -1294,6 +1294,83 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), min(col("k")).as("min_k"))
   }
 
+  /** WRITER-side VARIANT shredding ([[variantExtract]]'s storage sibling,
+    * VERDICT r12 #8): with `spark.sql.variant.writeShredding.enabled` +
+    * `inferShreddingSchema`, the parquet writer samples the variant
+    * values, infers a typed schema, and stores each inferred path as a
+    * REAL typed column (`typed_value`) beside the binary fallback — so a
+    * later `variant_get(v, '$.k')` reads a columnar BIGINT with
+    * statistics and pushdown instead of decoding binary variant per row
+    * (`pushVariantIntoScan` rewrites the access into a struct-field
+    * scan). At 100 TB that is the difference between JSON-shaped storage
+    * and a columnar table for every hot metadata path, without declaring
+    * the schema up front.
+    *
+    * The gate proves BOTH halves: the rollup reads back THROUGH the
+    * shredded file via typed access (row loss/corruption in the
+    * shred/unshred round-trip flips the hash against the original
+    * events oracle), and `shredded` asserts the parquet FOOTER of every
+    * data file physically carries a `typed_value` field — the writer-side
+    * stats a table service would collect, read as pure metadata. The
+    * read-back runs eagerly inside an `allowReadingShredded` conf scope
+    * and returns a literal frame (the runtime_filter discipline), so no
+    * session conf leaks past the row.
+    */
+  val variantShred: QueryDef = QueryDef(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, TRUE AS shredded
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) e
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("variantshred", dir, "events.parquet")
+    FileSources.writeOnce(out) { o =>
+      val confs = Seq(
+        "spark.sql.variant.writeShredding.enabled" -> "true",
+        "spark.sql.variant.inferShreddingSchema" -> "true")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try readEvents(spark, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    // writer-side proof, pure footer metadata: EVERY data file's physical
+    // schema must carry the shredding spec's typed_value field
+    val dataFiles = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    require(dataFiles.nonEmpty, s"no parquet data files under $out")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val shredded = dataFiles.forall { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), hadoopConf))
+      try reader.getFooter.getFileMetaData.getSchema.toString.contains("typed_value")
+      finally reader.close()
+    }
+    val rdKey = "spark.sql.variant.allowReadingShredded"
+    val rdPrev = spark.conf.getOption(rdKey)
+    spark.conf.set(rdKey, "true")
+    val rows = try {
+      spark.read.parquet(out)
+        .select(col("event_type"),
+          expr("cast(variant_get(v, '$.k', 'string') as bigint)").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally rdPrev match {
+      case Some(v) => spark.conf.set(rdKey, v)
+      case None    => spark.conf.unset(rdKey)
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "n", "sum_k").withColumn("shredded", lit(shredded))
+  }
+
   /** Stream-static broadcast enrichment: an unbounded event stream joined
     * to a bounded dimension (per-user history: event count + max value),
     * emitting each event tagged with its user's stats and whether it is
@@ -2745,6 +2822,7 @@ object Events {
     "q_approx_distinct" -> approxDistinct,
     "q_json_extract" -> jsonExtract,
     "q_variant_extract" -> variantExtract,
+    "q_variant_shred" -> variantShred,
     "q_stream_join" -> streamJoin,
     "q_stream_join_semi" -> streamJoinSemi,
     "q_stream_join_agg" -> streamJoinAgg,
