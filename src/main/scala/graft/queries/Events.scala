@@ -62,16 +62,9 @@ object Events {
     * by the STREAMING queries, whose execution completes inside the body,
     * so restoring cannot break anything downstream.
     */
-  private def withEventReadConfs[T](spark: SparkSession)(body: => T): T = {
-    val prev = Seq(NanosKey, NtzKey).map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(NanosKey, "true")
-    spark.conf.set(NtzKey, "false")
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  private def withEventReadConfs[T](spark: SparkSession)(body: => T): T =
+    Confs.withConfs(spark, NanosKey -> "true", NtzKey -> "false")(body)
+
 
   /** Schema-adaptive normalization of `ts` to the canonical `tus` column:
     * microseconds since epoch as BIGINT, == DuckDB `epoch_us(ts)` exactly.
@@ -704,16 +697,9 @@ object Events {
     * other row, so this wrapper keeps the requirement local to the query
     * that has it.
     */
-  private def withStateStoreProvider[T](spark: SparkSession, cls: String)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, cls)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  private def withStateStoreProvider[T](spark: SparkSession, cls: String)(body: => T): T =
+    Confs.withConfs(spark, "spark.sql.streaming.stateStore.providerClass" -> cls)(body)
+
 
   /** Cumulative per-user totals on Spark 4's `transformWithState` API —
     * the arbitrary-state StatefulProcessor surface (typed ValueState in a
@@ -1325,47 +1311,54 @@ object Events {
       |GROUP BY event_type""".stripMargin) { (spark, dir) =>
     import graft.sources.FileSources
     val out = FileSources.cacheDir("variantshred", dir, "events.parquet")
-    FileSources.writeOnce(out) { o =>
-      val confs = Seq(
+    def build(): Unit = FileSources.writeOnce(out) { o =>
+      Confs.withConfs(spark,
         "spark.sql.variant.writeShredding.enabled" -> "true",
-        "spark.sql.variant.inferShreddingSchema" -> "true")
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try readEvents(spark, dir)
-        .select(col("event_type"), parse_json(col("props")).as("v"))
-        .coalesce(2)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
-      finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
+        "spark.sql.variant.inferShreddingSchema" -> "true") {
+        readEvents(spark, dir)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .coalesce(2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(o)
       }
     }
     // writer-side proof, pure footer metadata: EVERY data file's physical
     // schema must carry the shredding spec's typed_value field
-    val dataFiles = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-    require(dataFiles.nonEmpty, s"no parquet data files under $out")
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    val shredded = dataFiles.forall { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), hadoopConf))
-      try reader.getFooter.getFileMetaData.getSchema.toString.contains("typed_value")
-      finally reader.close()
+    def footerShredded(): Boolean = {
+      val dataFiles = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      require(dataFiles.nonEmpty, s"no parquet data files under $out")
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      dataFiles.forall { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), hadoopConf))
+        try reader.getFooter.getFileMetaData.getSchema.toString.contains("typed_value")
+        finally reader.close()
+      }
     }
-    val rdKey = "spark.sql.variant.allowReadingShredded"
-    val rdPrev = spark.conf.getOption(rdKey)
-    spark.conf.set(rdKey, "true")
-    val rows = try {
+    build()
+    val shredded = footerShredded() || {
+      // self-heal a stale cache (code-review r13 #5): the fingerprint is
+      // conf-blind, so a dir written by a pre-shredding build has _SUCCESS
+      // but no typed_value and would fail the gate forever. Rebuild ONCE;
+      // if the fresh write still isn't shredded, that is a real regression
+      // and the hash gate should see it.
+      FileSources.deleteRecursively(new java.io.File(out))
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")),
+        s"could not clear stale variant-shred cache at $out; remove it by hand")
+      build()
+      footerShredded()
+    }
+    val rows = Confs.withConfs(spark, "spark.sql.variant.allowReadingShredded" -> "true") {
       spark.read.parquet(out)
         .select(col("event_type"),
           expr("cast(variant_get(v, '$.k', 'string') as bigint)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    } finally rdPrev match {
-      case Some(v) => spark.conf.set(rdKey, v)
-      case None    => spark.conf.unset(rdKey)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          // sum(k) is NULL for a group whose every $.k is missing/non-integral
+          // — surface the NULL like the oracle does, never NPE (review r13)
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
     }
     import spark.implicits._
     rows.toDF("event_type", "n", "sum_k").withColumn("shredded", lit(shredded))

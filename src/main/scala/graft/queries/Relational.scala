@@ -745,19 +745,11 @@ object Relational {
     * (a broadcast join needs no runtime filter). All confs restore on
     * exit — safe because every consumer executes INSIDE the scope.
     */
-  private[queries] def withRuntimeFilterConfs[T](spark: SparkSession)(body: => T): T = {
-    val confs = Map(
+  private[queries] def withRuntimeFilterConfs[T](spark: SparkSession)(body: => T): T =
+    Confs.withConfs(spark,
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
 
   /** The joined aggregate behind [[runtimeFilter]], shared with the
     * PlanSpec pin (which asserts `might_contain` on the EXECUTED plan —
@@ -954,14 +946,9 @@ object Relational {
       // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
       // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
       // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
-      val ndvKey = "spark.sql.statistics.ndv.maxError"
-      val ndvPrev = spark.conf.getOption(ndvKey)
-      spark.conf.set(ndvKey, "0.01")
-      try spark.sql(
-        s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
-      finally ndvPrev match {
-        case Some(v) => spark.conf.set(ndvKey, v)
-        case None    => spark.conf.unset(ndvKey)
+      Confs.withConfs(spark, "spark.sql.statistics.ndv.maxError" -> "0.01") {
+        spark.sql(
+          s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}"): Unit
       }
       // exact truths for the approximate-NDV band (one aggregate, the same
       // anchor pattern as approxDistinct)

@@ -477,6 +477,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("parseJson"), p) // parse_json prints as its static invoke
   }
 
+  test("q_variant_shred's read path consumes the SHREDDED typed column, not binary variant") {
+    // The footer check proves the WRITE half; this pins the READ half
+    // (code-review r13): under allowReadingShredded + pushVariantIntoScan
+    // the variant_get must be REWRITTEN INTO THE SCAN — the physical plan
+    // carries no variant_get at all and the ReadSchema requests only the
+    // pushed path as a plain typed struct field (observed:
+    // `ReadSchema: struct<v:struct<0:string>>`, projection `cast(v.0 as
+    // bigint)`), never the opaque binary variant column. A silent
+    // fallback to per-row binary decode keeps the hash green while
+    // voiding the columnar-access claim — this pin catches it.
+    SparkEntry.queries("q_variant_shred")(spark, sf).collect(): Unit // materialize cache
+    val out = graft.sources.FileSources.cacheDir("variantshred", sf, "events.parquet")
+    Confs.withConfs(spark,
+      "spark.sql.variant.allowReadingShredded" -> "true",
+      "spark.sql.variant.pushVariantIntoScan" -> "true") {
+      val df = spark.read.parquet(out)
+        .select(org.apache.spark.sql.functions
+          .expr("cast(variant_get(v, '$.k', 'string') as bigint)").as("k"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("variant_get"),
+        s"variant_get must be rewritten into the scan, not evaluated per row:\n$p")
+      assert(p.contains("ReadSchema: struct<v:struct<"),
+        s"scan must request only the pushed typed path:\n$p")
+      assert(!p.toLowerCase.contains("readschema: struct<v:variant"),
+        s"scan must not read the opaque binary variant:\n$p")
+    }
+  }
+
   test("q_zorder_prune scans only qualifying buckets (static partition pruning)") {
     val p = plan("q_zorder_prune")
     assert(p.contains("PartitionFilters") && p.contains("zbucket"),
