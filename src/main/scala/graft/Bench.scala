@@ -46,9 +46,11 @@ import scala.sys.process.{Process, ProcessLogger}
   * cost, because a 1-job pure-compute micro-query under-measures the
   * contention heavyweight queries feel superlinearly):
   *   - `bench_pins.json` (a committed resource) holds the last CLEAN run's
-  *     per-query medians. After each group, any query whose median exceeds
-  *     [[PinDistortionFactor]]× its pin is re-run in a fresh child JVM
-  *     (with its own bracketing calibration) and the lower median wins.
+  *     per-query medians. After each group, any query whose median trips
+  *     either distortion band — [[PinDistortionFactor]]× pin (+0.75 s
+  *     floor), or the heavier 2× pin AND +1.5 s band that closes the r13
+  *     boundary dead zone — is re-run in a fresh child JVM (with its own
+  *     bracketing calibration) and the lower median wins.
   *   - Queries STILL above the pin band after the re-run are listed in the
   *     output's `"suspect"` array — a loaded box now yields either clean
   *     numbers or visibly-flagged ones, never silent distortion.
@@ -104,6 +106,25 @@ object Bench {
     */
   private val PinDistortionFloorSec =
     sys.env.getOrElse("SPARK_GRAFT_PIN_FLOOR_SEC", "0.75").toDouble
+
+  /** Second, heavier band closing the dead zone AT the 3× boundary
+    * (VERDICT r13 #1: q_bpe_train measured 2.98× its 1.92 s pin — +3.78 s
+    * of load noise — and slipped 0.02× under the 3× factor, so it was
+    * neither re-run nor flagged). A multi-second absolute excursion is
+    * contention even when the ratio is modest, so a query is also
+    * distortion-suspect at >2× pin AND >1.5 s over pin. Small-row drift
+    * stays exempt under the higher floor (r13's q_cdc_apply 2.98×/+0.39 s
+    * and q_bucketed_join 2.44×/+0.29 s correctly pass both bands).
+    */
+  private val PinDistortionFactorHeavy =
+    sys.env.getOrElse("SPARK_GRAFT_PIN_FACTOR_HEAVY", "2.0").toDouble
+  private val PinDistortionFloorHeavySec =
+    sys.env.getOrElse("SPARK_GRAFT_PIN_FLOOR_HEAVY_SEC", "1.5").toDouble
+
+  /** Shared distortion predicate: either band trips the re-run/flag. */
+  private def distorted(v: Double, pin: Double): Boolean =
+    (v > PinDistortionFactor * pin && v - pin > PinDistortionFloorSec) ||
+      (v > PinDistortionFactorHeavy * pin && v - pin > PinDistortionFloorHeavySec)
 
   /** Best observed clean per-query medians at the given scale factor
     * (src/main/resources/bench_pins_<sfName>.json, e.g.
@@ -221,18 +242,17 @@ object Bench {
       // calibration micro-query can read clean while heavyweight queries
       // were distorted (the r6 dead zone), so any query beyond its pin
       // band is re-run in a fresh child JVM and the lower median wins.
-      val distorted = qnames.filter { n =>
+      val distortedQs = qnames.filter { n =>
         val v = best.results.getOrElse(n, -1.0)
-        v >= 0 && pins.get(n).exists(p =>
-          v > PinDistortionFactor * p && v - p > PinDistortionFloorSec)
+        v >= 0 && pins.get(n).exists(p => distorted(v, p))
       }
-      if (distorted.nonEmpty) {
+      if (distortedQs.nonEmpty) {
         System.err.println(
-          s"[bench] group '$gname': ${distorted.mkString(",")} above " +
-            s"$PinDistortionFactor x pinned clean medians; re-running those queries")
+          s"[bench] group '$gname': ${distortedQs.mkString(",")} outside the " +
+            "pin distortion bands; re-running those queries")
         reruns += 1
-        rerunPin ++= distorted
-        val again = runOnce(s"$gname-pinrerun", distorted)
+        rerunPin ++= distortedQs
+        val again = runOnce(s"$gname-pinrerun", distortedQs)
         val better = again.results.map { case (k, v) =>
           val prev = best.results.getOrElse(k, Double.MaxValue)
           k -> (if (v >= 0 && v < prev) v else prev)
@@ -248,8 +268,7 @@ object Bench {
     // number is reported but flagged — consumers must not trust it.
     val suspects = names.filter { n =>
       val v = merged.getOrElse(n, -1.0)
-      v >= 0 && pins.get(n).exists(p =>
-        v > PinDistortionFactor * p && v - p > PinDistortionFloorSec)
+      v >= 0 && pins.get(n).exists(p => distorted(v, p))
     }
 
     val qs = names

@@ -304,11 +304,16 @@ object ReferenceOps {
     // cross-JVM locking (interleaved offset logs, raced batch=N
     // partitions). The fingerprint also hashes every run parameter
     // (dims, maxHalvings, pointsPerBatch, n, start point), so editing any
-    // of them invalidates the cache instead of silently reusing it.
+    // of them invalidates the cache instead of silently reusing it — and,
+    // because the cached artifact is this row's own OUTPUT (not a copy of
+    // a source file), it additionally folds in the compiled library's
+    // [[FileSources.buildFingerprint]]: a behavior fix anywhere in graft
+    // (StencilSource, the objective, runSearchStream) mints a new key
+    // instead of serving stale pre-fix results to the gate (ADVICE r13 #1).
     val out = {
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val fp = s"$SearchStreamConf,$stencilN".hashCode.toLong & 0xffffffffL
-      s"/tmp/graft_searchstream${sf}_${java.lang.Long.toHexString(fp)}"
+      s"/tmp/graft_searchstream${sf}_${java.lang.Long.toHexString(fp)}b${FileSources.buildFingerprint}"
     }
     FileSources.writeOnce(out) { o =>
       runSearchStream(spark, o, stencilN)

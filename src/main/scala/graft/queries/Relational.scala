@@ -328,8 +328,9 @@ object Relational {
     * the rollup over the final table equals the canonical orders rollup
     * (no row lost or duplicated across the generation swap), `stable_ok`
     * asserts gen=0's files are BYTE-UNTOUCHED after the optimize (name,
-    * length, mtime captured before, compared after — rewriting the stable
-    * base is the failure mode that makes naive OPTIMIZE O(table)), and
+    * length, SHA-256 content hash captured before, compared after —
+    * rewriting the stable base is the failure mode that makes naive
+    * OPTIMIZE O(table)), and
     * `gens_ok` asserts every surviving generation is internally
     * span-disjoint (each generation prunes like [[rangeLayout]]; cross-gen
     * overlap is the accepted liquid trade until the next full rewrite).
@@ -349,11 +350,22 @@ object Relational {
     import graft.sources.FileSources
     val out = FileSources.cacheDir("liquidlayout", dir, "orders.parquet")
     val marker = java.nio.file.Paths.get(out, "_LIQUID")
-    def fileState(gen: Int): Map[String, (Long, Long)] = {
+    // Per-file CONTENT hash, not (length, mtime) (ADVICE r13 #4): mtime has
+    // filesystem granularity (1 s on some FSs), so a same-size rewrite
+    // landing inside the granularity window would falsely pass the
+    // byte-untouched assertion. The base is written immediately before the
+    // optimize here, exactly the window where coarse mtimes collide. Cost:
+    // one extra sequential read of the (deliberately small) stable base at
+    // write time only — the assertion is proven once and persisted.
+    def fileState(gen: Int): Map[String, (Long, String)] = {
       val d = new java.io.File(s"$out/data/gen=$gen")
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet"))
-        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.update(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> ((f.length(), md.digest().map(b => f"$b%02x").mkString))
+        }.toMap
     }
     def genDisjoint(gen: Int): Boolean =
       spansDisjoint(spark, s"$out/data/gen=$gen", "o_orderkey")
@@ -933,6 +945,28 @@ object Relational {
     }
     val cols = Seq("o_orderkey", "o_custkey")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // Best-effort reclaim of ORPHANED siblings (ADVICE r13 #3): the finally
+    // below only cleans up in-process — a JVM killed between CREATE and the
+    // finally leaves its fingerprinted table behind, and since fingerprinted
+    // names never collide, no future DROP-then-CREATE would ever reclaim it.
+    // Mirror writeOnce's stale-sibling rule: same dir prefix, DIFFERENT
+    // fingerprint suffix → stale by construction (either an orphan, or a
+    // concurrent run over a REGENERATED input whose own writeOnce semantics
+    // already accept stale-sibling eviction). Same-name tables are left to
+    // the DROP-then-CREATE below.
+    locally {
+      val prefix = s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}_"
+      val suffix = "[0-9a-f]+".r
+      scala.util.Try {
+        spark.sql(s"SHOW TABLES IN $db").collect().foreach { r =>
+          val name = r.getAs[String]("tableName")
+          if (name.startsWith(prefix) &&
+              suffix.matches(name.stripPrefix(prefix)) &&
+              s"$db.$name" != tbl)
+            scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $db.$name")): Unit
+        }
+      }: Unit
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '${t(dir, "orders")}'")
     // DROP rides a finally (code-review r13): the fixed-name scheme

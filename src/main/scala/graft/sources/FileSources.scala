@@ -31,6 +31,54 @@ object FileSources {
   private[graft] def fingerprint(src: java.io.File): String =
     java.lang.Long.toHexString(src.length * 31 + src.lastModified)
 
+  /** Fingerprint of the COMPILED LIBRARY itself (SHA-256 over every
+    * `.class` file under `graft/` at this code source, names + bytes,
+    * sorted): the
+    * cache-key component for rows whose cached artifact is their own
+    * OUTPUT rather than a transformed copy of a source file (ADVICE r13
+    * #1 — q_search_stream keyed only on constant run parameters, so a fix
+    * to StencilSource/the objective would keep serving stale pre-fix
+    * results to the gate until /tmp was cleared by hand). Any recompile
+    * that changes any graft class mints a new key; a manual bump constant
+    * would rot the first time someone forgets it. Directory and jar code
+    * sources both supported; an unreadable code source degrades to a
+    * per-JVM unique key (cache rebuilt every run — fail open toward
+    * correctness, not staleness).
+    */
+  private[graft] lazy val buildFingerprint: String =
+    try {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val loc = classOf[StencilSource]
+        .getProtectionDomain.getCodeSource.getLocation.toURI
+      val root = java.nio.file.Paths.get(loc)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      if (java.nio.file.Files.isDirectory(root)) {
+        val base = root.resolve("graft")
+        val stream = java.nio.file.Files.walk(base)
+        try stream.iterator().forEachRemaining { p =>
+            if (p.toString.endsWith(".class"))
+              entries += ((root.relativize(p).toString, java.nio.file.Files.readAllBytes(p)))
+          }
+        finally stream.close()
+      } else {
+        val zf = new java.util.zip.ZipFile(root.toFile)
+        try {
+          val en = zf.entries()
+          while (en.hasMoreElements) {
+            val e = en.nextElement()
+            if (e.getName.startsWith("graft/") && e.getName.endsWith(".class"))
+              entries += ((e.getName, zf.getInputStream(e).readAllBytes()))
+          }
+        } finally zf.close()
+      }
+      entries.sortBy(_._1).foreach { case (n, b) =>
+        md.update(n.getBytes(java.nio.charset.StandardCharsets.UTF_8)); md.update(b)
+      }
+      md.digest().take(8).map(b => f"$b%02x").mkString
+    } catch { case scala.util.control.NonFatal(_) =>
+      s"nohash${java.lang.Long.toHexString(System.nanoTime())}"
+    }
+
   private[graft] def cacheDir(tag: String, dir: String, srcName: String): String = {
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = fingerprint(new java.io.File(s"$dir/$srcName"))

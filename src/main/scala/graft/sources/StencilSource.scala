@@ -108,9 +108,6 @@ object StencilSource {
     // The batch path keeps the mandatory-limit contract: an unbounded scan
     // refuses at physical planning (same observable behavior as the old
     // build()-time refusal — count() fails loudly before generating).
-    // The STREAMING path legitimately has no limit: unboundedness is the
-    // normal condition of a stream, and termination belongs to the trigger
-    // (or the optional maxPoints cap), exactly as with Spark's rate source.
     override def toBatch: Batch = {
       require(limit >= 0,
         "the stencil table is UNBOUNDED (the reference's lazy BFS generates " +
@@ -118,8 +115,23 @@ object StencilSource {
           "the scan can push it down")
       this
     }
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    // The STREAMING path requires an explicit maxPoints cap, refused at
+    // PLANNING otherwise (ADVICE r13 #2): the r12 plan-time guard exempted
+    // the unset sentinel, so an uncapped stream still died only at the
+    // mid-stream `end <= Int.MaxValue` check — after ~2^31 points of
+    // quadratic-replay slowdown, the exact late failure the guard was built
+    // to close. Unboundedness is not actually on offer here (the prefix
+    // cache is Int-indexed by design, SURVEY §4), so an "unbounded" stream
+    // is a promise the source cannot keep; callers wanting the practical
+    // maximum say maxPoints = Int.MaxValue explicitly.
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      require(maxPoints != Long.MaxValue,
+        "streaming reads of the stencil table require an explicit maxPoints " +
+          s"(<= ${Int.MaxValue}): the Int-indexed prefix cache cannot serve " +
+          "an unbounded stream, and without the cap it would fail only after " +
+          "~2^31 points instead of here at planning")
       new StencilMicroBatch(dims, maxHalvings, perBatch, maxPoints)
+    }
     override def description(): String =
       s"graft stencil prefix: dims=$dims maxHalvings=$maxHalvings limit=$limit"
     override def planInputPartitions(): Array[InputPartition] =

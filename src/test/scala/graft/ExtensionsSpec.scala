@@ -65,6 +65,30 @@ class ExtensionsSpec extends AnyFunSuite {
       s"expected the plan-time maxPoints refusal, got: ${msgs.take(300)}")
   }
 
+  test("StencilSource streaming: an uncapped stream is refused at planning") {
+    // ADVICE r13 #2: the r12 guard exempted the unset-maxPoints sentinel,
+    // so an unbounded STREAM still failed only at the mid-stream
+    // `end <= Int.MaxValue` check after ~2^31 points. Streaming now
+    // requires an explicit cap, refused when the query starts.
+    spark.sparkContext.setLogLevel("ERROR")
+    val chk = java.nio.file.Files.createTempDirectory("stencil_uncapped").toString
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft.sources.StencilSource")
+        .option("dims", 2).option("maxHalvings", 7)
+        .option("pointsPerBatch", 100) // maxPoints deliberately unset
+        .load()
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$chk/chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    assert(msgs.contains("require an explicit maxPoints"),
+      s"expected the uncapped-stream refusal, got: ${msgs.take(300)}")
+  }
+
   test("StencilSource: the limit is pushed into the V2 scan and rows match the generator") {
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.format("graft.sources.StencilSource")
