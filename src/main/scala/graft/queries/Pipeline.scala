@@ -906,19 +906,21 @@ object Pipeline {
     * single-partition window over #partitions rows — bounded by cluster
     * width, not data.
     */
-  val globalIndex: QueryDef = QueryDef(
-    """SELECT doc_id,
-      |       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
-      |         AS global_id
-      |FROM documents""".stripMargin) { (spark, dir) =>
+  /** The two-phase global rank as a reusable step (the [[globalIndex]]
+    * plan, extracted in r14 for the sharding rows): adds a 0-based `rk`
+    * column in `sort` order to `df`. Precondition: `df` has no columns
+    * named pid/mid/rk. Persisted so the offset scan and the final
+    * projection see one partition assignment (both `spark_partition_id`
+    * and the id generator are non-deterministic expressions).
+    */
+  private def globalRank(df: DataFrame, nPart: Int,
+      sort: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    val ranged = spark.read.parquet(t(dir, "documents"))
-      .select(col("doc_id"), col("lang"))
-      .repartitionByRange(nPart, col("lang"), col("doc_id"))
-      .sortWithinPartitions(col("lang"), col("doc_id"))
-      .select(col("doc_id"), spark_partition_id().as("pid"),
-        monotonically_increasing_id().as("mid"))
+    val ranged = df
+      .repartitionByRange(nPart, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("mid", monotonically_increasing_id())
       .persist()
     val offW = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -928,8 +930,116 @@ object Pipeline {
       .select(col("pid"), col("base"), col("offset"))
     ranged
       .join(broadcast(offsets), Seq("pid"))
-      .select(col("doc_id"),
-        (col("offset") + (col("mid") - col("base"))).as("global_id"))
+      .withColumn("rk", col("offset") + (col("mid") - col("base")))
+      .drop("pid", "mid", "base", "offset")
+  }
+
+  val globalIndex: QueryDef = QueryDef(
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+      |         AS global_id
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    globalRank(
+      spark.read.parquet(t(dir, "documents")).select(col("doc_id"), col("lang")),
+      nPart, col("lang"), col("doc_id"))
+      .select(col("doc_id"), col("rk").as("global_id"))
+  }
+
+  /** Shard count for [[shardBalance]]; micro-batch size for
+    * [[epochShuffle]]. Hoisted so program, oracle, and docs state one
+    * value (the r13 cache-key rule).
+    */
+  private val NShards = 8
+  private val EpochBatch = 256
+
+  /** Size-balanced shard assignment — the "write N equal shards" step
+    * before a training run: rank documents by descending token count
+    * (ties by doc_id), stripe rank % N. Striping a size-sorted order is
+    * the distributed stand-in for greedy LPT bin-packing: each stripe
+    * pass hands every shard exactly one document of near-equal size, so
+    * shard totals differ by at most one stripe's spread, without LPT's
+    * sequential one-bin-at-a-time loop (which cannot be parallelized —
+    * it reads the running minimum after every placement). The gate emits
+    * per-shard doc/token totals PLUS the spread in basis points
+    * ((max-min)*10000 div min over shard token sums), so balance itself
+    * is hash-checked, not narrated.
+    *
+    * Scale shape: one data-sized range exchange for the two-phase rank
+    * ([[globalRank]] — never a single-partition window), one map-side-
+    * combinable agg into N rows, and a broadcast of the 2-value spread
+    * frame. Token counting rides the scan.
+    */
+  val shardBalance: QueryDef = QueryDef(
+    s"""WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |            FROM documents),
+       |r AS (SELECT doc_id, tok, row_number() OVER (ORDER BY tok DESC, doc_id) - 1 AS rk
+       |      FROM tk),
+       |s AS (SELECT CAST(rk % $NShards AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(tok) AS BIGINT) AS tokens
+       |      FROM r GROUP BY 1),
+       |g AS (SELECT max(tokens) AS mx, min(tokens) AS mn FROM s)
+       |SELECT shard, n_docs, tokens,
+       |       CAST((mx - mn) * 10000 // mn AS BIGINT) AS spread_bp
+       |FROM s, g""".stripMargin) { (spark, dir) =>
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    val shards = globalRank(toks, nPart, col("tok").desc, col("doc_id"))
+      .groupBy((col("rk") % NShards).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    shards
+      .crossJoin(broadcast(shards.agg(max("tokens").as("mx"), min("tokens").as("mn"))))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr("(mx - mn) * 10000 div mn").as("spread_bp"))
+  }
+
+  /** Deterministic training-epoch shuffle — the data-order layer of a
+    * training loop: each epoch re-permutes the corpus by a seeded hash
+    * (`poly_hash('ep<epoch>:<doc_id>')` — restartable from any step, no
+    * stored permutation), then cuts the order into fixed-size
+    * micro-batches of $EpochBatch. The gate checks per (epoch, batch):
+    * doc count, token sum, and a position-weighted checksum
+    * `sum((pos_in_batch+1) * doc_id)` — the checksum pins the PERMUTATION
+    * itself (any swap inside a batch changes it), so "epochs see the same
+    * data in different orders" is hash-verified: same multiset per epoch,
+    * different perm_sums. DuckDB replays the identical hash fold
+    * ([[ghashSql]]) so collisions agree too.
+    *
+    * Scale shape: per epoch, one data-sized range exchange on the hash
+    * key ([[globalRank]]) and one map-side-combinable rollup into
+    * corpus/$EpochBatch rows; epochs are independent (a training job
+    * materializes one at a time — here both, to gate cross-epoch
+    * disjointness of order).
+    */
+  val epochShuffle: QueryDef = QueryDef(
+    s"""WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |            FROM documents),
+       |e AS (SELECT epoch, doc_id, tok,
+       |             ${ghashSql("'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS key
+       |      FROM tk, (VALUES (1), (2)) ep(epoch)),
+       |r AS (SELECT epoch, doc_id, tok,
+       |             row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1 AS rk
+       |      FROM e)
+       |SELECT CAST(epoch AS INT) AS epoch, CAST(rk // $EpochBatch AS INT) AS batch,
+       |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+       |       CAST(sum((rk % $EpochBatch + 1) * doc_id) AS BIGINT) AS perm_sum
+       |FROM r GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    graft.functions.PolyHash.register(spark)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val toks = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    Seq(1, 2).map { ep =>
+      val keyed = toks
+        .withColumn("epoch", lit(ep))
+        .withColumn("key",
+          expr("poly_hash(concat('ep', CAST(epoch AS STRING), ':', CAST(doc_id AS STRING)))"))
+      globalRank(keyed, nPart, col("key"), col("doc_id"))
+        .groupBy(col("epoch").cast("int").as("epoch"),
+          expr(s"CAST(rk div $EpochBatch AS INT)").as("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+          sum((col("rk") % EpochBatch + 1) * col("doc_id")).as("perm_sum"))
+    }.reduce(_ unionByName _)
   }
 
   /** Per-document n-gram novelty — for each document, how many of its
@@ -1387,6 +1497,8 @@ object Pipeline {
     "q_dup_spans" -> dupSpans,
     "q_dup_spans_fine" -> dupSpansFine,
     "q_global_index" -> globalIndex,
+    "q_shard_balance" -> shardBalance,
+    "q_epoch_shuffle" -> epochShuffle,
     "q_gram_novelty" -> gramNovelty,
     "q_scrub_spans" -> scrubSpans,
     "q_split_assign" -> splitAssign,
