@@ -2782,7 +2782,64 @@ object Events {
     spark.table("graft_stream_chained")
   }
 
+  /** Two independent event streams with DIFFERENT watermark delays,
+    * unioned into one stateful windowed aggregate — the multi-source
+    * ingestion shape (e.g. a low-latency click feed beside a batchy view
+    * feed) where Spark's multiple-watermark policy decides state
+    * eviction. The default policy is MIN: the union's global watermark is
+    * the SLOWEST branch's (here the view feed's 30-minute delay, vs 10
+    * for clicks), so no window's state is finalized until every source
+    * has passed it — the only safe choice for exactly-once aggregates
+    * over unequal feeds, and the thing this row pins: the oracle withholds
+    * windows past `min(max_click_ms - 10min, max_view_ms - 30min)`
+    * (ms-floored, the engine's watermark resolution), and the hash only
+    * matches if the engine evicts on the min too.
+    *
+    * Scale shape: two file-source scans (each pruned to its type at the
+    * scan), one shuffle into the (window, type)-keyed state store; state
+    * is per-(window, type), bounded by window count × type count, and the
+    * min policy's extra retention is bounded by the delay GAP (20 min of
+    * extra windows), not by data.
+    */
+  val streamUnion: QueryDef = QueryDef(
+    s"""WITH f AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events
+       |           WHERE event_type IN ('click', 'view')),
+       |wm AS (SELECT least(
+       |  (SELECT (max(tus) // 1000) * 1000 - 600000000 FROM f WHERE event_type = 'click'),
+       |  (SELECT (max(tus) // 1000) * 1000 - 1800000000 FROM f WHERE event_type = 'view')) AS w),
+       |b AS (SELECT (tus // 900000000) * 900000000 AS w_start_us, event_type,
+       |             CAST(count(*) AS BIGINT) AS n, $fixedSumSql AS sum_value
+       |      FROM f GROUP BY 1, 2)
+       |SELECT w_start_us, event_type, n, sum_value
+       |FROM b, wm WHERE b.w_start_us + 900000000 <= wm.w""".stripMargin) { (spark, dir) =>
+    withEventReadConfs(spark) {
+      withStreamPartitions(spark, 4) {
+        def branch(tpe: String, delay: String): DataFrame =
+          eventsStream(spark, dir)
+            .filter(col("event_type") === tpe)
+            .select(timestamp_micros(col("tus")).as("tts"), col("event_type"), col("value"))
+            .withWatermark("tts", delay)
+        val unioned = branch("click", "10 minutes")
+          .unionByName(branch("view", "30 minutes"))
+          .groupBy(window(col("tts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), fixedSum(col("value")).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("w_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = unioned.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("graft_stream_union")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+    }
+    spark.table("graft_stream_union")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_stream_union" -> streamUnion,
     "q_state_reader" -> stateReader,
     "q_stream_chained" -> streamChained,
     "q_max_concurrency" -> maxConcurrency,

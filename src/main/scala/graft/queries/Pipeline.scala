@@ -409,7 +409,7 @@ object Pipeline {
     * oracle-side gram mining happens in the same hash space, collisions
     * included.
     */
-  private def ghashSql(gram: String): String =
+  private[queries] def ghashSql(gram: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($gram, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.P})""".stripMargin

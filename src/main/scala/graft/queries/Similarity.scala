@@ -813,7 +813,110 @@ object Similarity {
     }
   }
 
+  /** [[ragRetrieve]] knobs, hoisted so program + oracle + docs state one
+    * value each: query stride (every 97th vector is a query), the raw
+    * retrieval depth, and the context token budget.
+    */
+  private val RagStride = 97
+  private val RagTopK = 8
+  private val RagBudget = 512
+
+  /** RAG context assembly — the retrieval pipeline in front of every
+    * retrieval-augmented generation call, composed end-to-end from the
+    * engine's own stages: (1) RETRIEVE the raw top-[[RagTopK]] corpus
+    * neighbors per query vector by exact cosine (queries = every
+    * [[RagStride]]th vector, broadcast against the corpus — the
+    * brute-force baseline; at warehouse scale stage 1 swaps in the IVF
+    * probe of [[AnnIvf]] unchanged, same contract: (query_id, doc_id,
+    * cosine)); (2) DEDUP the retrieved set per query by exact content
+    * fingerprint (`poly_hash(text)` via the doc_id = vec_id alignment),
+    * keeping each duplicate group's best-scored doc — retrieved context
+    * that repeats itself wastes the downstream model's window; (3) BUDGET:
+    * admit survivors in score order while the running whitespace-token
+    * total stays within [[RagBudget]], then re-rank the admitted context.
+    * Every ordering ties-breaks on neighbor id over the ROUNDED cosine, so
+    * both engines cut identically even where raw doubles differ in the
+    * last ulp (the annTopk discipline).
+    *
+    * Scale shape: queries broadcast (stride keeps them a sliver of the
+    * corpus); one corpus scan for stage 1; stages 2-3 are windows
+    * PARTITIONED BY query_id over ≤ [[RagTopK]] rows each — never a
+    * global window; the documents join brings fingerprint + token count
+    * for only the retrieved ids (a semi-join-sized probe, not a corpus
+    * scan, at 1000-executor scale a broadcast of the retrieved id set).
+    */
+  val ragRetrieve: QueryDef = QueryDef(
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         list_dot_product(embedding, embedding) AS norm2
+       |  FROM embeddings),
+       |hits AS (
+       |  SELECT query_id, doc_id, cosine FROM (
+       |    SELECT query_id, doc_id, cosine,
+       |           row_number() OVER (
+       |             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rr
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |             round(list_dot_product(q.embedding, c.embedding)
+       |                   / sqrt(q.norm2 * c.norm2), 4) AS cosine
+       |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id % $RagStride = 0) s) r
+       |  WHERE rr <= $RagTopK),
+       |enriched AS (
+       |  SELECT h.query_id, h.doc_id, h.cosine,
+       |         ${Pipeline.ghashSql("d.text")} AS fp,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+       |  FROM hits h JOIN documents d ON d.doc_id = h.doc_id),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id, fp ORDER BY cosine DESC, doc_id) AS dd
+       |    FROM enriched) x WHERE dd = 1),
+       |budgeted AS (
+       |  SELECT query_id, doc_id, cosine, tok,
+       |         CAST(sum(tok) OVER (
+       |           PARTITION BY query_id ORDER BY cosine DESC, doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM deduped)
+       |SELECT query_id, CAST(row_number() OVER (
+       |         PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank,
+       |       doc_id, cosine, tok, cum_tok
+       |FROM budgeted WHERE cum_tok <= $RagBudget""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
+    graft.functions.PolyHash.register(spark)
+    val e = spark.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), dot("embedding", "embedding").as("norm2"))
+    val q = e.filter(col("vec_id") % RagStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("norm2").as("nq"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("ec"),
+      col("norm2").as("nc"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val hits = broadcast(q).join(c, col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(dot("eq", "ec") / sqrt(col("nq") * col("nc")), 4).as("cosine"))
+      .withColumn("rr", row_number().over(byScore)).filter(col("rr") <= RagTopK)
+      .drop("rr")
+    val docs = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), expr("poly_hash(text)").as("fp"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val deduped = hits.join(docs, Seq("doc_id"))
+      .withColumn("dd", row_number().over(
+        Window.partitionBy(col("query_id"), col("fp"))
+          .orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("dd") === 1).drop("dd", "fp")
+    deduped
+      .withColumn("cum_tok",
+        sum(col("tok")).over(byScore.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= RagBudget)
+      .withColumn("rank", row_number().over(byScore).cast("int"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("cosine"),
+        col("tok"), col("cum_tok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_rag_retrieve" -> ragRetrieve,
     "q_embed_covariance" -> embedCovariance,
     "q_array_ops" -> arrayOps,
     "q_dim_stats" -> dimStats,
