@@ -850,4 +850,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
     assert(p.contains("Window"), s"cap window missing:\n$p")
   }
+
+  test("q_shard_balance ranks via the range exchange, never a global window") {
+    val p = plan("q_shard_balance")
+    // inherits the globalRank shape: rangepartitioning moves the corpus
+    // once; ranks come from the monotonic id, not a row_number window
+    // (an empty-frame window would collapse the corpus to one task)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("row_number()"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_rag_retrieve broadcasts the query sliver; corpus scanned in place") {
+    val p = plan("q_rag_retrieve")
+    // the non-equi (doc_id <> query_id) scoring join must be a broadcast
+    // nested-loop with the STRIDED QUERY SET as the broadcast side — the
+    // corpus side never shuffles for scoring
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // per-query windows only — a global (unpartitioned) window would
+    // plan an Exchange SinglePartition and collapse scoring to one task
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

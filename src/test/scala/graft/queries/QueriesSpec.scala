@@ -1248,4 +1248,67 @@ class QueriesSpec extends AnyFunSuite {
       "path must be the FIRST cap events under the total order")
     assert(rows(2L) == ((3L, "a>b>c", false)), "small user must be untouched")
   }
+
+  test("q_shard_balance partitions the corpus into near-equal token shards") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.queries("q_shard_balance")(spark, sf)
+      .collect().map(r => (r.getInt(r.fieldIndex("shard")),
+        r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("tokens")),
+        r.getLong(r.fieldIndex("spread_bp"))))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._1).sorted.toSeq == (0 until 8), "one row per shard")
+    assert(rows.map(_._2).sum == nDocs, "shards must partition the corpus")
+    // striping a size-sorted order: every shard gets floor/ceil(n/8) docs
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, rows.mkString(","))
+    // the balance claim itself: spread within 10% of the smallest shard
+    // (sf0.001 = 500 docs, ~62/shard; striping keeps this far tighter
+    // than random assignment)
+    assert(rows.head._4 == (rows.map(_._3).max - rows.map(_._3).min) * 10000 /
+      rows.map(_._3).min, "spread_bp must restate the shard totals")
+    assert(rows.head._4 < 1000, s"token spread too wide: ${rows.head._4} bp")
+  }
+
+  test("q_epoch_shuffle: same multiset per epoch, different permutations") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+      .collect().map(r => (r.getInt(r.fieldIndex("epoch")),
+        r.getInt(r.fieldIndex("batch")), r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("tokens")), r.getLong(r.fieldIndex("perm_sum"))))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2))
+    // each epoch covers the whole corpus with the same token total...
+    assert(byEpoch(1).map(_._3).sum == byEpoch(2).map(_._3).sum)
+    assert(byEpoch(1).map(_._4).sum == byEpoch(2).map(_._4).sum)
+    // ...every batch except the tail ragged one is exactly EpochBatch...
+    for ((e, rs) <- byEpoch) {
+      val full = rs.sortBy(_._2).init
+      assert(full.forall(_._3 == 256L), s"epoch $e has a short non-tail batch")
+    }
+    // ...and the position-weighted checksums prove the ORDERS differ
+    val sums1 = byEpoch(1).sortBy(_._2).map(_._5).toSeq
+    val sums2 = byEpoch(2).sortBy(_._2).map(_._5).toSeq
+    assert(sums1 != sums2, "two epochs produced the identical permutation")
+  }
+
+  test("q_rag_retrieve: budget respected, ranks contiguous, context deduplicated") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.queries("q_rag_retrieve")(spark, sf)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("cum_tok"))))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= 512L), "context budget exceeded")
+    for ((q, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not contiguous: ${rs.sortBy(_._2).mkString(",")}")
+      // no query retrieves itself, and no two context docs share a text
+      assert(!rs.exists(_._3 == q), s"query $q retrieved itself")
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id")
+          .isin(rs.map(_._3).toSeq: _*))
+        .collect().map(_.getString(1))
+      assert(texts.distinct.length == texts.length,
+        s"query $q context contains duplicate documents")
+    }
+  }
 }
