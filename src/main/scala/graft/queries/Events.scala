@@ -2838,7 +2838,80 @@ object Events {
     spark.table("graft_stream_union")
   }
 
+  /** Feed pairs compared by [[ksDrift]] (name, side A, side B). */
+  private val KsPairs = Seq(
+    ("click_vs_error", "click", "error"),
+    ("click_vs_view", "click", "view"),
+    ("purchase_vs_signup", "purchase", "signup"))
+
+  /** Two-sample Kolmogorov-Smirnov drift between event feeds — the
+    * distribution-shift monitor a training pipeline runs before admitting
+    * a new data source (same `value` semantics, different generator →
+    * how far apart are the CDFs?). Exact integer formulation: at every
+    * support point, `D_num = max |cum_a·n_b − cum_b·n_a|` over the
+    * cross-multiplied cumulative counts, released as the numerator plus
+    * `ks_ppm = D_num·10^6 div (n_a·n_b)` — no floating-point division
+    * ever reaches the gate. Ties are safe by construction: counts are
+    * aggregated PER SUPPORT POINT before the cumulative sum, so the
+    * statistic is evaluated after all ties at a value, whatever order
+    * they arrived in.
+    *
+    * Scale shape: the support is QUANTIZED to the cents grid
+    * (`floor(value·100)` — exact in IEEE doubles on both engines), the
+    * standard production narrowing: per-pair cumulative windows then run
+    * over at most grid-size rows (bounded by value range × 100, not by
+    * event count), after one map-side-combinable (pair, bucket) rollup.
+    * The unquantized statistic would instead demand a per-pair window
+    * over every distinct observed double. Both windows share the single
+    * pair-keyed exchange.
+    */
+  val ksDrift: QueryDef = QueryDef(
+    s"""WITH p AS (SELECT * FROM (VALUES ${KsPairs.map { case (n, a, b) =>
+            s"('$n', '$a', '$b')" }.mkString(", ")}) v(pair, ta, tb)),
+       |f AS (SELECT p.pair, CAST(floor(e.value * 100) AS BIGINT) AS bucket,
+       |             CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS ia,
+       |             CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS ib
+       |      FROM events e JOIN p ON e.event_type IN (p.ta, p.tb)),
+       |g AS (SELECT pair, bucket, CAST(sum(ia) AS BIGINT) AS a, CAST(sum(ib) AS BIGINT) AS b
+       |      FROM f GROUP BY 1, 2),
+       |c AS (SELECT pair,
+       |             sum(a) OVER (PARTITION BY pair ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+       |             sum(b) OVER (PARTITION BY pair ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb,
+       |             sum(a) OVER (PARTITION BY pair) AS na,
+       |             sum(b) OVER (PARTITION BY pair) AS nb
+       |      FROM g),
+       |d AS (SELECT pair, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |             CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
+       |      FROM c GROUP BY 1)
+       |SELECT pair, n_a, n_b, d_num,
+       |       CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+       |FROM d""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairsDf = KsPairs.toDF("pair", "ta", "tb")
+    val f = readEvents(spark, dir).select(col("event_type"), col("value"))
+      .join(broadcast(pairsDf),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .select(col("pair"), floor(col("value") * 100).cast("long").as("bucket"),
+        when(col("event_type") === col("ta"), 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === col("tb"), 1L).otherwise(0L).as("ib"))
+    val g = f.groupBy(col("pair"), col("bucket"))
+      .agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+    val byPair = Window.partitionBy(col("pair"))
+    val cum = byPair.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("ca", sum(col("a")).over(cum))
+      .withColumn("cb", sum(col("b")).over(cum))
+      .withColumn("na", sum(col("a")).over(byPair))
+      .withColumn("nb", sum(col("b")).over(byPair))
+      .groupBy(col("pair"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
+      .withColumn("ks_ppm", expr("d_num * 1000000 div (n_a * n_b)"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_ks_drift" -> ksDrift,
     "q_stream_union" -> streamUnion,
     "q_state_reader" -> stateReader,
     "q_stream_chained" -> streamChained,
