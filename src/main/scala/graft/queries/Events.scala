@@ -2800,13 +2800,22 @@ object Events {
     * is per-(window, type), bounded by window count × type count, and the
     * min policy's extra retention is bounded by the delay GAP (20 min of
     * extra windows), not by data.
+    *
+    * The oracle's watermark is NULL-guarded (the streamJoinOuter
+    * discipline, ADVICE r8): DuckDB `least()` IGNORES NULLs, so with an
+    * empty branch a bare least() would compute a live watermark from the
+    * surviving feed and emit its windows — while the engine's min policy
+    * keeps the empty branch's watermark unset and emits NOTHING. The
+    * CASE collapses the watermark to NULL, which empties the oracle too.
     */
   val streamUnion: QueryDef = QueryDef(
     s"""WITH f AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events
        |           WHERE event_type IN ('click', 'view')),
-       |wm AS (SELECT least(
-       |  (SELECT (max(tus) // 1000) * 1000 - 600000000 FROM f WHERE event_type = 'click'),
-       |  (SELECT (max(tus) // 1000) * 1000 - 1800000000 FROM f WHERE event_type = 'view')) AS w),
+       |wm AS (SELECT CASE WHEN ca IS NULL OR cv IS NULL THEN NULL
+       |              ELSE least(ca, cv) END AS w
+       |       FROM (SELECT
+       |  (SELECT (max(tus) // 1000) * 1000 - 600000000 FROM f WHERE event_type = 'click') AS ca,
+       |  (SELECT (max(tus) // 1000) * 1000 - 1800000000 FROM f WHERE event_type = 'view') AS cv) m),
        |b AS (SELECT (tus // 900000000) * 900000000 AS w_start_us, event_type,
        |             CAST(count(*) AS BIGINT) AS n, $fixedSumSql AS sum_value
        |      FROM f GROUP BY 1, 2)
@@ -2884,7 +2893,8 @@ object Events {
        |             CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
        |      FROM c GROUP BY 1)
        |SELECT pair, n_a, n_b, d_num,
-       |       CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+       |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |            ELSE d_num * 1000000 // (n_a * n_b) END AS BIGINT) AS ks_ppm
        |FROM d""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2907,7 +2917,12 @@ object Events {
       .groupBy(col("pair"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
-      .withColumn("ks_ppm", expr("d_num * 1000000 div (n_a * n_b)"))
+      // Zero-guarded on BOTH sides (code-review r14): a feed with zero
+      // rows makes n_a*n_b = 0, where the engines disagree — DuckDB `//`
+      // yields NULL, Spark's ANSI `div` throws DIVIDE_BY_ZERO. The guard
+      // makes both emit NULL for a one-sided pair (D is undefined there).
+      .withColumn("ks_ppm",
+        expr("IF(n_a = 0 OR n_b = 0, NULL, d_num * 1000000 div (n_a * n_b))"))
   }
 
   val defs: Map[String, QueryDef] = Map(

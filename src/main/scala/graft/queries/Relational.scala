@@ -955,14 +955,19 @@ object Relational {
     // already accept stale-sibling eviction). Same-name tables are left to
     // the DROP-then-CREATE below.
     locally {
+      // Catalog identifiers come back LOWERCASED from SHOW TABLES, so the
+      // prefix must be lowercased too or a mixed-case dir never matches
+      // and the reclaim silently no-ops (code-review r14).
       val prefix = s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}_"
+        .toLowerCase(java.util.Locale.ROOT)
+      val live = tbl.toLowerCase(java.util.Locale.ROOT)
       val suffix = "[0-9a-f]+".r
       scala.util.Try {
         spark.sql(s"SHOW TABLES IN $db").collect().foreach { r =>
           val name = r.getAs[String]("tableName")
           if (name.startsWith(prefix) &&
               suffix.matches(name.stripPrefix(prefix)) &&
-              s"$db.$name" != tbl)
+              s"$db.$name" != live)
             scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $db.$name")): Unit
         }
       }: Unit

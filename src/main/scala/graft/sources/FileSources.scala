@@ -43,7 +43,10 @@ object FileSources {
     * would rot the first time someone forgets it. Directory and jar code
     * sources both supported; an unreadable code source degrades to a
     * per-JVM unique key (cache rebuilt every run — fail open toward
-    * correctness, not staleness).
+    * correctness, not staleness). The fallback is HEX-ONLY (code-review
+    * r14): consumers append this value to cache-dir names, and
+    * writeOnce's stale-sibling eviction only matches pure-hex suffixes —
+    * a non-hex marker would make every degraded run's dir permanent.
     */
   private[graft] lazy val buildFingerprint: String =
     try {
@@ -76,7 +79,7 @@ object FileSources {
       }
       md.digest().take(8).map(b => f"$b%02x").mkString
     } catch { case scala.util.control.NonFatal(_) =>
-      s"nohash${java.lang.Long.toHexString(System.nanoTime())}"
+      java.lang.Long.toHexString(System.nanoTime())
     }
 
   private[graft] def cacheDir(tag: String, dir: String, srcName: String): String = {
