@@ -302,7 +302,59 @@ object Sources {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** STORAGE-level schema evolution — the lake counterpart of
+    * [[unionEvolved]] (which merges in memory via unionByName): two
+    * parquet batches with DIFFERENT physical schemas land in one dataset
+    * dir (an early-ingest batch carrying n_chars, a later batch that
+    * dropped it and added source — the shape every long-lived ingest dir
+    * grows into), and the reader reconciles the footers with
+    * `mergeSchema=true`: absent columns surface as NULLs per batch, and
+    * the rollup counts them so the gate proves WHICH batch carried which
+    * column, not just that the read survived.
+    *
+    * Scale shape: schema merging is a FOOTER-metadata operation — the
+    * reconciliation cost is per-file, not per-row, and the scan stays
+    * columnar with pushdown intact. The per-batch write is write-once
+    * under the source fingerprint like every derived dataset. At 100 TB
+    * the merge lives in the driver's file-index build; steady-state
+    * tables pin the merged schema in a metastore instead of re-merging
+    * (the documented production follow-up), which is why the default is
+    * off and the option is explicit here.
+    */
+  val schemaMerge: QueryDef = QueryDef(
+    """WITH m AS (
+      |  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, source FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(count(source) AS BIGINT) AS n_with_source
+      |FROM m GROUP BY lang""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    val out = FileSources.cacheDir("schemamerge", dir, "documents.parquet")
+    FileSources.writeOnce(out) { o =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/batch=1")
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .coalesce(2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/batch=2")
+      // writeOnce keys on a TOP-LEVEL _SUCCESS; the per-batch writers only
+      // mark their own subdirs, so create it last (write-then-publish).
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+    }
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("source")).as("n_with_source"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_schema_merge" -> schemaMerge,
     "q_join_dpp" -> joinDpp,
     "q_file_metadata" -> fileMetadata,
     "q_observe_metrics" -> observeMetrics,
