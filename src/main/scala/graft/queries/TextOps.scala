@@ -994,7 +994,62 @@ object TextOps {
     }
   }
 
+  /** Unicode canonicalization as a curation gate — the pass that keeps
+    * exact-dedup honest when the same text arrives in different canonical
+    * forms (macOS-origin drops are NFD, most web text NFC; visually
+    * identical, byte-different). The corpus text itself is ASCII (already
+    * NFC), so the row synthesizes the provenance split IN-PLAN: every doc
+    * gets a " caf" + e-acute suffix, ODD doc_ids in decomposed form
+    * (`e` + U+0301), even ones precomposed (U+00E9). Before
+    * [[graft.functions.NfcNormalize]], the two forms fracture every
+    * duplicate-text group across the parity line (`distinct_raw`); after,
+    * they collapse (`distinct_norm` = distinct texts) — the gate counts
+    * exactly how many rows changed, how many code points canonicalization
+    * saved, and how many spurious distincts it healed. DuckDB replays
+    * with its built-in `nfc_normalize`; all gated outputs are integers.
+    *
+    * Scale shape: one scan; the expression is codegen'd with an
+    * `isNormalized` fast path (already-NFC rows — the real-corpus
+    * majority — pay one allocation-free check), and the rollup is
+    * map-side combinable per source. The distinct counts shuffle the
+    * normalized strings once — the same cost class as the dedup family's
+    * fingerprint pass (and in production one hashes AFTER normalizing,
+    * exactly what [[fingerprintDocs]] composes with).
+    */
+  val textNormalize: QueryDef = QueryDef(
+    """WITH m AS (SELECT source,
+      |                  text || ' caf' || CASE WHEN doc_id % 2 = 1
+      |                                         THEN 'e' || chr(769)
+      |                                         ELSE chr(233) END AS w
+      |           FROM documents),
+      |n AS (SELECT source, w, nfc_normalize(w) AS nw FROM m)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(CASE WHEN nw <> w THEN 1 END) AS BIGINT) AS n_changed,
+      |       CAST(sum(length(w) - length(nw)) AS BIGINT) AS cp_saved,
+      |       CAST(count(DISTINCT w) AS BIGINT) AS distinct_raw,
+      |       CAST(count(DISTINCT nw) AS BIGINT) AS distinct_norm
+      |FROM n GROUP BY source""".stripMargin) { (spark, dir) =>
+    graft.functions.NfcNormalize.register(spark)
+    spark.read.parquet(t(dir, "documents"))
+      .select(col("source"),
+        // Explicit escapes, NOT literal glyphs: the decomposed arm is
+        // 'e' + COMBINING ACUTE (U+0301), the precomposed arm U+00E9 --
+        // visually identical in most editors, which is the entire point
+        // and exactly why a raw glyph would be unreviewable here.
+        concat(col("text"), lit(" caf"),
+          when(col("doc_id") % 2 === 1, lit("e\u0301"))
+            .otherwise(lit("\u00e9"))).as("w"))
+      .withColumn("nw", expr("nfc_normalize(w)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("nw") =!= col("w"), 1)).as("n_changed"),
+        sum(length(col("w")) - length(col("nw"))).as("cp_saved"),
+        countDistinct(col("w")).as("distinct_raw"),
+        countDistinct(col("nw")).as("distinct_norm"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_text_normalize" -> textNormalize,
     "q_feature_hash" -> featureHash,
     "q_approx_topk" -> approxTopk,
     "q_term_drift" -> termDrift,

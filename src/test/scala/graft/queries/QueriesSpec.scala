@@ -106,6 +106,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(2) == interp)
   }
 
+  test("nfc_normalize composes canonically and survives codegen") {
+    import graft.functions.NfcNormalize
+    // Explicit escapes, not glyphs: decomposed e + COMBINING ACUTE (U+0301)
+    // must compose to precomposed U+00E9.
+    val dec = UTF8String.fromString("cafe\u0301")
+    val pre = UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.normalize(dec) == pre)
+    // fast path: already-NFC input returns the SAME object, no copy
+    assert(NfcNormalize.normalize(pre) eq pre)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    // codegen path agrees with the interpreted call
+    import spark.implicits._
+    NfcNormalize.register(spark)
+    val got = Seq("cafe\u0301", "caf\u00e9", "x")
+      .toDF("s")
+      .selectExpr("nfc_normalize(s) AS n", "length(s) AS l",
+        "length(nfc_normalize(s)) AS ln")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == (("caf\u00e9", 5, 4)), got.mkString(","))
+    assert(got(1) == (("caf\u00e9", 4, 4)))
+    assert(got(2) == (("x", 1, 1)))
+  }
+
   test("media byte-feature kernel: histogram sums to byte count, entropy bounded") {
     val bytes = "hello world".getBytes("UTF-8")
     val (mean, entropy, hist) = Media.byteFeatures(bytes)
