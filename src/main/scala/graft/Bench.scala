@@ -56,6 +56,29 @@ import scala.sys.process.{Process, ProcessLogger}
   *     numbers or visibly-flagged ones, never silent distortion.
   *   - Queries without a pin (new this round) are exempt until pinned.
   *
+  * Gate policy (VERDICT r14 #5 — six clean sf0.1 runs spanned 118-153 s,
+  * ±15%, wide enough that the 2×-total gate and the pin bands were
+  * fighting the environment): a round's headline clean number is the
+  * MEDIAN OF ≥3 full runs' totals, not any single run — single-run
+  * totals remain what each JSON line reports, and the sidecar's
+  * `"policy"` field names this so a reader of one artifact knows it is
+  * one sample. Pins stay the element-wise MIN over clean runs (best
+  * observed clean cost), which is the right reference for a distortion
+  * band; totals use the median, which is the right estimator for "what
+  * does a run cost".
+  *
+  * Memoized-frame note (ADVICE r15 asked that rank-row pins be labeled
+  * warm-frame costs; the premise is FALSE and SessionMemoSpec pins why):
+  * the globalRank memo in Pipeline holds a persisted ranged frame, but
+  * [[dropAllCaches]] runs `catalog.clearCache()` between every timed
+  * execution, which removes the CacheManager entry — each timed run
+  * fully re-executes the range exchange (verified: the memoized Dataset
+  * reports StorageLevel.NONE after clearCache and is not re-persisted by
+  * later actions). So q_global_index / q_shard_balance / q_epoch_shuffle
+  * medians are COLD-frame costs; the memo's reuse benefit is scoped to
+  * single-session multi-query flows like Verify, where staleness is now
+  * guarded by the source fingerprint in the memo key.
+  *
   * Output protocol (round-7 rework — r6's single ~2.1 KB full-precision
   * line overflowed the driver's bounded tail capture and the round's
   * number was lost): per-query seconds are rounded to 3 decimals, and a
@@ -288,7 +311,10 @@ object Bench {
         s""","calib":$calibJson,"calib_threshold_sec":${d3(CalibThresholdSec)}""" +
         s""","suspect":$suspectJson,"reruns":$reruns""" +
         s""","rerun_calib":${rerunCalib.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-        s""","rerun_pin":${rerunPin.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        s""","rerun_pin":${rerunPin.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","policy":"per-query median of $TimedRuns in isolated child JVMs; dual """ +
+        """distortion bands vs committed pins with targeted re-run; this total is """ +
+        """ONE sample - round gating uses the median of >=3 run totals (r14 #5)"}"""
     println(json)
     // Compact trailing record: the driver's tail capture is bounded, so the
     // LAST stdout line must be a short, complete JSON object on its own.

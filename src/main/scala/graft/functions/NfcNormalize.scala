@@ -22,10 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * "normalization is free during ingest" and a dedicated corpus pass at
   * 100 TB.
   *
-  * Fast path worth noting: `Normalizer.isNormalized` is O(n) with no
-  * allocation for already-NFC text (the overwhelming majority of real
-  * corpora), so the expression only pays the full decompose/recompose on
-  * rows that actually need it.
+  * Fast paths worth noting (ADVICE r15 tightened the claim): pure-ASCII
+  * rows short-circuit on the raw UTF-8 bytes (`isFullAscii` — every byte
+  * < 0x80 is NFC by definition) with zero allocation; non-ASCII rows pay
+  * one UTF-16 view (`toString`) for `Normalizer.isNormalized`, which is
+  * O(n) with no further allocation when already normalized — so only
+  * rows that actually need it pay the full decompose/recompose.
   *
   * The DuckDB oracle replays with its built-in `nfc_normalize`. Both
   * engines implement Unicode canonical composition, so results agree
@@ -50,8 +52,13 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** Called from generated code per row. */
+  /** Called from generated code per row. Pure-ASCII bytes are NFC by
+    * definition (no combining sequences below U+0080), so that check on
+    * the UTF8String itself avoids the UTF-16 copy entirely for the
+    * ASCII-dominant corpora case.
+    */
   def normalize(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -939,10 +939,11 @@ object Relational {
     // ndv.maxError flip below remains single-session-scoped by nature —
     // it only distorts a CONCURRENT ANALYZE in this same session, which
     // the per-dir naming already serializes per input.
-    val tbl = {
+    def mkTbl() = {
       val fp = graft.sources.FileSources.fingerprint(new java.io.File(t(dir, "orders")))
       s"$db.orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     }
+    val tbl = mkTbl()
     val cols = Seq("o_orderkey", "o_custkey")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     // Best-effort reclaim of ORPHANED siblings (ADVICE r13 #3): the finally
@@ -972,52 +973,65 @@ object Relational {
         }
       }: Unit
     }
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '${t(dir, "orders")}'")
+    // One attempt = DROP-then-CREATE, ANALYZE, read back, finally DROP.
     // DROP rides a finally (code-review r13): the fixed-name scheme
     // self-healed leaks via next run's DROP-then-CREATE; fingerprinted
     // names never collide again, so any failure between CREATE and the
     // read-back (ANALYZE error, missing Statistics line) must clean up
     // here or the orphan accumulates in the shared metastore forever.
-    val rows = try {
-      // ANALYZE's NDV sketch obeys spark.sql.statistics.ndv.maxError as a
-      // RELATIVE STANDARD DEVIATION (default 0.05) — a 1σ parameter, not a
-      // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
-      // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
-      // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
-      Confs.withConfs(spark, "spark.sql.statistics.ndv.maxError" -> "0.01") {
-        spark.sql(
-          s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}"): Unit
+    def analyzeOnce(tbl: String) = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '${t(dir, "orders")}'")
+      try {
+        // ANALYZE's NDV sketch obeys spark.sql.statistics.ndv.maxError as a
+        // RELATIVE STANDARD DEVIATION (default 0.05) — a 1σ parameter, not a
+        // bound, so a 5% gate band over a 5% σ flaps (observed: the unique
+        // o_orderkey column missed by >5% at sf0.001). Pin σ to 1% for the
+        // duration of the ANALYZE so the 5% band is a ≥5σ envelope.
+        Confs.withConfs(spark, "spark.sql.statistics.ndv.maxError" -> "0.01") {
+          spark.sql(
+            s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}"): Unit
+        }
+        // exact truths for the approximate-NDV band (one aggregate, the same
+        // anchor pattern as approxDistinct)
+        val truth = spark.table(s"$tbl")
+          .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
+          .collect()(0)
+        val exactNdv = Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2))
+        // n_rows is read back from the CATALOG's Statistics line ("N bytes,
+        // M rows"), not re-counted — the value the CBO consumes is the value
+        // under test (code-review r12: the first cut hashed a fresh count and
+        // never read the stored statistic)
+        val statLine = spark.sql(s"DESCRIBE EXTENDED $tbl")
+          .collect().collectFirst {
+            case r if r.getString(0) == "Statistics" => r.getString(1)
+          }.getOrElse(sys.error("ANALYZE left no Statistics entry in the catalog"))
+        val nRows = "(\\d+) rows".r.findFirstMatchIn(statLine)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"no row count in catalog statistics: $statLine"))
+        cols.map { c =>
+          val kv = spark.sql(s"DESCRIBE EXTENDED $tbl $c")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val ndv = kv("distinct_count").toLong
+          (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
+            math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
+        }
+      } finally {
+        // Try-wrapped (code-review r13 #2): if the metastore broke mid-ANALYZE,
+        // the DROP fails for the same reason — propagating ITS exception would
+        // mask the root-cause diagnostic the finally exists to clean up after.
+        scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tbl")): Unit
       }
-      // exact truths for the approximate-NDV band (one aggregate, the same
-      // anchor pattern as approxDistinct)
-      val truth = spark.table(s"$tbl")
-        .agg(count(lit(1)), countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")))
-        .collect()(0)
-      val exactNdv = Map("o_orderkey" -> truth.getLong(1), "o_custkey" -> truth.getLong(2))
-      // n_rows is read back from the CATALOG's Statistics line ("N bytes,
-      // M rows"), not re-counted — the value the CBO consumes is the value
-      // under test (code-review r12: the first cut hashed a fresh count and
-      // never read the stored statistic)
-      val statLine = spark.sql(s"DESCRIBE EXTENDED $tbl")
-        .collect().collectFirst {
-          case r if r.getString(0) == "Statistics" => r.getString(1)
-        }.getOrElse(sys.error("ANALYZE left no Statistics entry in the catalog"))
-      val nRows = "(\\d+) rows".r.findFirstMatchIn(statLine)
-        .map(_.group(1).toLong)
-        .getOrElse(sys.error(s"no row count in catalog statistics: $statLine"))
-      cols.map { c =>
-        val kv = spark.sql(s"DESCRIBE EXTENDED $tbl $c")
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-        val ndv = kv("distinct_count").toLong
-        (c, kv("min").toLong, kv("max").toLong, kv("num_nulls").toLong, nRows,
-          math.abs(ndv - exactNdv(c)) <= exactNdv(c) * 0.05)
-      }
-    } finally {
-      // Try-wrapped (code-review r13 #2): if the metastore broke mid-ANALYZE,
-      // the DROP fails for the same reason — propagating ITS exception would
-      // mask the root-cause diagnostic the finally exists to clean up after.
-      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tbl")): Unit
+    }
+    // One retry on a FRESH fingerprint (ADVICE r15): a concurrent run over
+    // a regenerated input legitimately reclaims this run's table mid-ANALYZE
+    // — our name carries the old file's fingerprint, which the sibling rule
+    // marks stale by construction. Recomputing the fingerprint keys the
+    // second attempt to the file now on disk, so the race costs one extra
+    // ANALYZE instead of a failed row; a second failure is a real error
+    // (broken metastore, unreadable input) and propagates.
+    val rows = try analyzeOnce(tbl) catch {
+      case scala.util.control.NonFatal(_) => analyzeOnce(mkTbl())
     }
     rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
   }

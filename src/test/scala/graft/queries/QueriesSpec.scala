@@ -581,6 +581,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected) // permutation of 0..n-1 in (lang, doc_id) order
   }
 
+  test("rank memo keys on the source fingerprint — regeneration mints fresh ranks") {
+    // ADVICE r15: the (dir, tag) memo key served pre-regeneration ranks if
+    // the dataset at `dir` was rebuilt mid-session. The key now folds in
+    // the documents-parquet fingerprint, so a rewrite at the SAME dir must
+    // produce ranks over the NEW rows, not the persisted stale frame.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rankfp").toString
+    def write(rows: Seq[(Long, String)]): Unit = rows
+      .toDF("doc_id", "lang")
+      .withColumn("text", org.apache.spark.sql.functions.lit("w"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq((10L, "en"), (11L, "de")))
+    val first = Pipeline.globalIndex.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == Map(11L -> 0L, 10L -> 1L)) // (lang, doc_id) order: de < en
+    write(Seq((10L, "en"), (11L, "de"), (12L, "aa")))
+    val second = Pipeline.globalIndex.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(second == Map(12L -> 0L, 11L -> 1L, 10L -> 2L),
+      "stale rank frame served after the source parquet was regenerated")
+  }
+
   test("gram novelty counts distinct 8-grams first seen in each document") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString

@@ -59,4 +59,23 @@ class SessionMemoSpec extends AnyFunSuite {
     assert(memo.keysFor(spark).toSet == Set(("dirB", 3)))
     assert(releases.get() == 2)
   }
+
+  test("catalog.clearCache uncaches a memoized persisted frame (Bench semantics)") {
+    // Pins what Bench's dropAllCaches actually does to the rank-frame memo
+    // (ADVICE r15 said timed runs read the warm persisted frame; they do
+    // NOT): clearCache removes the CacheManager entry, the memoized Dataset
+    // reports StorageLevel.NONE, and later actions fully recompute — so
+    // Bench's timed medians for the rank rows INCLUDE the range exchange.
+    // The Bench-header measurement note relies on this being true.
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("v").repartition(2).persist()
+    df.count()
+    assert(df.storageLevel.useMemory, "persist did not register the frame")
+    spark.catalog.clearCache()
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clearCache left the memoized frame cached — Bench's warm-frame note is wrong")
+    assert(df.count() == 3) // recompute path still correct
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "an action after clearCache silently re-persisted the frame")
+  }
 }
