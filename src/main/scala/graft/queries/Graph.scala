@@ -227,15 +227,32 @@ object Graph {
 
   /** Bounded-frontier reachability — the BFS primitive behind blast-radius
     * and related-item queries, run to depth 2 from a deterministic seed
-    * (the minimum vertex id): each hop is ONE key join frontier⋈edges +
-    * distinct, the Pregel message pass without iteration machinery. The
-    * oracle replays both hops in materialized CTEs.
+    * (the minimum vertex id): each hop is a broadcast of the (tiny)
+    * frontier against the HALF-edge list, probed in both directions —
+    * the Pregel message pass without iteration machinery. The oracle
+    * replays both hops in materialized CTEs over the doubled edge list;
+    * the two spellings agree because looking a frontier up on either
+    * side of u<v half-edges IS the doubled list's one-sided lookup.
     *
-    * Scale shape: frontier frames are vertex-bounded and the hop join is
-    * AQE-skew-splittable; at real depth the loop adds localCheckpoint
-    * per hop (the pagerank rule) and a visited-set anti-join to stop
-    * re-expansion — at depth 2 the UNION-distinct is cheaper than the
-    * anti-join round trip.
+    * Plan shape (r15 rework — the r14 bench suspect profiled to the plan,
+    * not box load: on an idle box, the doubled-list spelling cost a clean
+    * 4.4-4.7 s median vs its 2.92 s pin): the old plan materialized
+    * e = half ∪ swap(half) and dragged 2|E| rows through the seed agg and
+    * both hop joins, plus a distinct on the raw 2-hop output that the
+    * final union-distinct immediately repeated. Now the seed min runs on
+    * the half list (u < v in every pair — Pairs.ordered emits sorted-array
+    * pairs — so the global minimum vertex always sits in u), each hop
+    * reads half once per direction with the frontier BROADCAST (h1 is
+    * 1-hop-bounded; blast-radius frontiers are small by use-case — at
+    * depths where the frontier outgrows a broadcast, swap in the shuffle
+    * join + per-hop localCheckpoint of the pagerank rule), and the 2-hop
+    * output flows RAW into the single union-distinct. Measured before →
+    * after on the same idle box: 4.47/4.37/3.64 → 2.83/2.37/2.51 s.
+    *
+    * Scale shape: one data-sized basket groupBy + pair fan-out + distinct
+    * builds the half list (shared via [[coEdges]] and in-plan exchange
+    * reuse); everything downstream is frontier-bounded probes of that
+    * reused exchange plus one distinct over the 2-hop candidate set.
     */
   val bfsReach: QueryDef = QueryDef(
     """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -252,14 +269,14 @@ object Graph {
       |             WHERE x <> (SELECT s FROM seed)) AS BIGINT) AS n_2hop""".stripMargin) {
     (spark, dir) =>
     val half = coEdges(spark, dir)
-    val e = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
-    val seed = e.agg(min(col("u")).as("s"))
-    val h1 = e.join(broadcast(seed), col("u") === col("s"))
-      .select(col("v").as("x")).distinct()
-    val h2 = e.join(h1, col("u") === col("x"))
-      .select(col("v").as("x")).distinct()
-    val reach = h1.unionAll(h2).distinct()
-      .join(broadcast(seed), col("x") === col("s"), "left_anti")
+    val seed = half.agg(min(col("u")).as("s"))
+    val h1 = half.join(broadcast(seed), col("u") === col("s")).select(col("v").as("x"))
+      .unionAll(half.join(broadcast(seed), col("v") === col("s")).select(col("u").as("x")))
+      .distinct()
+    val hop2raw = half.join(broadcast(h1), col("u") === col("x")).select(col("v").as("y"))
+      .unionAll(half.join(broadcast(h1), col("v") === col("x")).select(col("u").as("y")))
+    val reach = h1.select(col("x").as("y")).unionAll(hop2raw).distinct()
+      .join(broadcast(seed), col("y") === col("s"), "left_anti")
       .agg(count(lit(1)).as("n_2hop"))
     broadcast(seed).select(col("s").as("seed"))
       .crossJoin(broadcast(h1.agg(count(lit(1)).as("n_1hop"))))
