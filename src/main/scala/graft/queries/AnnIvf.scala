@@ -84,7 +84,8 @@ object AnnIvf {
       spark: SparkSession,
       dir: String,
       p: IvfParams,
-      maxProbe: Int): (DataFrame, DataFrame) = {
+      maxProbe: Int,
+      queryPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     import p._
     val (assigned, centDF) = fitAssign(spark, dir, nCells)
     if (assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -98,7 +99,7 @@ object AnnIvf {
     // |q|^2 - 2 q.c + |c|^2 with the codegen'd dot_product; ties break on
     // cell id; nProbe survivors per query via a rank filter (WindowGroupLimit
     // pushes the limit below the shuffle).
-    val qv = assigned.filter(col("vec_id") < nQueries)
+    val qv = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"), col("norm2"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
@@ -155,14 +156,21 @@ object AnnIvf {
     (assigned, centDF)
   }
 
-  private def ivfCandidates(
+  /** The query set defaults to the IvfParams contract (`vec_id <
+    * nQueries`); [[Similarity.ragRetrieveIvf]] passes its own stride
+    * predicate — the probe machinery is query-set-agnostic by
+    * construction (any frame of (query vectors) works; r15).
+    */
+  private[queries] def ivfCandidates(
       spark: SparkSession,
       dir: String,
       p: IvfParams,
-      maxProbe: Int): DataFrame = {
+      maxProbe: Int,
+      queryPred: org.apache.spark.sql.Column = null): DataFrame = {
     import p._
-    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, maxProbe)
-    val q = assigned.filter(col("vec_id") < nQueries)
+    val pred = Option(queryPred).getOrElse(col("vec_id") < nQueries)
+    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, maxProbe, pred)
+    val q = assigned.filter(pred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
       .join(probeDF, "query_id")
     // No broadcast hint on the query×probe side (ADVICE r3 #2): a forced
@@ -185,7 +193,7 @@ object AnnIvf {
     * same tie-break the exact baseline uses, which is what makes hit counts
     * monotone in the candidate set (see [[annIvfProbe4]]).
     */
-  private def topKOf(cands: DataFrame, k: Int): DataFrame = {
+  private[queries] def topKOf(cands: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -217,7 +225,7 @@ object AnnIvf {
       dir: String,
       p: IvfParams = IvfParams()): DataFrame = {
     import p._
-    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, nProbe)
+    val (assigned, probeDF) = fitAssignProbe(spark, dir, p, nProbe, col("vec_id") < nQueries)
     val corpus = Similarity.quantizedVecs(spark, dir)
       .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
     val q = corpus.filter(col("vec_id") < nQueries)

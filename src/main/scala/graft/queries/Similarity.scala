@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -826,9 +826,11 @@ object Similarity {
     * engine's own stages: (1) RETRIEVE the raw top-[[RagTopK]] corpus
     * neighbors per query vector by exact cosine (queries = every
     * [[RagStride]]th vector, broadcast against the corpus — the
-    * brute-force baseline; at warehouse scale stage 1 swaps in the IVF
-    * probe of [[AnnIvf]] unchanged, same contract: (query_id, doc_id,
-    * cosine)); (2) DEDUP the retrieved set per query by exact content
+    * brute-force baseline; the warehouse-scale swap is DELIVERED as
+    * [[ragRetrieveIvf]] (r15): stage 1 becomes the [[AnnIvf]] probe over
+    * the same stride, same contract (query_id, doc_id, cosine), stages
+    * 2-3 shared verbatim via [[ragStages]]); (2) DEDUP the retrieved set
+    * per query by exact content
     * fingerprint (`poly_hash(text)` via the doc_id = vec_id alignment),
     * keeping each duplicate group's best-scored doc — retrieved context
     * that repeats itself wastes the downstream model's window; (3) BUDGET:
@@ -882,9 +884,16 @@ object Similarity {
        |         PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank,
        |       doc_id, cosine, tok, cum_tok
        |FROM budgeted WHERE cum_tok <= $RagBudget""".stripMargin) { (spark, dir) =>
+    ragStages(spark, dir, ragExactHits(spark, dir))
+  }
+
+  /** [[ragRetrieve]] stage 1 — the exact-cosine top-[[RagTopK]] per strided
+    * query, shared with the IVF variant as its recall baseline. Returns
+    * (query_id, doc_id, cosine).
+    */
+  private def ragExactHits(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorOps.register(spark)
-    graft.functions.PolyHash.register(spark)
     val e = spark.read.parquet(t(dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), dot("embedding", "embedding").as("norm2"))
     val q = e.filter(col("vec_id") % RagStride === 0)
@@ -893,11 +902,23 @@ object Similarity {
       col("norm2").as("nc"))
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("doc_id"))
-    val hits = broadcast(q).join(c, col("doc_id") =!= col("query_id"))
+    broadcast(q).join(c, col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
         round(dot("eq", "ec") / sqrt(col("nq") * col("nc")), 4).as("cosine"))
       .withColumn("rr", row_number().over(byScore)).filter(col("rr") <= RagTopK)
       .drop("rr")
+  }
+
+  /** [[ragRetrieve]] stages 2-3 (fingerprint dedup + token-budget
+    * admission + re-rank) over ANY stage-1 hit frame of
+    * (query_id, doc_id, cosine) — extracted in r15 so the IVF variant
+    * runs the IDENTICAL context-assembly plan, not a re-spelling of it.
+    */
+  private def ragStages(spark: SparkSession, dir: String, hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.register(spark)
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
     val docs = spark.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), expr("poly_hash(text)").as("fp"),
         size(split(col("text"), " ")).cast("long").as("tok"))
@@ -915,8 +936,78 @@ object Similarity {
         col("tok"), col("cum_tok"))
   }
 
+  /** The warehouse-scale form of [[ragRetrieve]], delivered as its own
+    * gated row (VERDICT r14 #3 — the exact row documented this swap; now
+    * it is measured): stage 1 is the [[AnnIvf]] coarse-quantizer probe
+    * over the SAME strided query set (the probe machinery is
+    * query-set-agnostic — it takes the stride predicate directly), and
+    * stages 2-3 are literally [[ragStages]] — the same dedup + budget
+    * plan object the exact row executes, not a re-spelling.
+    *
+    * KMeans centroids are float-order-sensitive, so like every IVF row
+    * the literal context is not oracle-expressible; the gate states the
+    * derived properties (the [[AnnIvf.ivfDef]] technique):
+    *   - `n_queries`: every strided query retrieved candidates — the
+    *     count is data-derived on BOTH engines (DuckDB counts the stride
+    *     ids in the parquet; a query stranded in an empty probe set
+    *     breaks the equality).
+    *   - `per_query_k_ok`: exactly [[RagTopK]] stage-1 hits per query.
+    *   - `recall_ge_20pct`: stage-1 IVF hits ∩ exact stage-1 hits ≥ 20%
+    *     of the exact hit count — the nProbe=2 floor every IVF row pins
+    *     (probing 2 of 16 data-adaptive cells; the measured margin is
+    *     far above the random-cell 12.5%).
+    *   - `ctx_budget_ok`: the assembled IVF context obeys the token
+    *     budget per query — the stages really ran over the IVF hits.
+    *
+    * Scale shape: replaces the exact row's one corpus scan per query
+    * sliver with the IVF probe's cell-bounded candidate generation —
+    * the 10^9-vector path; stages 2-3 stay per-query-windowed exactly
+    * as the exact row (≤ [[RagTopK]] rows per window).
+    */
+  /** The assembled IVF context frame itself (query_id, rank, doc_id,
+    * cosine, tok, cum_tok) — the gate row above reduces it to properties;
+    * AnnIvfSpec reads it directly to measure context recall and check the
+    * budget/dedup invariants row-by-row.
+    */
+  private[queries] def ragIvfContextForTest(spark: SparkSession, dir: String): DataFrame = {
+    val p = AnnIvf.IvfParams(topK = RagTopK)
+    val ivfHits = AnnIvf.topKOf(
+      AnnIvf.ivfCandidates(spark, dir, p, p.nProbe, col("vec_id") % RagStride === 0),
+      RagTopK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
+    ragStages(spark, dir, ivfHits)
+  }
+
+  val ragRetrieveIvf: QueryDef = QueryDef(
+    s"""SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % $RagStride = 0)
+       |         AS BIGINT) AS n_queries,
+       |       true AS per_query_k_ok, true AS recall_ge_20pct,
+       |       true AS ctx_budget_ok""".stripMargin) { (spark, dir) =>
+    val p = AnnIvf.IvfParams(topK = RagTopK)
+    val ivfHits = AnnIvf.topKOf(
+      AnnIvf.ivfCandidates(spark, dir, p, p.nProbe, col("vec_id") % RagStride === 0),
+      RagTopK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
+    val context = ragIvfContextForTest(spark, dir)
+    val exact = ragExactHits(spark, dir).select(col("query_id"), col("doc_id"))
+    val nHits = ivfHits.select(col("query_id"), col("doc_id"))
+      .join(exact, Seq("query_id", "doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val shape = ivfHits.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_queries"),
+        (min(col("k")) === RagTopK && max(col("k")) === RagTopK).as("per_query_k_ok"))
+    val budget = context.agg(
+      coalesce(max(col("cum_tok")) <= RagBudget, lit(true)).as("ctx_budget_ok"))
+    shape.crossJoin(nHits).crossJoin(nExact).crossJoin(budget)
+      .select(col("n_queries"), col("per_query_k_ok"),
+        (col("n_hits") * 100 >= col("n_exact") * 20).as("recall_ge_20pct"),
+        col("ctx_budget_ok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_rag_retrieve" -> ragRetrieve,
+    "q_rag_retrieve_ivf" -> ragRetrieveIvf,
     "q_embed_covariance" -> embedCovariance,
     "q_array_ops" -> arrayOps,
     "q_dim_stats" -> dimStats,
