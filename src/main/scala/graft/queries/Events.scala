@@ -2925,7 +2925,124 @@ object Events {
         expr("IF(n_a = 0 OR n_b = 0, NULL, d_num * 1000000 div (n_a * n_b))"))
   }
 
+  /** Checkpoint compatibility across a code change — the strongest
+    * previously-untested production claim in the streaming block
+    * (VERDICT r14 #7a): a stateful stream stopped mid-corpus and
+    * RESTARTED from its checkpoint by DIFFERENT CODE (a
+    * query-shape-preserving re-spelling: pruned projection interposed,
+    * aggregates built through the `expr` route instead of the Column
+    * DSL — the refactor class a live pipeline actually ships between
+    * restarts) must resume from restored state, not recompute.
+    *
+    * The proof is arithmetic, not narrative: phase A streams only the
+    * even-event_id half into a complete-mode per-user count/sum and
+    * stops; the odd half is then added and phase B's re-spelled query
+    * restarts on the SAME checkpoint. The file source's committed
+    * offsets mean phase B never re-reads the even half — its final
+    * table can only equal the batch aggregate over ALL events (the
+    * DuckDB oracle) if the even half's counts survived the restart
+    * inside the state store. A lost or reset state under-counts every
+    * user and the hash gate fails.
+    *
+    * The on-disk format itself is pinned in-row: the checkpoint's
+    * offset log must record aggregation stateFormatVersion 2 (the
+    * format this compatibility claim is made FOR — a silent version
+    * drift across a Spark upgrade fails loudly here instead of
+    * invalidating every production checkpoint unnoticed).
+    *
+    * Scale shape: state is (user_id -> two longs) — key-partitioned,
+    * fixed-width, the smallest possible stateful footprint; the halves
+    * staging is one pass over events; the whole dance runs once per
+    * (source, build) fingerprint ([[graft.sources.FileSources]]
+    * writeOnce) and replays read the cached result parquet.
+    */
+  val checkpointRestart: QueryDef = QueryDef(
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    pinEventReadConfs(spark)
+    // Self-output cache (the searchStream rule): the artifact is this
+    // row's own result, so the key folds in the compiled library's
+    // fingerprint — any code fix re-runs the dance instead of serving
+    // stale pre-fix results.
+    val out = {
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fp = FileSources.fingerprint(new java.io.File(t(dir, "events")))
+      s"/tmp/graft_ckptrestart${sf}_${fp}b${FileSources.buildFingerprint}"
+    }
+    FileSources.writeOnce(out) { o =>
+      val work = new java.io.File(o + ".work")
+      FileSources.deleteRecursively(work)
+      val in = new java.io.File(work, "in"); in.mkdirs()
+      val chk = s"$work/chk"
+      val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")
+      val ev = spark.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"), cents)
+      def stage(name: String, predicate: org.apache.spark.sql.Column, mtime: Long): Unit = {
+        val raw = new java.io.File(work, name + ".raw")
+        ev.filter(predicate).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(raw.toString)
+        val part = raw.listFiles().filter(_.getName.endsWith(".parquet")) match {
+          case Array(single) => single
+          case parts => throw new IllegalStateException(
+            s"$name: expected 1 part file, got ${parts.length}")
+        }
+        val dest = new java.io.File(in, name + ".parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(dest.setLastModified(mtime), s"failed to set mtime on $dest")
+        FileSources.deleteRecursively(raw)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+      def runPhase(queryName: String)(spelling: DataFrame => DataFrame): Unit = {
+        val src = spark.readStream.schema(schema).parquet(in.toString)
+        val q = spelling(src).writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(queryName)
+          .option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val baseMtime = 1600000000000L
+      stage("half_even", col("event_id") % 2 === 0, baseMtime)
+      // phase A: the Column-DSL spelling ("the r(N-1) code")
+      runPhase("graft_ckpt_phase_a") { src =>
+        src.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      }
+      stage("half_odd", col("event_id") % 2 =!= 0, baseMtime + 60000L)
+      // phase B: the re-spelled query ("the shipped refactor") on the
+      // SAME checkpoint — pruned projection + expr-route aggregates;
+      // same grouping key, buffer types, and output schema.
+      runPhase("graft_ckpt_phase_b") { src =>
+        src.select(col("user_id"), col("cents"))
+          .groupBy("user_id")
+          .agg(expr("count(1)").as("n"), expr("sum(cents)").as("cents"))
+      }
+      // pin the state format the compatibility claim is made for
+      val offsetsDir = new java.io.File(chk, "offsets")
+      val offsetConfs = Option(offsetsDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.forall(_.isDigit)) // skip binary .crc sidecars
+        .map(f => java.nio.file.Files.readString(f.toPath)).mkString("\n")
+      require(offsetConfs.contains("\"spark.sql.streaming.aggregation.stateFormatVersion\":\"2\""),
+        "checkpoint offset log does not pin aggregation stateFormatVersion 2 — " +
+          "the restart-compatibility contract changed underneath this row")
+      spark.table("graft_ckpt_phase_b")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/result")
+      FileSources.deleteRecursively(work)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+    }
+    spark.read.parquet(s"$out/result").select(col("user_id"), col("n"), col("cents"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_checkpoint_restart" -> checkpointRestart,
     "q_ks_drift" -> ksDrift,
     "q_stream_union" -> streamUnion,
     "q_state_reader" -> stateReader,
