@@ -2972,70 +2972,78 @@ object Events {
       s"/tmp/graft_ckptrestart${sf}_${fp}b${FileSources.buildFingerprint}"
     }
     FileSources.writeOnce(out) { o =>
-      val work = new java.io.File(o + ".work")
+      // The work dir lives INSIDE the cache dir and is cleaned in a
+      // finally (code-review r15): as a sibling, a dance that failed
+      // mid-phase stranded the checkpoint + staged halves in /tmp forever
+      // once the build fingerprint moved on — writeOnce's stale-sibling
+      // eviction only matches pure-hex suffixes, never ".work". Inside
+      // `o`, an orphan from a killed JVM is reclaimed when the stale
+      // cache dir itself is evicted.
+      val work = new java.io.File(o, "work")
       FileSources.deleteRecursively(work)
       val in = new java.io.File(work, "in"); in.mkdirs()
       val chk = s"$work/chk"
-      val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")
-      val ev = spark.read.parquet(t(dir, "events"))
-        .select(col("event_id"), col("user_id"), cents)
-      def stage(name: String, predicate: org.apache.spark.sql.Column, mtime: Long): Unit = {
-        val raw = new java.io.File(work, name + ".raw")
-        ev.filter(predicate).coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(raw.toString)
-        val part = raw.listFiles().filter(_.getName.endsWith(".parquet")) match {
-          case Array(single) => single
-          case parts => throw new IllegalStateException(
-            s"$name: expected 1 part file, got ${parts.length}")
+      try {
+        val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")
+        val ev = spark.read.parquet(t(dir, "events"))
+          .select(col("event_id"), col("user_id"), cents)
+        def stage(name: String, predicate: org.apache.spark.sql.Column, mtime: Long): Unit = {
+          val raw = new java.io.File(work, name + ".raw")
+          ev.filter(predicate).coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(raw.toString)
+          val part = raw.listFiles().filter(_.getName.endsWith(".parquet")) match {
+            case Array(single) => single
+            case parts => throw new IllegalStateException(
+              s"$name: expected 1 part file, got ${parts.length}")
+          }
+          val dest = new java.io.File(in, name + ".parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          require(dest.setLastModified(mtime), s"failed to set mtime on $dest")
+          FileSources.deleteRecursively(raw)
         }
-        val dest = new java.io.File(in, name + ".parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        require(dest.setLastModified(mtime), s"failed to set mtime on $dest")
-        FileSources.deleteRecursively(raw)
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
-      def runPhase(queryName: String)(spelling: DataFrame => DataFrame): Unit = {
-        val src = spark.readStream.schema(schema).parquet(in.toString)
-        val q = spelling(src).writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(queryName)
-          .option("checkpointLocation", chk)
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
-      val baseMtime = 1600000000000L
-      stage("half_even", col("event_id") % 2 === 0, baseMtime)
-      // phase A: the Column-DSL spelling ("the r(N-1) code")
-      runPhase("graft_ckpt_phase_a") { src =>
-        src.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      }
-      stage("half_odd", col("event_id") % 2 =!= 0, baseMtime + 60000L)
-      // phase B: the re-spelled query ("the shipped refactor") on the
-      // SAME checkpoint — pruned projection + expr-route aggregates;
-      // same grouping key, buffer types, and output schema.
-      runPhase("graft_ckpt_phase_b") { src =>
-        src.select(col("user_id"), col("cents"))
-          .groupBy("user_id")
-          .agg(expr("count(1)").as("n"), expr("sum(cents)").as("cents"))
-      }
-      // pin the state format the compatibility claim is made for
-      val offsetsDir = new java.io.File(chk, "offsets")
-      val offsetConfs = Option(offsetsDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.forall(_.isDigit)) // skip binary .crc sidecars
-        .map(f => java.nio.file.Files.readString(f.toPath)).mkString("\n")
-      require(offsetConfs.contains("\"spark.sql.streaming.aggregation.stateFormatVersion\":\"2\""),
-        "checkpoint offset log does not pin aggregation stateFormatVersion 2 — " +
-          "the restart-compatibility contract changed underneath this row")
-      spark.table("graft_ckpt_phase_b")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/result")
-      FileSources.deleteRecursively(work)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+        def runPhase(queryName: String)(spelling: DataFrame => DataFrame): Unit = {
+          val src = spark.readStream.schema(schema).parquet(in.toString)
+          val q = spelling(src).writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(queryName)
+            .option("checkpointLocation", chk)
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        val baseMtime = 1600000000000L
+        stage("half_even", col("event_id") % 2 === 0, baseMtime)
+        // phase A: the Column-DSL spelling ("the r(N-1) code")
+        runPhase("graft_ckpt_phase_a") { src =>
+          src.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        }
+        stage("half_odd", col("event_id") % 2 =!= 0, baseMtime + 60000L)
+        // phase B: the re-spelled query ("the shipped refactor") on the
+        // SAME checkpoint — pruned projection + expr-route aggregates;
+        // same grouping key, buffer types, and output schema.
+        runPhase("graft_ckpt_phase_b") { src =>
+          src.select(col("user_id"), col("cents"))
+            .groupBy("user_id")
+            .agg(expr("count(1)").as("n"), expr("sum(cents)").as("cents"))
+        }
+        // pin the state format the compatibility claim is made for
+        val offsetsDir = new java.io.File(chk, "offsets")
+        val offsetConfs = Option(offsetsDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.forall(_.isDigit)) // skip binary .crc sidecars
+          .map(f => java.nio.file.Files.readString(f.toPath)).mkString("\n")
+        require(offsetConfs.contains("\"spark.sql.streaming.aggregation.stateFormatVersion\":\"2\""),
+          "checkpoint offset log does not pin aggregation stateFormatVersion 2 — " +
+            "the restart-compatibility contract changed underneath this row")
+        spark.table("graft_ckpt_phase_b")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/result")
+      } finally FileSources.deleteRecursively(work)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
     }
     spark.read.parquet(s"$out/result").select(col("user_id"), col("n"), col("cents"))

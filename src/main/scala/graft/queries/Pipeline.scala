@@ -918,14 +918,21 @@ object Pipeline {
     * exchange is paid once, in the discarded first iteration); the
     * Bench header's measurement-policy note records this.
     *
-    * The key folds in [[graft.sources.FileSources.fingerprint]] of the
-    * source documents parquet (ADVICE r15): every caller derives its
-    * input frame from `documents`, and a bare `(dir, tag)` key kept
-    * serving pre-regeneration ranks if the testdata at `dir` was
-    * rebuilt mid-session — the same staleness class the cacheDir /
-    * writeOnce contract already closes for on-disk caches.
+    * The key's FIRST component is `dir@fingerprint` of the source
+    * documents parquet (ADVICE r15): every caller derives its input
+    * frame from `documents`, and a bare `(dir, tag)` key kept serving
+    * pre-regeneration ranks if the testdata at `dir` was rebuilt
+    * mid-session — the same staleness class the cacheDir / writeOnce
+    * contract already closes for on-disk caches. The fingerprint lives
+    * in the GROUP component, not the tag (code-review r15): grouped by
+    * dir alone, a regeneration's new keys would share the stale frames'
+    * group and SessionMemo — which evicts only OUTSIDE the new key's
+    * group — would never release them, re-opening the r14 unbounded-
+    * persist leak one regeneration at a time. Grouped by (dir,
+    * fingerprint), the first post-regeneration call evicts the whole
+    * stale generation.
     */
-  private val rankMemo = new SessionMemo[(String, String), DataFrame](
+  private[queries] val rankMemo = new SessionMemo[(String, String), DataFrame](
     release = _.unpersist(),
     sameGroup = (a, b) => a._1 == b._1)
 
@@ -935,9 +942,10 @@ object Pipeline {
     * named pid/mid/rk. Persisted so the offset scan and the final
     * projection see one partition assignment (both `spark_partition_id`
     * and the id generator are non-deterministic expressions); the memo
-    * key `(dir, tag)` must uniquely identify the (input frame, sort)
-    * pair within the dir, and is suffixed with the source-parquet
-    * fingerprint so a regenerated dataset mints a fresh rank frame.
+    * key is `(dir@source-fingerprint, tag)` — the tag must uniquely
+    * identify the (input frame, sort) pair within the dir, and the
+    * fingerprinted group means a regenerated dataset both mints a fresh
+    * rank frame AND evicts the stale generation's frames.
     */
   private def globalRank(spark: SparkSession, dir: String, tag: String,
       df: => DataFrame, nPart: Int,
@@ -945,7 +953,7 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val srcFp = graft.sources.FileSources.fingerprint(
       new java.io.File(t(dir, "documents")))
-    val ranged = rankMemo.getOrElseUpdate(spark, (dir, s"$tag@$srcFp")) {
+    val ranged = rankMemo.getOrElseUpdate(spark, (s"$dir@$srcFp", tag)) {
       df.repartitionByRange(nPart, sort: _*)
         .sortWithinPartitions(sort: _*)
         .withColumn("pid", spark_partition_id())

@@ -1026,12 +1026,20 @@ object Relational {
     // One retry on a FRESH fingerprint (ADVICE r15): a concurrent run over
     // a regenerated input legitimately reclaims this run's table mid-ANALYZE
     // — our name carries the old file's fingerprint, which the sibling rule
-    // marks stale by construction. Recomputing the fingerprint keys the
-    // second attempt to the file now on disk, so the race costs one extra
-    // ANALYZE instead of a failed row; a second failure is a real error
-    // (broken metastore, unreadable input) and propagates.
+    // marks stale by construction. The retry fires ONLY when recomputing
+    // the fingerprint yields a DIFFERENT name (the input really was
+    // regenerated — the race's signature); an unchanged fingerprint means
+    // the failure is deterministic (broken metastore, missing Statistics
+    // line) and re-running the identical attempt would just duplicate it
+    // (code-review r15). If the retry fails too, the first failure rides
+    // along as a suppressed exception so the root cause survives.
     val rows = try analyzeOnce(tbl) catch {
-      case scala.util.control.NonFatal(_) => analyzeOnce(mkTbl())
+      case scala.util.control.NonFatal(e1) =>
+        val fresh = mkTbl()
+        if (fresh == tbl) throw e1
+        try analyzeOnce(fresh) catch {
+          case scala.util.control.NonFatal(e2) => e2.addSuppressed(e1); throw e2
+        }
     }
     rows.toDF("col", "min_v", "max_v", "n_nulls", "n_rows", "ndv_ok")
   }

@@ -817,9 +817,9 @@ object Similarity {
     * value each: query stride (every 97th vector is a query), the raw
     * retrieval depth, and the context token budget.
     */
-  private val RagStride = 97
-  private val RagTopK = 8
-  private val RagBudget = 512
+  private[queries] val RagStride = 97
+  private[queries] val RagTopK = 8
+  private[queries] val RagBudget = 512
 
   /** RAG context assembly — the retrieval pipeline in front of every
     * retrieval-augmented generation call, composed end-to-end from the
@@ -956,8 +956,14 @@ object Similarity {
     *     of the exact hit count — the nProbe=2 floor every IVF row pins
     *     (probing 2 of 16 data-adaptive cells; the measured margin is
     *     far above the random-cell 12.5%).
-    *   - `ctx_budget_ok`: the assembled IVF context obeys the token
-    *     budget per query — the stages really ran over the IVF hits.
+    *   - `ctx_admission_ok`: the assembled context's per-query row
+    *     counts equal an INDEPENDENT re-derivation of the admission
+    *     rule — dedup via `min_by` over (−cosine, doc_id) and the
+    *     budget prefix via an O(k²) per-query self-join running sum,
+    *     a different plan from [[ragStages]]' window spelling on both
+    *     stages (code-review r15: the first cut asserted
+    *     `max(cum_tok) <= budget` over rows ragStages had already
+    *     filtered by exactly that predicate — tautologically true).
     *
     * Scale shape: replaces the exact row's one corpus scan per query
     * sliver with the IVF probe's cell-bounded candidate generation —
@@ -982,13 +988,16 @@ object Similarity {
     s"""SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % $RagStride = 0)
        |         AS BIGINT) AS n_queries,
        |       true AS per_query_k_ok, true AS recall_ge_20pct,
-       |       true AS ctx_budget_ok""".stripMargin) { (spark, dir) =>
+       |       true AS ctx_admission_ok""".stripMargin) { (spark, dir) =>
     val p = AnnIvf.IvfParams(topK = RagTopK)
     val ivfHits = AnnIvf.topKOf(
       AnnIvf.ivfCandidates(spark, dir, p, p.nProbe, col("vec_id") % RagStride === 0),
       RagTopK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
-    val context = ragIvfContextForTest(spark, dir)
+    // one ivfHits subtree feeds both the context and the gate (code-review
+    // r15: the first cut rebuilt the probe join + top-k window a second
+    // time through the test accessor)
+    val context = ragStages(spark, dir, ivfHits)
     val exact = ragExactHits(spark, dir).select(col("query_id"), col("doc_id"))
     val nHits = ivfHits.select(col("query_id"), col("doc_id"))
       .join(exact, Seq("query_id", "doc_id"), "left_semi")
@@ -997,12 +1006,36 @@ object Similarity {
     val shape = ivfHits.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
       .agg(count(lit(1)).as("n_queries"),
         (min(col("k")) === RagTopK && max(col("k")) === RagTopK).as("per_query_k_ok"))
-    val budget = context.agg(
-      coalesce(max(col("cum_tok")) <= RagBudget, lit(true)).as("ctx_budget_ok"))
-    shape.crossJoin(nHits).crossJoin(nExact).crossJoin(budget)
+    // Independent admission re-derivation (see docstring): min_by dedup +
+    // O(k²) self-join prefix sums over ≤ RagTopK rows per query — bounded
+    // by the retrieval depth, never data-sized.
+    val docs = spark.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), expr("poly_hash(text)").as("fp"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val dedup2 = ivfHits.join(docs, Seq("doc_id"))
+      .groupBy(col("query_id"), col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("tok"), col("cosine")),
+        struct(negate(col("cosine")), col("doc_id"))).as("best"))
+      .select(col("query_id"), col("best.doc_id").as("doc_id"),
+        col("best.tok").as("tok"), col("best.cosine").as("cosine"))
+    val other = dedup2.select(col("query_id").as("q2"), col("doc_id").as("d2"),
+      col("tok").as("t2"), col("cosine").as("c2"))
+    val n2 = dedup2.join(other, col("query_id") === col("q2") &&
+        (col("c2") > col("cosine") ||
+          (col("c2") === col("cosine") && col("d2") <= col("doc_id"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("t2")).as("cum2"))
+      .filter(col("cum2") <= RagBudget)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n2"))
+    val n1 = context.groupBy(col("query_id")).agg(count(lit(1)).as("n1"))
+    val admission = n1.join(n2, Seq("query_id"), "full_outer")
+      .agg(coalesce(
+        bool_and(coalesce(col("n1"), lit(-1L)) === coalesce(col("n2"), lit(-2L))),
+        lit(true)).as("ctx_admission_ok"))
+    shape.crossJoin(nHits).crossJoin(nExact).crossJoin(admission)
       .select(col("n_queries"), col("per_query_k_ok"),
         (col("n_hits") * 100 >= col("n_exact") * 20).as("recall_ge_20pct"),
-        col("ctx_budget_ok"))
+        col("ctx_admission_ok"))
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -601,6 +601,13 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(second == Map(12L -> 0L, 11L -> 1L, 10L -> 2L),
       "stale rank frame served after the source parquet was regenerated")
+    // code-review r15: the stale generation must be EVICTED, not just
+    // bypassed — grouped by dir alone the old persisted frame leaked for
+    // the session's lifetime, once per regeneration.
+    val liveGroups = Pipeline.rankMemo.keysFor(spark)
+      .map(_._1).filter(_.startsWith(dir)).toSet
+    assert(liveGroups.size <= 1,
+      s"regeneration left stale rank-frame generations alive: $liveGroups")
   }
 
   test("gram novelty counts distinct 8-grams first seen in each document") {
