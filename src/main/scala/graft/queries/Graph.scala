@@ -139,11 +139,14 @@ object Graph {
     * basket size), never an order-keyed self-join.
     *
     * Scale shape: one exchange to build edges, one key-sized degree
-    * aggregate, then wedge⋈edge — two hash joins on vertex/edge keys,
-    * both AQE-skew-splittable. The (deg, id) composite packs into one
-    * long (deg · 2³² + id) so the ordering is a single integer compare
-    * in codegen; degrees and ids are both far below 2³² at any SF (and
-    * a 100 TB graph re-packs into the 128-bit struct compare instead).
+    * aggregate, one groupBy(source) exchange for the adjacency lists
+    * (wedges then expand IN-ROW, bounded by C(outdeg, 2) with the
+    * orientation's √|E| cap — they never shuffle), and one
+    * AQE-broadcastable membership join on the packed pair key. The
+    * (deg, id) composite packs into one long (deg · 2³² + id) so the
+    * ordering is a single integer compare in codegen; degrees and ids
+    * are both far below 2³² at any SF (and a 100 TB graph re-packs
+    * into the 128-bit struct compare instead).
     */
   val triangles: QueryDef = QueryDef(
     """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -171,15 +174,26 @@ object Graph {
         when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("s"),
         when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rt"),
         when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("t"))
-    // The wedge→edge membership join keys on the (b, c) pair PACKED into
-    // one long (b·2³² + c — partkeys are far below 2³² at any SF; a
-    // 100 TB graph re-packs into the 128-bit struct compare instead):
-    // the wedge stream is the dominant shuffle (Σ C(outdeg, 2) rows), so
-    // halving its key width halves the exchange bytes.
-    val wedges = directed.select(col("s"), col("t").as("b"), col("rt").as("rb"))
-      .join(directed.select(col("s"), col("t").as("c"), col("rt").as("rc")), "s")
-      .filter(col("rb") < col("rc"))
-      .select(expr("b * 4294967296 + c").as("bc"))
+    // Wedges via IN-ROW expansion of the out-adjacency list, not a
+    // self-join (r15 rework, measured 7.1 → 5.6 s at sf0.1 with the
+    // count byte-identical): one groupBy(s) builds each source's
+    // rank-sorted neighbor array, and the Pairs-style nested transform
+    // emits every rb < rc pair directly — the same single exchange the
+    // self-join needed for its build side, but no second probe pass
+    // over the exchange and no join hash table; the orientation bound
+    // still caps the per-row fan-out at C(outdeg, 2) with outdeg ≤
+    // O(√|E|). The 41M-wedge stream at sf0.1 never leaves its
+    // partition. Keys stay PACKED into one long (b·2³² + c — partkeys
+    // are far below 2³² at any SF; a 100 TB graph re-packs into the
+    // 128-bit struct compare instead).
+    val adj = directed.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("rt"), col("t")))).as("ts"))
+    val ts = col("ts")
+    val wedgePairs = flatten(transform(sequence(lit(0), size(ts) - 2), i =>
+      transform(sequence(i + 1, size(ts) - 1), j =>
+        element_at(ts, i + 1).getField("t") * 4294967296L +
+          element_at(ts, j + 1).getField("t"))))
+    val wedges = adj.filter(size(ts) >= 2).select(explode(wedgePairs).as("bc"))
     // Deliberately UNHINTED (measured): the packed edge-key side is ~|E|
     // longs, and AQE's runtime size check converts this into a broadcast
     // join at test SFs — the wedge stream (the dominant side) then never
