@@ -636,6 +636,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"edges must build via in-row pair expansion:\n$p")
   }
 
+  test("q_triangles: wedges expand in-row over the adjacency aggregate, no extra exchange") {
+    // r15 rework: the wedge stage is a Generate(explode) sitting directly
+    // on the groupBy(s) adjacency aggregate — the 41M-wedge stream must
+    // never shuffle. In the plan tree: the wedge Generate's subtree hits
+    // an ObjectHashAggregate (collect_list) BEFORE any Exchange; a
+    // regression back to the self-join (or an exchange of exploded rows)
+    // puts a Join/Exchange first.
+    val p = plan("q_triangles")
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(l => l.contains("Generate explode") && l.contains("4294967296"))
+    assert(gen >= 0, s"packed wedge explode missing:\n$p")
+    val below = lines.drop(gen + 1)
+    val agg = below.indexWhere(_.contains("ObjectHashAggregate"))
+    val exch = below.indexWhere(_.contains("Exchange"))
+    assert(agg >= 0, s"adjacency collect_list aggregate missing below the explode:\n$p")
+    assert(exch < 0 || agg < exch,
+      s"wedge stream shuffles before the adjacency aggregate (agg@$agg, exchange@$exch):\n$p")
+  }
+
   test("q_typed_agg: the custom Aggregator still partial-merges map-side") {
     val p = plan("q_typed_agg")
     // A typed Aggregator plans as ObjectHashAggregate; the partial/final
