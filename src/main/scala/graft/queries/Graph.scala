@@ -189,10 +189,8 @@ object Graph {
     val adj = directed.groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("rt"), col("t")))).as("ts"))
     val ts = col("ts")
-    val wedgePairs = flatten(transform(sequence(lit(0), size(ts) - 2), i =>
-      transform(sequence(i + 1, size(ts) - 1), j =>
-        element_at(ts, i + 1).getField("t") * 4294967296L +
-          element_at(ts, j + 1).getField("t"))))
+    val wedgePairs = Pairs.orderedExpr(ts,
+      (b, c) => b.getField("t") * 4294967296L + c.getField("t"))
     val wedges = adj.filter(size(ts) >= 2).select(explode(wedgePairs).as("bc"))
     // Deliberately UNHINTED (measured): the packed edge-key side is ~|E|
     // longs, and AQE's runtime size check converts this into a broadcast

@@ -37,16 +37,28 @@ object QueryDef {
   * unguarded transform indexes out of range on singleton rows.
   */
 private[queries] object Pairs {
+  import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
+
+  /** The raw ordered-pair (i < j) expansion over a sorted array column,
+    * with the pair combiner pluggable — the ONE place the
+    * `sequence(0, -1)`-descends footgun lives (callers must still guard
+    * `size(arr) >= 2` before exploding). [[ordered]] combines into a
+    * two-field struct; Graph's triangle wedges combine into a packed
+    * long (code-review r15: the wedge rework had re-inlined this
+    * pattern as a seventh hand-maintained copy).
+    */
+  def orderedExpr(arr: Column, combine: (Column, Column) => Column): Column =
+    flatten(transform(sequence(lit(0), size(arr) - 2), i =>
+      transform(sequence(i + 1, size(arr) - 1), j =>
+        combine(element_at(arr, i + 1), element_at(arr, j + 1)))))
 
   /** Rows of (aName, bName) pairs, one per ordered element pair of `arr`;
     * other columns are dropped (every call site keeps only the pair).
     */
   def ordered(df: DataFrame, arr: String, aName: String, bName: String): DataFrame = {
     val a = org.apache.spark.sql.functions.col(arr)
-    val pairsExpr = flatten(transform(sequence(lit(0), size(a) - 2), i =>
-      transform(sequence(i + 1, size(a) - 1), j =>
-        struct(element_at(a, i + 1).as(aName), element_at(a, j + 1).as(bName)))))
+    val pairsExpr = orderedExpr(a, (x, y) => struct(x.as(aName), y.as(bName)))
     df.filter(size(a) >= 2)
       .select(explode(pairsExpr).as("p"))
       .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))

@@ -647,12 +647,25 @@ class PlanSpec extends AnyFunSuite {
     val lines = p.linesIterator.toVector
     val gen = lines.indexWhere(l => l.contains("Generate explode") && l.contains("4294967296"))
     assert(gen >= 0, s"packed wedge explode missing:\n$p")
+    // producer side (below the Generate in the tree printout): the
+    // adjacency aggregate comes before its own groupBy exchange
     val below = lines.drop(gen + 1)
     val agg = below.indexWhere(_.contains("ObjectHashAggregate"))
     val exch = below.indexWhere(_.contains("Exchange"))
     assert(agg >= 0, s"adjacency collect_list aggregate missing below the explode:\n$p")
     assert(exch < 0 || agg < exch,
       s"wedge stream shuffles before the adjacency aggregate (agg@$agg, exchange@$exch):\n$p")
+    // CONSUMER side (above the Generate — where an exchange of exploded
+    // rows would actually print; code-review r15 caught the first cut
+    // checking only below): between the Generate and the first count
+    // aggregate above it there must be no Exchange — a repartition of
+    // the wedge stream or a shuffle membership join lands exactly there.
+    val above = lines.take(gen).reverse // nearest-consumer-first
+    val aggUp = above.indexWhere(_.contains("HashAggregate"))
+    val exchUp = above.indexWhere(_.contains("Exchange"))
+    assert(aggUp >= 0, s"count aggregate missing above the wedge explode:\n$p")
+    assert(exchUp < 0 || aggUp < exchUp,
+      s"exploded wedge stream shuffles before the count (agg@$aggUp, exchange@$exchUp):\n$p")
   }
 
   test("q_typed_agg: the custom Aggregator still partial-merges map-side") {
