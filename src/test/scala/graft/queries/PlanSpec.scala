@@ -637,35 +637,73 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_triangles: wedges expand in-row over the adjacency aggregate, no extra exchange") {
-    // r15 rework: the wedge stage is a Generate(explode) sitting directly
-    // on the groupBy(s) adjacency aggregate — the 41M-wedge stream must
-    // never shuffle. In the plan tree: the wedge Generate's subtree hits
-    // an ObjectHashAggregate (collect_list) BEFORE any Exchange; a
-    // regression back to the self-join (or an exchange of exploded rows)
-    // puts a Join/Exchange first.
-    val p = plan("q_triangles")
-    val lines = p.linesIterator.toVector
-    val gen = lines.indexWhere(l => l.contains("Generate explode") && l.contains("4294967296"))
-    assert(gen >= 0, s"packed wedge explode missing:\n$p")
-    // producer side (below the Generate in the tree printout): the
-    // adjacency aggregate comes before its own groupBy exchange
-    val below = lines.drop(gen + 1)
-    val agg = below.indexWhere(_.contains("ObjectHashAggregate"))
-    val exch = below.indexWhere(_.contains("Exchange"))
-    assert(agg >= 0, s"adjacency collect_list aggregate missing below the explode:\n$p")
+    // r15 rework, r16 chunking: the wedge stage is two fused Generates
+    // (posexplode picks the center, explode emits its packed tail pairs)
+    // sitting directly on the groupBy(s) adjacency aggregate — the
+    // 41M-wedge stream must never shuffle. Pinned by WALKING the executed
+    // plan tree, not scanning the flat printout (ADVICE r15: a substring
+    // scan can match aggregates/exchanges from a sibling subtree — e.g.
+    // the broadcast build side of the membership join — and a bare
+    // "HashAggregate" also matches "ObjectHashAggregate").
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_triangles")(spark, sf)
+    df.collect() // AQE: pin the FINAL plan, not the pre-execution sketch
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    def walk(p: SparkPlan): Vector[SparkPlan] = p +: kids(p).flatMap(walk).toVector
+    def isExchange(p: SparkPlan): Boolean = {
+      val n = p.getClass.getSimpleName
+      n.contains("Exchange") || n.contains("QueryStage")
+    }
+    val all = walk(root)
+    val gen = all.collectFirst {
+      case g: GenerateExec if g.generator.toString.contains("4294967296") => g
+    }.getOrElse(fail(s"packed wedge explode missing:\n$root"))
+    // Producer side: descending from the packed explode, the outer
+    // posexplode Generate then the adjacency ObjectHashAggregate must
+    // appear before any exchange — a regression back to the self-join
+    // (or a repartition of the adjacency) puts an exchange first.
+    val below = walk(gen).drop(1).map(p => (p, p.getClass.getSimpleName))
+    val outerGen = below.indexWhere(_._1.isInstanceOf[GenerateExec])
+    val agg = below.indexWhere(_._2.contains("ObjectHashAggregate"))
+    val exch = below.indexWhere(t => isExchange(t._1))
+    assert(outerGen >= 0 && (agg < 0 || outerGen < agg),
+      s"outer posexplode Generate must sit between the packed explode and the aggregate:\n$root")
+    assert(agg >= 0, s"adjacency collect_list aggregate missing below the explode:\n$root")
     assert(exch < 0 || agg < exch,
-      s"wedge stream shuffles before the adjacency aggregate (agg@$agg, exchange@$exch):\n$p")
-    // CONSUMER side (above the Generate — where an exchange of exploded
-    // rows would actually print; code-review r15 caught the first cut
-    // checking only below): between the Generate and the first count
-    // aggregate above it there must be no Exchange — a repartition of
-    // the wedge stream or a shuffle membership join lands exactly there.
-    val above = lines.take(gen).reverse // nearest-consumer-first
-    val aggUp = above.indexWhere(_.contains("HashAggregate"))
-    val exchUp = above.indexWhere(_.contains("Exchange"))
-    assert(aggUp >= 0, s"count aggregate missing above the wedge explode:\n$p")
+      s"wedge stream shuffles before the adjacency aggregate:\n$root")
+    // Consumer side: on the ANCESTOR PATH from the packed explode to the
+    // partial count aggregate (HashAggregate, Object-variant excluded)
+    // there must be no exchange — a repartition of the wedge stream or a
+    // shuffle membership join lands exactly there. The membership join's
+    // broadcast exchange hangs off the OTHER child of the join, which the
+    // path walk correctly ignores.
+    def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+      if (p eq gen) Some(Nil)
+      else kids(p).view.flatMap(c => pathTo(c).map(p :: _)).headOption
+    val up = pathTo(root)
+      .getOrElse(fail(s"wedge explode unreachable from root:\n$root"))
+      .reverse // nearest ancestor first
+    val upNames = up.map(_.getClass.getSimpleName)
+    val aggUp = upNames.indexWhere(n => n.contains("HashAggregate") && !n.contains("Object"))
+    val exchUp = up.indexWhere(isExchange)
+    assert(aggUp >= 0, s"count aggregate missing above the wedge explode:\n$root")
     assert(exchUp < 0 || aggUp < exchUp,
-      s"exploded wedge stream shuffles before the count (agg@$aggUp, exchange@$exchUp):\n$p")
+      s"exploded wedge stream shuffles before the count:\n$root")
+    // Both Generates and the membership probe fuse into ONE codegen stage
+    // (the chunking rationale: the inner tail transform stays in the same
+    // stage, so the largest transient is outdeg-long, not C(outdeg, 2)).
+    val host = all.collect { case w: WholeStageCodegenExec => w }
+      .find(w => walk(w).exists(_ eq gen))
+    assert(host.exists(w => walk(w).count(_.isInstanceOf[GenerateExec]) == 2),
+      s"both wedge Generates must share one codegen stage:\n$root")
   }
 
   test("q_typed_agg: the custom Aggregator still partial-merges map-side") {
