@@ -952,10 +952,16 @@ object Similarity {
     *     ids in the parquet; a query stranded in an empty probe set
     *     breaks the equality).
     *   - `per_query_k_ok`: exactly [[RagTopK]] stage-1 hits per query.
-    *   - `recall_ge_20pct`: stage-1 IVF hits ∩ exact stage-1 hits ≥ 20%
-    *     of the exact hit count — the nProbe=2 floor every IVF row pins
-    *     (probing 2 of 16 data-adaptive cells; the measured margin is
-    *     far above the random-cell 12.5%).
+    *   - `recall_ge_30pct`: stage-1 IVF hits ∩ exact stage-1 hits ≥ 30%
+    *     of the exact hit count. The floor sits at the measured band
+    *     (VERDICT r15 #2 — the generic 20% IVF floor would pass a badly
+    *     regressed probe path): measured stage-1 recall is 0.417 /
+    *     0.521 / 0.363 at sf0.001/0.01/0.1, so 30% keeps ≥5 hits of
+    *     margin at every SF, where 35% would leave TWO hits at sf0.1
+    *     (61 observed vs 59 required — inside single-code-change
+    *     k-means float-order perturbation). A regressed path probing
+    *     effectively random cells lands at 2/16 = 12.5%, less than
+    *     half the floor.
     *   - `ctx_admission_ok`: the assembled context's per-query row
     *     counts equal an INDEPENDENT re-derivation of the admission
     *     rule — dedup via `min_by` over (−cosine, doc_id) and the
@@ -987,7 +993,7 @@ object Similarity {
   val ragRetrieveIvf: QueryDef = QueryDef(
     s"""SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % $RagStride = 0)
        |         AS BIGINT) AS n_queries,
-       |       true AS per_query_k_ok, true AS recall_ge_20pct,
+       |       true AS per_query_k_ok, true AS recall_ge_30pct,
        |       true AS ctx_admission_ok""".stripMargin) { (spark, dir) =>
     val p = AnnIvf.IvfParams(topK = RagTopK)
     val ivfHits = AnnIvf.topKOf(
@@ -1034,7 +1040,7 @@ object Similarity {
         lit(true)).as("ctx_admission_ok"))
     shape.crossJoin(nHits).crossJoin(nExact).crossJoin(admission)
       .select(col("n_queries"), col("per_query_k_ok"),
-        (col("n_hits") * 100 >= col("n_exact") * 20).as("recall_ge_20pct"),
+        (col("n_hits") * 100 >= col("n_exact") * 30).as("recall_ge_30pct"),
         col("ctx_admission_ok"))
   }
 

@@ -96,7 +96,7 @@ class AnnIvfSpec extends AnyFunSuite {
     val g = gate(0)
     assert(g.getAs[Long]("n_queries") == 6L) // 500 vectors, stride 97 -> ids 0,97,...,485
     assert(g.getAs[Boolean]("per_query_k_ok"))
-    assert(g.getAs[Boolean]("recall_ge_20pct"))
+    assert(g.getAs[Boolean]("recall_ge_30pct"))
     assert(g.getAs[Boolean]("ctx_admission_ok"))
     // Measured recall of the ASSEMBLED CONTEXT (not just stage-1 hits):
     // what fraction of the exact row's admitted (query, doc) context the
@@ -113,7 +113,11 @@ class AnnIvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     val ivfCtx = ivfRows.map(r => (r._1, r._2)).toSet
     val recall = (exactCtx intersect ivfCtx).size.toDouble / exactCtx.size
-    assert(recall >= 0.2, s"RAG context recall = $recall")
+    // Floor at the measured band, like the gate row's stage-1 floor
+    // (VERDICT r15 #2): measured context recall is 0.42 at sf0.001;
+    // 0.3 keeps real margin while a regressed probe path (random cells,
+    // ~0.125) fails by more than half.
+    assert(recall >= 0.3, s"RAG context recall = $recall")
     info(f"RAG-over-IVF context recall = $recall%.2f")
     // dedup + budget invariants hold on the IVF context (per query:
     // ranks contiguous from 1, cum_tok non-decreasing and <= budget —
