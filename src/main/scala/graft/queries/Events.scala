@@ -2987,21 +2987,8 @@ object Events {
         val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")
         val ev = spark.read.parquet(t(dir, "events"))
           .select(col("event_id"), col("user_id"), cents)
-        def stage(name: String, predicate: org.apache.spark.sql.Column, mtime: Long): Unit = {
-          val raw = new java.io.File(work, name + ".raw")
-          ev.filter(predicate).coalesce(1)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(raw.toString)
-          val part = raw.listFiles().filter(_.getName.endsWith(".parquet")) match {
-            case Array(single) => single
-            case parts => throw new IllegalStateException(
-              s"$name: expected 1 part file, got ${parts.length}")
-          }
-          val dest = new java.io.File(in, name + ".parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          require(dest.setLastModified(mtime), s"failed to set mtime on $dest")
-          FileSources.deleteRecursively(raw)
-        }
+        def stage(name: String, predicate: org.apache.spark.sql.Column, mtime: Long): Unit =
+          stageSingleFile(ev.filter(predicate), work, in, name, mtime)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -3049,8 +3036,167 @@ object Events {
     spark.read.parquet(s"$out/result").select(col("user_id"), col("n"), col("cents"))
   }
 
+  /** Single-file parquet staging shared by the checkpoint-restart rows: a
+    * filtered projection lands as exactly ONE part file with a pinned
+    * mtime, so the file stream source sees a deterministic per-phase
+    * batch and the offsets log is reproducible.
+    */
+  private def stageSingleFile(df: DataFrame, work: java.io.File,
+      in: java.io.File, name: String, mtime: Long): Unit = {
+    import graft.sources.FileSources
+    val raw = new java.io.File(work, name + ".raw")
+    df.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(raw.toString)
+    val part = raw.listFiles().filter(_.getName.endsWith(".parquet")) match {
+      case Array(single) => single
+      case parts => throw new IllegalStateException(
+        s"$name: expected 1 part file, got ${parts.length}")
+    }
+    val dest = new java.io.File(in, name + ".parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dest.setLastModified(mtime), s"failed to set mtime on $dest")
+    FileSources.deleteRecursively(raw)
+  }
+
+  /** [[checkpointRestart]]'s sibling over `transformWithState` (VERDICT
+    * r15 #4): the repo's strongest stateful claims now ride the
+    * StatefulProcessor/RocksDB surface (q_transform_state,
+    * q_cdc_apply_stream), so checkpoint compatibility across a code
+    * change is exercised on THAT state format too, not only on the
+    * aggregation store. Same dance, new state machinery: phase A streams
+    * the even-event_id half into [[graft.streaming.RunningTotals]] (typed
+    * ValueState in RocksDB) and stops; the odd half is added and phase
+    * B's re-spelled query (pruned selectExpr route — the refactor class a
+    * live pipeline ships between restarts) restarts on the SAME
+    * checkpoint.
+    *
+    * The proof is the same arithmetic: the file source's committed
+    * offsets mean phase B never re-reads the even half, and the
+    * processor emits each key's CUMULATIVE (n, sum) with n strictly
+    * increasing — so the per-key max over both phases' update-mode
+    * emissions equals the batch aggregate over ALL events (the DuckDB
+    * oracle) only if the even half's totals were restored from RocksDB
+    * state. A lost or reset store makes phase B restart every
+    * both-halves user at n = n_odd < n_even + n_odd and the hash gate
+    * fails. CheckpointCompatSpec carries the negative control (fresh
+    * checkpoint → visible under-count) this gated row cannot afford.
+    *
+    * The on-disk contract is pinned in-row: the checkpoint's operator
+    * metadata (state/0/_metadata/v2) must record operator
+    * `transformWithStateExec` with the `totals` ValueState variable —
+    * the format this compatibility claim is made FOR.
+    *
+    * Scale shape: state is (user_id -> two longs) in RocksDB —
+    * key-partitioned, fixed-width, disk-backed; staging is one pass over
+    * events; the dance runs once per (source, build) fingerprint and
+    * replays read the cached result parquet.
+    */
+  val twsRestart: QueryDef = QueryDef(
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n, $fixedSumSql AS sum_value
+       |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    import graft.sources.FileSources
+    pinEventReadConfs(spark)
+    val out = {
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fp = FileSources.fingerprint(new java.io.File(t(dir, "events")))
+      s"/tmp/graft_twsrestart${sf}_${fp}b${FileSources.buildFingerprint}"
+    }
+    FileSources.writeOnce(out) { o =>
+      val work = new java.io.File(o, "work")
+      FileSources.deleteRecursively(work)
+      val in = new java.io.File(work, "in"); in.mkdirs()
+      val chk = s"$work/chk"
+      try {
+        val ev = spark.read.parquet(t(dir, "events"))
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v4"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id LONG, v4 LONG")
+        // Emissions land via foreachBatch as batchId-idempotent parquet
+        // (the q_foreach_batch discipline): the memory sink REFUSES to
+        // recover a non-complete-mode query from a checkpoint, and
+        // foreachBatch-to-files is the production shape of a restartable
+        // TWS pipeline anyway. batchId continues across the restart (it
+        // is the epoch in the offsets log), so the two phases' batches
+        // never collide.
+        val emit = s"$work/emit"
+        def runPhase(
+            spelling: DataFrame => org.apache.spark.sql.Dataset[(Long, Long, Long)]): Unit =
+          withStreamPartitions(spark, 4) {
+            withStateStoreProvider(spark,
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+              val src = spark.readStream.schema(schema).parquet(in.toString)
+              val q = spelling(src).toDF("user_id", "n", "sum_v4")
+                .writeStream
+                .foreachBatch {
+                  (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                    batch.withColumn("batch", lit(batchId))
+                      .write
+                      .partitionBy("batch")
+                      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                      .option("partitionOverwriteMode", "dynamic")
+                      .parquet(emit)
+                    ()
+                }
+                .outputMode("update")
+                .option("checkpointLocation", chk)
+                .start()
+              try q.processAllAvailable()
+              finally q.stop()
+            }
+          }
+        import spark.implicits._
+        val baseMtime = 1600000000000L
+        stageSingleFile(ev.filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("v4")), work, in, "half_even", baseMtime)
+        // phase A: the Column-DSL spelling ("the r(N-1) code")
+        runPhase { src =>
+          src.select(col("user_id"), col("v4")).as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+        stageSingleFile(ev.filter(col("event_id") % 2 =!= 0)
+          .select(col("user_id"), col("v4")), work, in, "half_odd", baseMtime + 60000L)
+        // phase B: the re-spelled query ("the shipped refactor") on the
+        // SAME checkpoint — selectExpr-route projection; same key type,
+        // same processor state schema, same output shape.
+        runPhase { src =>
+          src.selectExpr("user_id", "v4").as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+        // pin the state machinery the compatibility claim is made for
+        val metaDir = new java.io.File(chk, "state/0/_metadata/v2")
+        val opMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.forall(_.isDigit)) // skip binary .crc sidecars
+          .map(f => java.nio.file.Files.readString(f.toPath)).mkString("\n")
+        require(opMeta.contains("transformWithStateExec") &&
+            opMeta.contains("ValueState") && opMeta.contains("totals"),
+          "checkpoint operator metadata does not record the transformWithState " +
+            "ValueState contract — the restart-compatibility claim changed underneath this row")
+        // n strictly increases per key, so the per-key max over both
+        // phases' emissions is the final state; phase A's batches cover
+        // users whose events all landed in the even half.
+        spark.read.parquet(emit)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("sum_v4"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            round(col("m.sum_v4") / 10000.0, 2).as("sum_value"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/result")
+      } finally FileSources.deleteRecursively(work)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(o, "_SUCCESS")): Unit
+    }
+    spark.read.parquet(s"$out/result").select(col("user_id"), col("n"), col("sum_value"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q_checkpoint_restart" -> checkpointRestart,
+    "q_tws_restart" -> twsRestart,
     "q_ks_drift" -> ksDrift,
     "q_stream_union" -> streamUnion,
     "q_state_reader" -> stateReader,

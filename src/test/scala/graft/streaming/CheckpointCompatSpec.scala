@@ -87,4 +87,71 @@ class CheckpointCompatSpec extends AnyFunSuite {
       "a lost checkpoint must visibly under-count — otherwise the positive " +
         "assertion above proves nothing")
   }
+
+  /** The q_tws_restart contract's negative control: same dance over the
+    * transformWithState ValueState processor (RocksDB store), with the
+    * emissions landing via batchId-idempotent foreachBatch parquet (the
+    * memory sink refuses to recover a non-complete query). A fresh
+    * checkpoint after real input loss must visibly under-count the
+    * both-halves key.
+    */
+  private def runTwsPhase(in: java.io.File, chk: String, emit: String): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(schema).parquet(in.toString)
+        .select(col("user_id"), col("cents")).as[(Long, Long)]
+      val q = src.groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningTotals,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "cents")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch", lit(batchId))
+            .write.partitionBy("batch")
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(emit)
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // per-key max(n): n strictly increases across a key's emissions
+    spark.read.parquet(emit).groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("cents"))).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+  }
+
+  test("transformWithState restart carries ValueState; a fresh checkpoint visibly loses it") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("graft-tws-compat").toFile
+    val in = new java.io.File(work, "in"); in.mkdirs()
+
+    stage(in, "half_a", 1600000000000L, Seq((1L, 10L), (1L, 20L), (2L, 5L)))
+    val a = runTwsPhase(in, s"$work/chk", s"$work/emit")
+    assert(a == Map(1L -> ((2L, 30L)), 2L -> ((1L, 5L))))
+
+    stage(in, "half_b", 1600000060000L, Seq((1L, 100L), (3L, 7L)))
+    val b = runTwsPhase(in, s"$work/chk", s"$work/emit")
+    assert(b == Map(1L -> ((3L, 130L)), 2L -> ((1L, 5L)), 3L -> ((1L, 7L))),
+      "restart from the checkpoint must resume from restored RocksDB ValueState")
+
+    // negative control: fresh checkpoint + real input loss
+    assert(new java.io.File(in, "half_a.parquet").delete())
+    val lost = runTwsPhase(in, s"$work/chk_fresh", s"$work/emit_fresh")
+    assert(lost == Map(1L -> ((1L, 100L)), 3L -> ((1L, 7L))),
+      "a lost checkpoint must visibly under-count — otherwise the positive " +
+        "assertion above proves nothing")
+  }
 }
