@@ -52,6 +52,7 @@ object SparkEntry {
     ReferenceOps.defs ++ graft.queries.Dedup.defs ++ graft.queries.TextOps.defs ++
       graft.queries.Similarity.defs ++ graft.queries.Events.defs ++
       graft.queries.Multimodal.defs ++ graft.queries.AnnIvf.defs ++
+      graft.queries.AnnIngest.defs ++
       graft.queries.Sources.defs ++ graft.queries.Relational.defs ++
       graft.queries.Pipeline.defs ++ graft.queries.Graph.defs ++
       graft.queries.SqlSurface.defs

@@ -101,16 +101,24 @@ object AnnIvf {
     // pushes the limit below the shuffle).
     val qv = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"), col("norm2"))
+    (assigned, probeCells(qv, centDF, maxProbe))
+  }
+
+  /** Probe-cell selection over an arbitrary (query vectors, centroid
+    * table) pair — extracted so [[AnnIngest]]'s streamed index probes
+    * with the same plan the batch rows use. `qv` must carry
+    * (query_id, embedding, norm2).
+    */
+  private[queries] def probeCells(qv: DataFrame, centDF: DataFrame, maxProbe: Int): DataFrame = {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val probeDF = qv.crossJoin(broadcast(centDF))
+    qv.crossJoin(broadcast(centDF))
       .select(col("query_id"), col("cell"),
         (col("norm2") - lit(2.0) * expr("dot_product(embedding, cvec)") + col("cnorm2"))
           .as("dist"))
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= maxProbe)
       .select(col("query_id"), col("cell"), col("rn"))
-    (assigned, probeDF)
   }
 
   /** The expensive half of [[fitAssignProbe]]: fit the seeded KMeans on the
@@ -127,6 +135,18 @@ object AnnIvf {
         array_to_vector(col("embedding")).as("features"),
         expr("dot_product(embedding, embedding)").as("norm2"))
 
+    val model = fitModel(emb, nCells)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("prediction").as("cell"))
+    (assigned, centroidsOf(spark, model))
+  }
+
+  /** The seeded, layout-free KMeans fit shared by [[fitAssign]] and
+    * [[AnnIngest]]'s frozen base-corpus quantizer. `emb` must carry
+    * (vec_id, features).
+    */
+  private[queries] def fitModel(
+      emb: DataFrame, nCells: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val corpusSize = emb.count()
     val trainFraction = math.min(1.0, trainCap.toDouble / math.max(1L, corpusSize))
     // Deterministic sample: filter on a hash of vec_id, not sample() — a
@@ -145,15 +165,19 @@ object AnnIvf {
       .setK(nCells).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
       .fit(train)
     train.unpersist()
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("norm2"), col("prediction").as("cell"))
+    model
+  }
 
+  /** The centroid table (cell, cvec, cnorm2) a fitted model broadcasts
+    * into probe plans — the only state that legitimately lives driver-side.
+    */
+  private[queries] def centroidsOf(
+      spark: SparkSession, model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import spark.implicits._
-    val centDF = model.clusterCenters.map(_.toArray).toSeq.zipWithIndex
+    model.clusterCenters.map(_.toArray).toSeq.zipWithIndex
       .map { case (c, i) => (i, c) }
       .toDF("cell", "cvec")
       .withColumn("cnorm2", expr("dot_product(cvec, cvec)"))
-    (assigned, centDF)
   }
 
   /** The query set defaults to the IvfParams contract (`vec_id <
@@ -170,7 +194,17 @@ object AnnIvf {
     import p._
     val pred = Option(queryPred).getOrElse(col("vec_id") < nQueries)
     val (assigned, probeDF) = fitAssignProbe(spark, dir, p, maxProbe, pred)
-    val q = assigned.filter(pred)
+    candidatesOf(assigned, assigned.filter(pred), probeDF)
+  }
+
+  /** Probed-cell candidate scoring over an arbitrary (index, queries,
+    * probe) triple — extracted for [[AnnIngest]] like [[probeCells]].
+    * `queries` carries (vec_id, embedding, norm2) rows; `assigned` is the
+    * cell-tagged index the candidates come from.
+    */
+  private[queries] def candidatesOf(
+      assigned: DataFrame, queries: DataFrame, probeDF: DataFrame): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm2").as("nq"))
       .join(probeDF, "query_id")
     // No broadcast hint on the query×probe side (ADVICE r3 #2): a forced

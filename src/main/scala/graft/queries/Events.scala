@@ -3041,7 +3041,7 @@ object Events {
     * mtime, so the file stream source sees a deterministic per-phase
     * batch and the offsets log is reproducible.
     */
-  private def stageSingleFile(df: DataFrame, work: java.io.File,
+  private[queries] def stageSingleFile(df: DataFrame, work: java.io.File,
       in: java.io.File, name: String, mtime: Long): Unit = {
     import graft.sources.FileSources
     val raw = new java.io.File(work, name + ".raw")

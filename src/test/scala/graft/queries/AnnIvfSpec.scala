@@ -88,6 +88,21 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(r4.getAs[Boolean]("probe4_ge_probe2"))
   }
 
+  test("streamed IVF ingest converges to the batch index (q_ann_stream_ingest)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = SparkEntry.queries("q_ann_stream_ingest")(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    // 500 vectors at sf0.001 → 125 arrivals (vec_id % 4 == 3)
+    assert(r.getAs[Long]("n_ingested") == 125L)
+    // all 5 query ids present — including vec_id 3, which itself ARRIVED
+    // via the stream: a freshly ingested vector is immediately queryable
+    assert(r.getAs[Long]("n_queries") == 5L)
+    assert(r.getAs[Boolean]("per_query_k_ok"))
+    assert(r.getAs[Boolean]("matches_batch_index"),
+      "probe over the streamed index must equal the frozen-model batch rebuild exactly")
+  }
+
   test("RAG-over-IVF: measured context recall vs the exact row, budget/dedup intact") {
     // VERDICT r14 #3: the IVF swap the exact RAG row documented, measured.
     spark.sparkContext.setLogLevel("WARN")
