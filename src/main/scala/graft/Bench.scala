@@ -194,7 +194,7 @@ object Bench {
 
   // ------------------------------------------------------------ calibration
 
-  private def loadavg(): String =
+  private[graft] def loadavg(): String =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim
     catch { case _: Throwable => "" }
 
@@ -416,10 +416,12 @@ object Bench {
     println(s"""$CalibMarker{"before":${d3(run.calibBefore)},"after":${d3(run.calibAfter)}}""")
   }
 
-  private def runGroupInProcess(
-      qnames: Seq[String],
-      sfDir: String,
-      cpus: String): GroupRun = {
+  /** The bench-child session builder, shared with the diagnostic tools
+    * (StreamBand, TaskMetricsProbe): a conf pin added here is
+    * automatically in force in every harness whose numbers get compared
+    * against bench pins.
+    */
+  private[graft] def benchSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -432,6 +434,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def runGroupInProcess(
+      qnames: Seq[String],
+      sfDir: String,
+      cpus: String): GroupRun = {
+    val spark = benchSession(cpus)
     val calibBefore = calibrate(spark)
     val queries = SparkEntry.queries
     val out = qnames.map { name =>
@@ -456,8 +466,11 @@ object Bench {
   }
 
   /** Dataset cache + persistent RDDs (MLlib KMeans persists RDDs that
-    * `catalog.clearCache()` does not touch — the round-2 bench leak). */
-  private def dropAllCaches(spark: SparkSession): Unit = {
+    * `catalog.clearCache()` does not touch — the round-2 bench leak).
+    * Shared with the diagnostic tools (StreamBand, TaskMetricsProbe) so
+    * their cold-run semantics cannot drift from the bench they adjudicate.
+    */
+  private[graft] def dropAllCaches(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

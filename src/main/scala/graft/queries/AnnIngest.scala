@@ -50,13 +50,18 @@ object AnnIngest {
   // count) or pinned in-dance (the batch count).
   private val ArrivalChunks = 3
 
+  // Params hoisted so the oracle interpolates the SAME nQueries the
+  // driver side filters on (code-review r16: a hardcoded 5 would diverge
+  // silently if the IvfParams default moved).
+  private val P = AnnIvf.IvfParams()
+
   val annStreamIngest: QueryDef = QueryDef(
-    """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 3) AS BIGINT)
-      |         AS n_ingested,
-      |       CAST(5 AS BIGINT) AS n_queries, true AS per_query_k_ok,
-      |       true AS matches_batch_index""".stripMargin) { (spark, dir) =>
+    s"""SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 4 = 3) AS BIGINT)
+       |         AS n_ingested,
+       |       CAST(${P.nQueries} AS BIGINT) AS n_queries, true AS per_query_k_ok,
+       |       true AS matches_batch_index""".stripMargin) { (spark, dir) =>
     import graft.sources.FileSources
-    val p = AnnIvf.IvfParams()
+    val p = P
     val out = {
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val fp = FileSources.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
@@ -77,9 +82,13 @@ object AnnIngest {
         def assign(df: DataFrame): DataFrame = model.transform(df)
           .select(col("vec_id"), col("embedding"), col("norm2"),
             col("prediction").as("cell"))
-        assign(emb.filter(!arrivalPred)).write.parquet(s"$o/base")
-        assign(emb).write.parquet(s"$o/batch") // the batch twin, same frozen model
-        AnnIvf.centroidsOf(spark, model).write.parquet(s"$o/centroids")
+        // Overwrite (code-review r16): a dance that died mid-write leaves
+        // these dirs without the _SUCCESS sentinel; the retry re-enters
+        // writeOnce and ErrorIfExists would wedge the row forever.
+        val ow = org.apache.spark.sql.SaveMode.Overwrite
+        assign(emb.filter(!arrivalPred)).write.mode(ow).parquet(s"$o/base")
+        assign(emb).write.mode(ow).parquet(s"$o/batch") // batch twin, same frozen model
+        AnnIvf.centroidsOf(spark, model).write.mode(ow).parquet(s"$o/centroids")
         val baseMtime = 1600000000000L
         (0 until ArrivalChunks).foreach { c =>
           Events.stageSingleFile(

@@ -41,12 +41,15 @@ private[queries] object Pairs {
   import org.apache.spark.sql.functions._
 
   /** The raw ordered-pair (i < j) expansion over a sorted array column,
-    * with the pair combiner pluggable — the ONE place the
-    * `sequence(0, -1)`-descends footgun lives (callers must still guard
-    * `size(arr) >= 2` before exploding). [[ordered]] combines into a
-    * two-field struct; Graph's triangle wedges combine into a packed
-    * long (code-review r15: the wedge rework had re-inlined this
-    * pattern as a seventh hand-maintained copy).
+    * with the pair combiner pluggable — callers must still guard
+    * `size(arr) >= 2` before exploding (`sequence(0, -1)` DESCENDS).
+    * [[ordered]] combines into a two-field struct. ONE deliberate
+    * non-caller: Graph's triangle wedges (r16) expand in two CHUNKED
+    * levels (posexplode center + per-center tail) precisely to avoid the
+    * single C(n,2)-long transient this one-shot expansion materializes —
+    * its inner `sequence(i + 1, size - 1)` carries its own guard
+    * (`i < size - 1` filtered two lines above; see Graph.scala). Audit
+    * both sites when touching the sequence() semantics.
     */
   def orderedExpr(arr: Column, combine: (Column, Column) => Column): Column =
     flatten(transform(sequence(lit(0), size(arr) - 2), i =>

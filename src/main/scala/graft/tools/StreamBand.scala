@@ -36,16 +36,10 @@ object StreamBand {
     val dirs =
       if (args.length > 2) args.drop(2).toSeq else Seq("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session + cache drop shared with Bench (code-review r16): band
+    // numbers must come from the same engine configuration as the bench
+    // pins they adjudicate.
+    val spark = graft.Bench.benchSession(cpus)
     for (dir <- dirs; q <- queries) {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm-up, untimed
@@ -67,8 +61,5 @@ object StreamBand {
     spark.stop()
   }
 
-  private def drop(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-  }
+  private def drop(spark: SparkSession): Unit = graft.Bench.dropAllCaches(spark)
 }

@@ -28,16 +28,10 @@ object TaskMetricsProbe {
     val n = args.lift(1).map(_.toInt).getOrElse(3)
     val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session, cache drop, and loadavg come from Bench itself (code-review
+    // r16): a hand-maintained copy would silently measure a different
+    // engine configuration than the bench these numbers adjudicate.
+    val spark = graft.Bench.benchSession(cpus)
 
     val gc = new LongAdder; val run = new LongAdder
     val spillMem = new LongAdder; val spillDisk = new LongAdder
@@ -60,6 +54,8 @@ object TaskMetricsProbe {
       val fn = SparkEntry.queries(q)
       fn(spark, dir).count() // warm-up, untimed
       drop(spark)
+      // drain the warm-up's TaskEnd events too, or they leak into run 1
+      Thread.sleep(500)
       (1 to n).foreach { i =>
         gc.reset(); run.reset(); spillMem.reset(); spillDisk.reset()
         peak.set(0); tasks.reset()
@@ -80,13 +76,7 @@ object TaskMetricsProbe {
     spark.stop()
   }
 
-  private def loadavg(): String =
-    scala.util.Try(
-      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-    ).getOrElse("?")
+  private def loadavg(): String = graft.Bench.loadavg()
 
-  private def drop(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-  }
+  private def drop(spark: SparkSession): Unit = graft.Bench.dropAllCaches(spark)
 }
