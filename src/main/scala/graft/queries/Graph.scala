@@ -192,8 +192,9 @@ object Graph {
     // before exploding — a megabyte-class transient per hub row. Now an
     // outer posexplode picks the wedge center b and the inner transform
     // packs only b's tail, so the largest transient is outdeg-long and
-    // both Generates fuse into the same WholeStageCodegen stage as the
-    // membership probe (plan-pinned). Measured same-box idle medians
+    // the two Generates chain back-to-back with no exchange between them
+    // (plan-pinned; whether they also land in one codegen span follows
+    // AQE's build-side pick and is deliberately not pinned). Measured
     // 5.92 → 5.26 s with a tighter band (5.65-6.76 → 5.20-5.39), count
     // byte-identical. The r15 bench-suspect diagnosis rode this harness:
     // under 32 induced hog threads BOTH spellings degrade ≈2× (11.5 vs
