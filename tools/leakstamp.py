@@ -56,6 +56,12 @@ def main():
         "leakcheck_mtime_utc": datetime.datetime.fromtimestamp(
             os.path.getmtime(lk), datetime.timezone.utc).isoformat() if os.path.exists(lk) else None,
         "leakcheck_sha256": sha256_file(lk) if os.path.exists(lk) else None,
+        # VERDICT r15 #3: when this stamp is itself committed, `git_head`
+        # is necessarily the stamp commit's PARENT (a commit cannot
+        # self-reference); src_tree_sha256 is the binding that proves the
+        # scan covered the stamped sources regardless.
+        "binding_note": "git_head is the stamp commit's parent; "
+            "src_tree_sha256 binds the scan to the exact sources",
     }
     out = os.path.join(repo, "LEAKCHECK.stamp.json")
     with open(out, "w") as f:
