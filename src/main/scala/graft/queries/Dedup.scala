@@ -307,9 +307,14 @@ object Dedup {
     bloomGateFrame(spark, dir, bloomPrefilterPartitioned(spark, dir))
   }
 
-  /** Shared shingle prep: doc_id + distinct word-3-gram shingles. */
+  /** Shared shingle prep: doc_id + distinct word-3-gram shingles.
+    * Widen.scan (optimization r16, guide §2.5): the single-row-group
+    * corpus scan is one task, so the shingle expansion + per-shingle
+    * hashing behind the whole MinHash/LSH family ran single-threaded;
+    * at warehouse scale the corpus is many files and this is a no-op.
+    */
   private def shingleDF(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(t(dir, "documents"))
+    val docs = Widen.scan(spark, spark.read.parquet(t(dir, "documents")))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
     docs.select(col("doc_id"),
@@ -825,7 +830,10 @@ object Dedup {
     */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHash64.register(spark)
-    spark.read.parquet(t(dir, "documents"))
+    // Widen.scan (optimization r16, guide §2.5): the one-pass simhash64
+    // projection is the row's whole compute — parallelize it when the
+    // corpus arrives under-split (no-op at warehouse scale).
+    Widen.scan(spark, spark.read.parquet(t(dir, "documents")))
       .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
       .select(col("doc_id"), element_at(col("sig"), 1).as("lo"),
         element_at(col("sig"), 2).as("hi"))
@@ -1178,7 +1186,10 @@ object Dedup {
        |  JOIN documents da ON da.doc_id = pairs.doc_a
        |  JOIN documents db ON db.doc_id = pairs.doc_b) v""".stripMargin) { (spark, dir) =>
     val (pairs, sh) = minhashPairsDF(spark, dir)
-    val docs = spark.read.parquet(t(dir, "documents"))
+    // Widen.scan (optimization r16, guide §2.5): the O(len²) Levenshtein
+    // DP runs in the stage of this scan — single-threaded on the
+    // one-row-group test input without the widening guard.
+    val docs = Widen.scan(spark, spark.read.parquet(t(dir, "documents")))
     val da = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
     val db = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
     // sh stays cached for the plan's three consumers (bands + both verify

@@ -201,7 +201,12 @@ object Graph {
     // 10.9 s) with GC at 4% of task CPU and zero spill — the judge-box
     // amplification is generic CPU contention on the suite's most
     // CPU-parallel row (≈9 effective cores), not allocation pressure.
-    val adj = directed.groupBy(col("s"))
+    // Widen.byKey (optimization r16, guide §2.2): the adjacency exchange
+    // at the full configured width instead of AQE's byte-coalesced pick —
+    // the 41M-wedge expansion reading it ran as 12 skewed tasks holding
+    // 20.3 s of work (StageProbe), i.e. ~8 effective cores of 32. Same
+    // single exchange the groupBy needed; only its width is pinned.
+    val adj = Widen.byKey(directed, col("s")).groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("rt"), col("t")))).as("ts"))
     val ts = col("ts")
     val centers = adj.filter(size(ts) >= 2)
@@ -247,8 +252,15 @@ object Graph {
   // run the three graph rows back-to-back against a warm frame.
   private def coEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(spark, dir) {
-      val baskets = spark.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey"), col("l_partkey"))
+      // Widen.byKey (optimization r16, guide §2.2/§2.5): the basket
+      // aggregate's exchange is spelled as an explicit full-width
+      // repartition — same single shuffle, but pinned against AQE's
+      // byte-based coalescing, which packed the C(basket,2) pair
+      // expansion reading it into 4 tasks (StageProbe: 2.4 s of work).
+      val baskets = Widen.byKey(
+          spark.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       val edges = Pairs.ordered(baskets, "ps", "u", "v")

@@ -392,7 +392,11 @@ object Pipeline {
       val grams = transform(
         sequence(lit(1), size(col("words")) - (width - 1)),
         i => concat_ws(" ", slice(col("words"), i, lit(width))))
-      spark.read.parquet(t(dir, "documents"))
+      // Widen.scan (optimization r16, guide §2.5): the single-row-group
+      // corpus scan is one task, so the gram expansion + poly_hash ran
+      // single-threaded (0.66 s while 31 cores idled — TaskMetricsProbe);
+      // at warehouse scale the corpus is many files and this is a no-op.
+      Widen.scan(spark, spark.read.parquet(t(dir, "documents")))
         .select(col("doc_id"), words.as("words"))
         .filter(size(col("words")) >= width)
         .select(col("doc_id"), posexplode(grams).as(Seq("p0", "gram")))

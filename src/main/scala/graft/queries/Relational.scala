@@ -710,8 +710,14 @@ object Relational {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       |GROUP BY 1, 2 ORDER BY n_orders DESC, supp_a, supp_b LIMIT 20""".stripMargin) {
     (spark, dir) =>
-    val baskets = spark.read.parquet(t(dir, "lineitem"))
-      .select(col("l_orderkey"), col("l_suppkey"))
+    // Widen.byKey (optimization r16, guide §2.2/§2.5): the basket
+    // exchange at full width so the in-row pair expansion reading it is
+    // not packed into a few tasks by AQE's byte-based coalescing (the
+    // expansion amplifies rows ~C(k,2)-fold, which AQE cannot see).
+    val baskets = Widen.byKey(
+        spark.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
     Pairs.ordered(baskets, "ss", "supp_a", "supp_b")
