@@ -206,25 +206,41 @@ object Graph {
     // the 41M-wedge expansion reading it ran as 12 skewed tasks holding
     // 20.3 s of work (StageProbe), i.e. ~8 effective cores of 32. Same
     // single exchange the groupBy needed; only its width is pinned.
+    // The adjacency element is the bare rank long, not a (rt, t) struct:
+    // rt = deg·2³² + t already carries the target id in its low 32 bits,
+    // so collect_list/array_sort operate on a PRIMITIVE long array
+    // (UnsafeArrayData, no per-element struct allocation) and the wedge
+    // pack extracts t with one mask — measured r16: the struct spelling
+    // cost the wedge stage ~2× in task CPU and GC (guide §2.3 narrower
+    // types; §1.2 per-task work).
     val adj = Widen.byKey(directed, col("s")).groupBy(col("s"))
-      .agg(array_sort(collect_list(struct(col("rt"), col("t")))).as("ts"))
+      .agg(array_sort(collect_list(col("rt"))).as("ts"))
     val ts = col("ts")
+    val IdMask = 4294967295L // low 32 bits of a rank long = the vertex id
     val centers = adj.filter(size(ts) >= 2)
       .select(ts, posexplode(ts).as(Seq("i", "b")))
       .filter(col("i") < size(ts) - 1)
     val tailPairs = transform(
       sequence(col("i") + 1, size(ts) - 1),
-      j => col("b").getField("t") * 4294967296L +
-        element_at(ts, j + 1).getField("t"))
+      j => col("b").bitwiseAND(lit(IdMask)) * 4294967296L +
+        element_at(ts, j + 1).bitwiseAND(lit(IdMask)))
     val wedges = centers.select(explode(tailPairs).as("bc"))
-    // Deliberately UNHINTED (measured): the packed edge-key side is ~|E|
-    // longs, and AQE's runtime size check converts this into a broadcast
-    // join at test SFs — the wedge stream (the dominant side) then never
-    // shuffles at all. A forced SHUFFLE_HASH measured ~40% slower by
-    // denying that conversion; at a scale where the edge list outgrows
-    // broadcast, AQE keeps the shuffle plan on its own.
+    // The packed edge-key side is HINTED broadcast (r16 — guide §3.1
+    // "estimates are often badly wrong ... use an explicit broadcast
+    // hint"): Catalyst's stats cannot see through the Generate, so the
+    // 41M-row wedge stream ESTIMATES smaller than the |E|-long edge side
+    // — unhinted, the planner picked the wedge stream as the build side
+    // and the driver spent ~20 s per run collecting and serializing a
+    // 41M-entry hash relation (caught by a thread dump: broadcast
+    // exchange stuck in LongToUnsafeRowMap.write; wall 5.7 → 30 s). The
+    // hint pins the side that is bounded by construction: |E|·8 bytes,
+    // vs the C(outdeg,2)-amplified wedge side. On a graph whose edge
+    // list outgrows executor memory, drop the hint for the shuffle-join
+    // fallback exactly as the bfs frontier note documents. (The r15
+    // SHUFFLE_HASH measurement stands: denying the broadcast entirely
+    // measured ~40% slower.)
     val nTriangles = wedges
-      .join(directed.select(expr("s * 4294967296 + t").as("bc")), "bc")
+      .join(broadcast(directed.select(expr("s * 4294967296 + t").as("bc"))), "bc")
       .agg(count(lit(1)).as("n_triangles"))
     nTriangles.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
   }
@@ -263,8 +279,19 @@ object Graph {
           col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val edges = Pairs.ordered(baskets, "ps", "u", "v")
+      // The pair fan-out packs (u, v) into ONE long (u·2³² + v — partkeys
+      // are far below 2³² at any SF, the same packing the wedge probe
+      // uses), so the distinct dedups an 8-byte key instead of a
+      // two-field struct row: narrower exchange bytes and a cheaper hash
+      // (guide §2.3 "narrower types"). Unpacked right after the distinct;
+      // consumers see the same (u, v) schema as before.
+      val packed = baskets.filter(size(col("ps")) >= 2)
+        .select(explode(Pairs.orderedExpr(col("ps"),
+          (a, b) => a * lit(4294967296L) + b)).as("p"))
         .distinct()
+      val edges = packed
+        .select(shiftright(col("p"), 32).as("u"),
+          col("p").bitwiseAND(lit(4294967295L)).as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges
     }
