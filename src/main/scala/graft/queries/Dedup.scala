@@ -655,6 +655,26 @@ object Dedup {
       spark: SparkSession,
       pairs: DataFrame,
       onEdgesMaterialized: () => Unit = () => ()): (DataFrame, Int) = {
+    // Set-and-restore a narrow shuffle width for the generation loop (the
+    // pagerank/BPE loop rule, applied here in r16): every frame in the
+    // loop is PAIR-GRAPH-sized — near-dup pairs, a small fraction of the
+    // corpus by design — where 32-partition shuffles are pure scheduling
+    // overhead across the loop's ~3 exchanges x O(log diameter)
+    // generations. Safe because the whole loop executes inside this call
+    // (eager checkpoints + labelSum collects; the returned frame is
+    // materialized). On a real cluster this constant is sized to the
+    // pair-graph size / executor memory, exactly as pagerank documents.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.get(spKey)
+    spark.conf.set(spKey, "8")
+    try ccFromPairsBody(spark, pairs, onEdgesMaterialized)
+    finally spark.conf.set(spKey, spPrev)
+  }
+
+  private def ccFromPairsBody(
+      spark: SparkSession,
+      pairs: DataFrame,
+      onEdgesMaterialized: () => Unit): (DataFrame, Int) = {
     val sc = spark.sparkContext
     // Reliable-checkpoint mode (real clusters: a localCheckpoint dies with
     // its executor): when the `graft.cc.checkpointDir` session conf is set,
@@ -830,10 +850,12 @@ object Dedup {
     */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHash64.register(spark)
-    // Widen.scan (optimization r16, guide §2.5): the one-pass simhash64
-    // projection is the row's whole compute — parallelize it when the
-    // corpus arrives under-split (no-op at warehouse scale).
-    Widen.scan(spark, spark.read.parquet(t(dir, "documents")))
+    // Deliberately NOT Widen.scan'd (optimization r16): the one-pass
+    // simhash64 projection is cheaper than the text repartition the
+    // widening would add — measured 0.45 -> 0.71 s WITH the widen (and
+    // q_dedup_drop_metrics +0.2 s), reverted. The shingle/gram widens
+    // pay because their downstream per-row work is 10-100x this.
+    spark.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sig"))
       .select(col("doc_id"), element_at(col("sig"), 1).as("lo"),
         element_at(col("sig"), 2).as("hi"))

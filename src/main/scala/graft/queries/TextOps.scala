@@ -406,24 +406,21 @@ object TextOps {
   /** See [[Checkpoints.release]] — shared with the PageRank loop. */
   private def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
 
-  /** Returns (merge table, final symbol frame, pending-release frame).
-    * Optimization r16 (guide §1.2 — the wall cost here is driver-side
-    * stage barriers, not compute: TaskMetricsProbe measured <1 s of task
-    * time under 2.6 s of wall): each round now runs ONE blocking action
-    * instead of two. The round's `next` frame is a LAZY localCheckpoint —
-    * still truncating the logical plan immediately, which is all the
-    * multiplicative-reanalysis defense needs — and materializes under the
-    * NEXT round's best-pair collect (or the caller's terminal action), so
-    * the superseded generation r-1 is released after round r+1's collect
-    * proves round r's blocks exist. The returned `pending` frame is the
-    * penultimate generation: the final frame's lazy checkpoint computes
-    * FROM its blocks, so the train path (which never executes the final
-    * frame) releases both, while the apply path must keep both resident
-    * until its returned plan has executed.
+  /** Returns (merge table, final symbol frame). Optimization r16 note
+    * (guide §1.2): the row's wall cost is driver-side per-round Catalyst
+    * work, not compute — TaskMetricsProbe measured <1 s of task time
+    * under ~2.4 s of wall. A lazy-checkpoint respelling (one blocking
+    * action per round instead of two) was tried and REVERTED: each
+    * round's adjacency reads `syms` twice, and a lazy checkpoint
+    * referenced twice in one job can compute partitions twice before its
+    * cache fills — bench measured q_bpe_train 1.92 -> 2.37 s under the
+    * lazy spelling. The eager two-actions-per-round loop stands as the
+    * measured optimum; the remaining wall is the honest Catalyst cost of
+    * an iterative DataFrame loop at toy scale.
     */
   private def bpeTrainRun(
       spark: SparkSession,
-      dir: String): (Seq[(Long, String, String, Long)], DataFrame, Option[DataFrame]) = {
+      dir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
       import org.apache.spark.sql.expressions.Window
       val spKey = "spark.sql.shuffle.partitions"
       val spPrev = spark.conf.get(spKey)
@@ -446,7 +443,6 @@ object TextOps {
         .withColumn("sym", expr("substring(word, pos, 1)"))
         .localCheckpoint(true)
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      var pending: Option[DataFrame] = None // superseded gen, awaiting proof-of-materialization
       for (r <- 1 to BpeRounds) {
         val nxt = syms.select(col("word"), (col("pos") - 1).as("pos"),
           col("sym").as("b"))
@@ -457,10 +453,6 @@ object TextOps {
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).collect() // 1-row driver aggregate: the merge-table entry
-        // The collect above executed over `syms`, materializing its lazy
-        // checkpoint — the generation it superseded is now unreachable.
-        pending.foreach(releaseCheckpoint)
-        pending = None
         if (bestRows.nonEmpty) {
           val best = bestRows(0)
           val (a, b, cnt) =
@@ -487,12 +479,15 @@ object TextOps {
             .withColumn("pos", row_number().over(
               Window.partitionBy(col("word")).orderBy(col("pos"))))
             .select(col("word"), col("freq"), col("pos"), col("sym"))
-            .localCheckpoint(false) // lazy: materializes under the next action
-          pending = Some(syms)
+            .localCheckpoint(true)
+          // next is eagerly materialized above; the previous round's
+          // checkpoint blocks are now unreachable — free them instead of
+          // waiting for the context cleaner.
+          releaseCheckpoint(syms)
           syms = next
         }
       }
-      (merges.toSeq, syms, pending)
+      (merges.toSeq, syms)
       } finally spark.conf.set(spKey, spPrev)
   }
 
@@ -504,13 +499,10 @@ object TextOps {
   }) { (spark, dir) =>
     import spark.implicits._
     // the returned merge table is a literal frame with no lineage into
-    // the checkpointed scaffolding — so the final symbol frame (never
-    // even materialized: its checkpoint is lazy and the train row never
-    // executes it) and the penultimate frame both release immediately
-    // (the apply path, which does need them, keeps both)
-    val (merges, finalSyms, pending) = bpeTrainRun(spark, dir)
+    // the checkpointed scaffolding — so the final symbol frame can be
+    // released immediately (the apply path, which does need it, keeps it)
+    val (merges, finalSyms) = bpeTrainRun(spark, dir)
     releaseCheckpoint(finalSyms)
-    pending.foreach(releaseCheckpoint)
     merges.toDF("round", "a", "b", "cnt")
   }
 
@@ -538,10 +530,7 @@ object TextOps {
          |       CAST(sum(w.n_tok) AS BIGINT) AS n_tokens
          |FROM dw JOIN wtok w ON dw.token = w.word
          |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
-    // `syms` is a LAZY checkpoint computing from the penultimate frame's
-    // blocks — both stay resident until the returned plan executes (the
-    // bench's cache sweep reclaims them after each run).
-    val (_, syms, _) = bpeTrainRun(spark, dir)
+    val (_, syms) = bpeTrainRun(spark, dir)
     val wtok = syms.groupBy(col("word")).agg(count(lit(1)).as("n_tok"))
     spark.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
