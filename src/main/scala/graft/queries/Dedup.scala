@@ -655,26 +655,6 @@ object Dedup {
       spark: SparkSession,
       pairs: DataFrame,
       onEdgesMaterialized: () => Unit = () => ()): (DataFrame, Int) = {
-    // Set-and-restore a narrow shuffle width for the generation loop (the
-    // pagerank/BPE loop rule, applied here in r16): every frame in the
-    // loop is PAIR-GRAPH-sized — near-dup pairs, a small fraction of the
-    // corpus by design — where 32-partition shuffles are pure scheduling
-    // overhead across the loop's ~3 exchanges x O(log diameter)
-    // generations. Safe because the whole loop executes inside this call
-    // (eager checkpoints + labelSum collects; the returned frame is
-    // materialized). On a real cluster this constant is sized to the
-    // pair-graph size / executor memory, exactly as pagerank documents.
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.get(spKey)
-    spark.conf.set(spKey, "8")
-    try ccFromPairsBody(spark, pairs, onEdgesMaterialized)
-    finally spark.conf.set(spKey, spPrev)
-  }
-
-  private def ccFromPairsBody(
-      spark: SparkSession,
-      pairs: DataFrame,
-      onEdgesMaterialized: () => Unit): (DataFrame, Int) = {
     val sc = spark.sparkContext
     // Reliable-checkpoint mode (real clusters: a localCheckpoint dies with
     // its executor): when the `graft.cc.checkpointDir` session conf is set,
@@ -778,7 +758,20 @@ object Dedup {
             org.apache.spark.sql.types.BooleanType))))
       free(edgeGen)
       (out, 0)
-    } else {
+    } else Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      // The GENERATION LOOP runs at a narrow shuffle width (r16, the
+      // pagerank/BPE loop rule): every frame from here down is
+      // pair-graph-sized — near-dup pairs, a small fraction of the corpus
+      // by design — where 32-partition exchanges are pure scheduling
+      // overhead across ~3 exchanges x O(log diameter) generations. The
+      // scope deliberately starts AFTER the edges checkpoint above
+      // (code-review r16: the checkpoint executes the whole upstream LSH
+      // pair pipeline, which is corpus-scale and must keep the session
+      // width), and everything inside executes eagerly (checkpoints +
+      // labelSum collects + the final count), so the restore cannot
+      // strand a lazy consumer. On a real cluster this constant is sized
+      // to the pair-graph size / executor memory, as pagerank documents.
+      //
       // Fused first round: after round 1 every node's label is
       // least(self, min neighbor), which one aggregation over the
       // symmetric edge set computes directly — replacing the identity

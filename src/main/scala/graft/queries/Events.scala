@@ -1020,10 +1020,11 @@ object Events {
       // and any append-mode AGGREGATION over the join (streamJoinAgg's
       // windows finalize only when a later batch observes the advanced
       // watermark — skipping the no-data batch there would emit nothing).
-      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val ndPrev = spark.conf.get(ndKey)
-      if (skipNoDataBatch) spark.conf.set(ndKey, "false")
-      try withStreamPartitions(spark, 4) {
+      val ndConfs: Seq[(String, String)] =
+        if (skipNoDataBatch)
+          Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+        else Seq.empty
+      Confs.withConfs(spark, ndConfs: _*) { withStreamPartitions(spark, 4) {
         val joined = side("click", "c").join(
           side("purchase", "p"),
           col("c_user_id") === col("p_user_id") &&
@@ -1038,7 +1039,7 @@ object Events {
           .start()
         try q.processAllAvailable()
         finally q.stop()
-      } finally spark.conf.set(ndKey, ndPrev)
+      } }
       spark.table(sinkName)
     }
   }

@@ -289,8 +289,12 @@ object Graph {
         .select(explode(Pairs.orderedExpr(col("ps"),
           (a, b) => a * lit(4294967296L) + b)).as("p"))
         .distinct()
+      // shiftrightUNSIGNED (code-review r16): u in [2³¹, 2³²) makes the
+      // packed long wrap negative (still bijective), and an arithmetic
+      // shift would sign-extend u into garbage; the logical shift decodes
+      // the full documented sub-2³² range.
       val edges = packed
-        .select(shiftright(col("p"), 32).as("u"),
+        .select(shiftrightunsigned(col("p"), 32).as("u"),
           col("p").bitwiseAND(lit(4294967295L)).as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges

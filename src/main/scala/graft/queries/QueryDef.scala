@@ -36,53 +36,6 @@ object QueryDef {
   * returning empty, so the size ≥ 2 guard here is load-bearing — an
   * unguarded transform indexes out of range on singleton rows.
   */
-/** Occupancy guards for row-amplifying operators (optimization r16;
-  * guide §2.2/§2.5/§6). Two measured failure shapes at the bench SFs:
-  *
-  *   1. Every test table is ONE parquet row group, so a scan is one task
-  *      regardless of split math (splits are byte ranges; only the range
-  *      containing the row group does work). A shingle/gram expansion
-  *      sitting directly on such a scan runs single-threaded —
-  *      TaskMetricsProbe measured q_dup_ngrams holding 0.66 s one-task
-  *      stages while 31 cores idled. [[Widen.scan]] round-robins the scan
-  *      output across the default parallelism ONLY when the input arrives
-  *      in fewer files than cores: at warehouse scale a corpus is
-  *      thousands of files and the guard is the identity, so no
-  *      corpus-wide shuffle is ever added where the scan already
-  *      parallelizes (the guide's §2.5 unsplittable-input rule).
-  *
-  *   2. AQE's byte-based partition coalescing packs the exchange feeding
-  *      an expansion into a few partitions (the adjacency lists and
-  *      baskets are small BYTES but explode 35x in ROWS — StageProbe
-  *      measured q_triangles' wedge stage as 12 skewed tasks holding
-  *      20.3 s of work, effective parallelism ~8 of 32). [[Widen.byKey]]
-  *      spells that exchange as an explicit repartition at the CONFIGURED
-  *      shuffle width — the width the groupBy exchange would have had
-  *      anyway, so no extra shuffle is added; it only pins the width
-  *      against coalescing, which is exactly wrong before a
-  *      row-amplifying operator whose cost AQE cannot see.
-  */
-private[queries] object Widen {
-  import org.apache.spark.sql.Column
-
-  /** Round-robin a scan across the cores iff it arrived under-split. */
-  def scan(spark: SparkSession, df: DataFrame): DataFrame = {
-    val p = spark.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p) df.repartition(p) else df
-  }
-
-  /** The session's configured exchange width (pre-AQE-coalesce). */
-  def width(spark: SparkSession): Int =
-    spark.conf.get("spark.sql.shuffle.partitions").toInt
-
-  /** Hash-repartition by the coming groupBy's key at the configured
-    * width: replaces (not adds to) the aggregate's exchange, pinned
-    * against AQE coalescing.
-    */
-  def byKey(df: DataFrame, key: Column): DataFrame =
-    df.repartition(width(df.sparkSession), key)
-}
-
 private[queries] object Pairs {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
@@ -113,4 +66,60 @@ private[queries] object Pairs {
       .select(explode(pairsExpr).as("p"))
       .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
   }
+}
+
+/** Occupancy guards for row-amplifying operators (optimization r16;
+  * guide §2.2/§2.5/§6). Two measured failure shapes at the bench SFs:
+  *
+  *   1. Every test table is ONE parquet row group, so a scan is one task
+  *      regardless of split math (splits are byte ranges; only the range
+  *      containing the row group does work). A shingle/gram expansion
+  *      sitting directly on such a scan runs single-threaded —
+  *      TaskMetricsProbe measured q_dup_ngrams holding 0.66 s one-task
+  *      stages while 31 cores idled. [[Widen.scan]] round-robins the scan
+  *      output across the default parallelism ONLY when the scan PLANS
+  *      fewer partitions than the session has cores (code-review r16:
+  *      planned splits, not file count — 8 big multi-row-group files
+  *      already scan wide and must not be reshuffled; 40 tiny files
+  *      bin-pack into few splits and must be): at warehouse scale a
+  *      corpus scan plans thousands of splits and the guard is the
+  *      identity, so no corpus-wide shuffle is ever added where the scan
+  *      already parallelizes (the guide's §2.5 unsplittable-input rule).
+  *
+  *   2. AQE's byte-based partition coalescing packs the exchange feeding
+  *      an expansion into a few partitions (the adjacency lists and
+  *      baskets are small BYTES but explode 35x in ROWS — StageProbe
+  *      measured q_triangles' wedge stage as 12 skewed tasks holding
+  *      20.3 s of work, effective parallelism ~8 of 32). [[Widen.byKey]]
+  *      spells that exchange as an explicit repartition at the CONFIGURED
+  *      shuffle width — the width the groupBy exchange would have had
+  *      anyway, so no extra shuffle is added; it only pins the width
+  *      against coalescing, which is exactly wrong before a
+  *      row-amplifying operator whose cost AQE cannot see.
+  */
+private[queries] object Widen {
+  import org.apache.spark.sql.Column
+
+  /** Round-robin a scan across the cores iff it PLANS under-split. The
+    * `rdd.getNumPartitions` probe costs one driver-side physical
+    * planning of the scan (no job runs); splits still overstate
+    * effective parallelism for single-row-group files (only the split
+    * containing the row group does work), which errs toward widening —
+    * the direction this guard exists for.
+    */
+  def scan(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** The session's configured exchange width (pre-AQE-coalesce). */
+  def width(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Hash-repartition by the coming groupBy's key at the configured
+    * width: replaces (not adds to) the aggregate's exchange, pinned
+    * against AQE coalescing.
+    */
+  def byKey(df: DataFrame, key: Column): DataFrame =
+    df.repartition(width(df.sparkSession), key)
 }
