@@ -87,7 +87,14 @@ object Graph {
           .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("v")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("u"), col("v")).distinct()
-      val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      // in-row doubling (optimization r17): one pass over the distinct
+      // pair stream emits both edge directions; the r16 two-arm union
+      // re-ran the distinct-final aggregate once per arm when the persist
+      // below materializes.
+      val edges = e0.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -159,10 +166,17 @@ object Graph {
       |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) {
     (spark, dir) =>
     val edges = coEdges(spark, dir)
-    val deg = edges.select(col("u").as("x"))
-      .unionAll(edges.select(col("v").as("x")))
+    // ONE pass builds the degree table (optimization r17, guide §2.4): the
+    // r16 spelling UNIONED two projections of the edge stream (u-side ∪
+    // v-side) — under cold-cache exchange reuse each union arm re-runs the
+    // distinct-final aggregate over |E|, so the degree build cost two full
+    // passes. The in-row explode doubles each edge inside one scan instead
+    // (StageProbe before: two 32-task edge passes feeding deg; after: one).
+    // degFull keeps the raw count so n_edges below derives from it for free.
+    val degFull = edges
+      .select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      .select(col("x"), expr("d * 4294967296 + x").as("rank"))
+    val deg = degFull.select(col("x"), expr("d * 4294967296 + x").as("rank"))
     // Re-orient each edge low-rank → high-rank; u≠v so ranks never tie.
     // The deg side is vertex-sized — unhinted, AQE broadcasts it at test
     // SFs and falls back to a key shuffle when a web-scale vertex set
@@ -242,7 +256,14 @@ object Graph {
     val nTriangles = wedges
       .join(broadcast(directed.select(expr("s * 4294967296 + t").as("bc"))), "bc")
       .agg(count(lit(1)).as("n_triangles"))
-    nTriangles.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+    // n_edges = Σdeg / 2 (every edge contributes to exactly two vertex
+    // degrees) — derived from the degree aggregate already in the plan
+    // instead of a FIFTH pass over the edge subtree counting rows
+    // (optimization r17; the degree exchange is reused, so this consumer
+    // reads vertex-sized data). coalesce: sum over an empty graph is NULL
+    // where count(*) was 0.
+    nTriangles.crossJoin(broadcast(degFull.agg(
+      coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"))))
   }
 
   /** Memoized co-occurrence edge set, shared by the three consumers inside
@@ -279,9 +300,12 @@ object Graph {
           col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      // The pair fan-out packs (u, v) into ONE long (u·2³² + v — partkeys
-      // are far below 2³² at any SF, the same packing the wedge probe
-      // uses), so the distinct dedups an 8-byte key instead of a
+      // The pair fan-out packs (u, v) into ONE long (u·2³² + v — the same
+      // packing the wedge probe uses; valid while partkey < 2³², which
+      // TPC-H crosses only near SF ~21k — a graph beyond that re-packs
+      // into the 128-bit struct compare exactly as the triangles comment
+      // documents; ADVICE r16 #1), so the distinct dedups an 8-byte key
+      // instead of a
       // two-field struct row: narrower exchange bytes and a cheaper hash
       // (guide §2.3 "narrower types"). Unpacked right after the distinct;
       // consumers see the same (u, v) schema as before.
@@ -345,11 +369,24 @@ object Graph {
     (spark, dir) =>
     val half = coEdges(spark, dir)
     val seed = half.agg(min(col("u")).as("s"))
-    val h1 = half.join(broadcast(seed), col("u") === col("s")).select(col("v").as("x"))
-      .unionAll(half.join(broadcast(seed), col("v") === col("s")).select(col("u").as("x")))
-      .distinct()
-    val hop2raw = half.join(broadcast(h1), col("u") === col("x")).select(col("v").as("y"))
-      .unionAll(half.join(broadcast(h1), col("v") === col("x")).select(col("u").as("y")))
+    // ONE scan per hop (optimization r17, guide §2.4): the r15 spelling
+    // probed the half list TWICE per hop (u-direction ∪ v-direction), and
+    // under cold-cache exchange reuse each probe re-runs the distinct-final
+    // aggregate over |E| — five edge passes per execution (StageProbe
+    // before: five 32-task stages of 3-9 s task time each). The in-row
+    // explode emits both directions of each half-edge inside one scan, so
+    // each hop is ONE broadcast-probe pass — three edge passes total
+    // (seed, hop 1, hop 2). Looking a frontier up on the exploded two-row
+    // form IS the doubled list's one-sided lookup, exactly as the oracle's
+    // e = e0 ∪ swap(e0) states.
+    val both = half.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val h1 = both.join(broadcast(seed), col("a") === col("s"))
+      .select(col("b").as("x")).distinct()
+    val hop2raw = both.join(broadcast(h1), col("a") === col("x"))
+      .select(col("b").as("y"))
     val reach = h1.select(col("x").as("y")).unionAll(hop2raw).distinct()
       .join(broadcast(seed), col("y") === col("s"), "left_anti")
       .agg(count(lit(1)).as("n_2hop"))
@@ -382,7 +419,9 @@ object Graph {
       |       CAST(max(deg) AS BIGINT) AS max_deg
       |FROM d GROUP BY 1""".stripMargin) { (spark, dir) =>
     val half = coEdges(spark, dir)
-    half.select(col("u").as("x")).unionAll(half.select(col("v").as("x")))
+    // in-row doubling, not a two-arm union: one edge pass feeds the degree
+    // count (optimization r17 — same rework as the triangles degree build)
+    half.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .groupBy(floor(sqrt(col("deg").cast("double"))).as("bucket"))
       .agg(count(lit(1)).as("n_vertices"),
