@@ -227,7 +227,15 @@ object Graph {
     // pack extracts t with one mask — measured r16: the struct spelling
     // cost the wedge stage ~2× in task CPU and GC (guide §2.3 narrower
     // types; §1.2 per-task work).
-    val adj = Widen.byKey(directed, col("s")).groupBy(col("s"))
+    // directedW is the ONE repartition-by-source exchange both remaining
+    // directed consumers read (optimization r17): the adjacency aggregate
+    // below and the membership broadcast build. Before, the membership
+    // side re-derived directed from scratch — a third distinct-final pass
+    // over |E| plus both orientation joins, its own 8-task stage in
+    // StageProbe; now ReusedExchange serves it the repartitioned rows and
+    // the rebuild is a projection.
+    val directedW = Widen.byKey(directed, col("s"))
+    val adj = directedW.groupBy(col("s"))
       .agg(array_sort(collect_list(col("rt"))).as("ts"))
     val ts = col("ts")
     val IdMask = 4294967295L // low 32 bits of a rank long = the vertex id
@@ -254,7 +262,7 @@ object Graph {
     // SHUFFLE_HASH measurement stands: denying the broadcast entirely
     // measured ~40% slower.)
     val nTriangles = wedges
-      .join(broadcast(directed.select(expr("s * 4294967296 + t").as("bc"))), "bc")
+      .join(broadcast(directedW.select(expr("s * 4294967296 + t").as("bc"))), "bc")
       .agg(count(lit(1)).as("n_triangles"))
     // n_edges = Σdeg / 2 (every edge contributes to exactly two vertex
     // degrees) — derived from the degree aggregate already in the plan

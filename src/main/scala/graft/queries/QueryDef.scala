@@ -106,8 +106,22 @@ private[queries] object Widen {
     * effective parallelism for single-row-group files (only the split
     * containing the row group does work), which errs toward widening —
     * the direction this guard exists for.
+    *
+    * SCAN-ONLY CONTRACT, enforced (ADVICE r16 #3): under AQE, `.rdd` on a
+    * plan containing exchanges eagerly materializes shuffle stages — a
+    * derived frame passed here would silently run its jobs twice. The
+    * require rejects any frame whose analyzed plan carries a shuffle-
+    * introducing operator, so the probe stays a pure planning pass.
     */
   def scan(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    require(!df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+          _: RepartitionOperation | _: Distinct | _: Deduplicate => true
+      case _ => false
+    }, "Widen.scan requires a bare scan frame (projections/filters over " +
+      "a file relation); a derived frame would execute its exchanges " +
+      "inside the .rdd planning probe")
     val p = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -65,7 +65,18 @@ object StageProbe {
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain (private API in Spark 4)
+      // Drain the listener bus by polling until the observed (stage, task)
+      // counts stabilize across two consecutive 100 ms snapshots (2 s cap)
+      // — a fixed sleep undercounted on a loaded box (ADVICE r16 #4).
+      var prev = (-1, -1L)
+      var waitedMs = 0
+      var cur = listener.synchronized((stages.size, stages.valuesIterator.map(_.tasks.toLong).sum))
+      while (cur != prev && waitedMs < 2000) {
+        prev = cur
+        Thread.sleep(100)
+        waitedMs += 100
+        cur = listener.synchronized((stages.size, stages.valuesIterator.map(_.tasks.toLong).sum))
+      }
       spark.sparkContext.removeSparkListener(listener)
       println(f"STAGEPROBE $q wall=$wall%.3f s stages=${stages.size}")
       stages.toSeq.sortBy(-_._2.runMs).foreach { case (id, s) =>
